@@ -1,0 +1,122 @@
+"""Point-cloud -> equirectangular panorama rendering (z-buffered splat).
+
+TPU-native redesign of the reference's ``make_pano`` (reference:
+``utils.py:134-205``).  The reference sorts points far-to-near and paints
+nine 1-pixel-dilated taps with ``index_put_(accumulate=False)``, relying on
+write order for occlusion; that is nondeterministic on parallel hardware and
+doesn't map to XLA.  Here occlusion is resolved with explicit scatter-min
+passes, which is deterministic and vmap-able (the per-candidate batched
+renders in init become one batched scatter).
+
+The reference paints the nine taps in the order idx8..idx1, centre last, each
+layer far-to-near.  The winner of a pixel is therefore:
+  1. the tap layer painted last that hits the pixel (centre beats idx1 beats
+     idx2 ... beats idx8), then
+  2. within that layer, the nearest point.
+We reproduce exactly that priority with three scatter passes:
+  pass 1: min tap-priority per pixel
+  pass 2: min distance per pixel among winning-priority taps
+  pass 3: min point index among (priority, distance) winners (tie-break)
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+from .projection import spherical_project
+
+__all__ = ["render_pano"]
+
+# (priority, dr, dc): centre has priority 0 (painted last in the reference),
+# idx1..idx8 have priorities 1..8 (idx8 painted first).
+# Reference tap offsets (utils.py:172-198): idx1=(+1,+1) idx2=(+1,0)
+# idx3=(+1,-1) idx4=(-1,+1) idx5=(-1,0) idx6=(-1,-1) idx7=(0,+1) idx8=(0,-1).
+_TAPS = (
+    (0, 0, 0),
+    (1, 1, 1),
+    (2, 1, 0),
+    (3, 1, -1),
+    (4, -1, 1),
+    (5, -1, 0),
+    (6, -1, -1),
+    (7, 0, 1),
+    (8, 0, -1),
+)
+
+
+def render_pano(
+    xyz: jnp.ndarray,
+    rgb: jnp.ndarray,
+    resolution: Tuple[int, int] = (200, 400),
+    point_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Render a panorama from a coloured point cloud.
+
+    Args:
+      xyz: (N, 3) points in the camera frame.
+      rgb: (N, 3) colours in [0, 1].
+      resolution: (H, W) output size.
+      point_mask: optional (N,) bool; False points are not splatted (used for
+        padded clouds under jit's static-shape constraint).
+
+    Returns:
+      (H, W, 3) float image in [0, 255] (the reference returns image*255;
+      ``utils.py:200``). Background pixels are 0.
+    """
+    H, W = resolution
+    N = xyz.shape[0]
+
+    dist = jnp.sqrt(jnp.sum(xyz * xyz, axis=-1))
+    coords = spherical_project(xyz)  # (N, 2) in [-1, 1]
+    px = (coords[..., 0] + 1.0) / 2.0 * (W - 1)
+    py = (coords[..., 1] + 1.0) / 2.0 * (H - 1)
+    # .long() in torch truncates toward zero; coords are non-negative here so
+    # floor == trunc (reference utils.py:161-165).
+    col0 = jnp.floor(px).astype(jnp.int32)
+    row0 = jnp.floor(py).astype(jnp.int32)
+
+    if point_mask is None:
+        valid = jnp.ones((N,), dtype=bool)
+    else:
+        valid = point_mask
+
+    # Build the 9-tap expansion: (9, N) pixel ids and priorities.
+    rows = []
+    cols = []
+    prios = []
+    for p, dr, dc in _TAPS:
+        rows.append(jnp.clip(row0 + dr, 0, H - 1))
+        cols.append(jnp.clip(col0 + dc, 0, W - 1))
+        prios.append(jnp.full((N,), p, dtype=jnp.int32))
+    pix = jnp.stack(rows) * W + jnp.stack(cols)  # (9, N)
+    prio = jnp.stack(prios)  # (9, N)
+
+    pix = pix.reshape(-1)
+    prio = prio.reshape(-1)
+    dist9 = jnp.broadcast_to(dist, (9, N)).reshape(-1)
+    valid9 = jnp.broadcast_to(valid, (9, N)).reshape(-1)
+    idx9 = jnp.broadcast_to(
+        jnp.arange(N, dtype=jnp.int32), (9, N)
+    ).reshape(-1)
+
+    big_prio = jnp.where(valid9, prio, 9)
+    # pass 1: best (lowest) tap priority per pixel
+    min_prio = jnp.full((H * W,), 9, dtype=jnp.int32).at[pix].min(big_prio)
+    on_prio = valid9 & (big_prio == min_prio[pix])
+
+    # pass 2: nearest distance among winning-priority taps
+    inf = jnp.float32(jnp.inf)
+    d_eff = jnp.where(on_prio, dist9, inf)
+    min_dist = jnp.full((H * W,), inf, dtype=jnp.float32).at[pix].min(d_eff)
+    on_dist = on_prio & (dist9 == min_dist[pix])
+
+    # pass 3: deterministic tie-break by lowest point index
+    i_eff = jnp.where(on_dist, idx9, N).astype(jnp.int32)
+    winner = jnp.full((H * W,), N, dtype=jnp.int32).at[pix].min(i_eff)
+
+    hit = winner < N
+    safe_winner = jnp.where(hit, winner, 0)
+    img = jnp.where(hit[:, None], jnp.take(rgb, safe_winner, axis=0), 0.0)
+    return img.reshape(H, W, 3) * 255.0

@@ -1,0 +1,53 @@
+"""Order-statistic helpers.
+
+The reference uses two different quantile notions and we preserve both:
+  * ``order_quantile`` — the custom argsort-based pair used for the
+    translation clamp box and the out-of-room gate (reference:
+    ``utils.py:208-254``): sorted[x][int(n*q)] and sorted[x][int(n*(1-q))].
+  * linear-interpolation quantiles (torch.quantile) used by the candidate
+    grids — those call sites use ``jnp.quantile`` directly, which matches.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+__all__ = ["order_quantile", "cloud_bounds", "out_of_room"]
+
+
+def order_quantile(x: jnp.ndarray, q: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Return (sorted[int(n*q)], sorted[int(n*(1-q))]) of a 1-D array.
+
+    Exact parity with reference ``utils.quantile`` (utils.py:208-229): the
+    *lower* order statistic at index int(n*q), no interpolation.
+    """
+    n = x.shape[0]
+    s = jnp.sort(x)
+    return s[int(n * q)], s[int(n * (1 - q))]
+
+
+def cloud_bounds(xyz: jnp.ndarray, q: float = 0.05) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-axis (lo, hi) clamp box from order quantiles.
+
+    Used for the per-step translation clamp (reference: ``omniloc.py:52-58``)
+    and the out-of-room gate. Returns ((3,), (3,)) arrays.
+    """
+    n = xyz.shape[0]
+    s = jnp.sort(xyz, axis=0)
+    lo = s[int(n * q)]
+    hi = s[int(n * (1 - q))]
+    return lo, hi
+
+
+def out_of_room(xyz: jnp.ndarray, trans: jnp.ndarray, q: float = 0.05) -> bool:
+    """True if ``trans`` falls outside the quantile box of the cloud.
+
+    Parity with reference ``utils.out_of_room`` (utils.py:232-254); note the
+    strict inequalities.
+    """
+    lo, hi = cloud_bounds(xyz, q)
+    t = jnp.asarray(trans).reshape(-1)[:3]
+    inside = jnp.all((t > lo) & (t < hi))
+    return not bool(inside)

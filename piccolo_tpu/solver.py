@@ -1,0 +1,155 @@
+"""Multi-start gradient-descent pose solver.
+
+Unifies the reference's sequential ``omniloc`` (reference:
+``omniloc.py:11-102``) and batched ``omniloc_batch`` (``omniloc.py:205-296``)
+into ONE jitted program: the descent loop is a ``lax.scan`` and the candidate
+dimension is ``jax.vmap`` — per-candidate Adam + plateau-LR state rides in
+the scan carry, so all starting points advance in lockstep on-device with no
+host round-trips.  (The reference's two modes differ only in loss
+normalisation bookkeeping; per-candidate gradients are independent either
+way, see SURVEY §3.4.)
+
+The per-step translation clamp to the cloud's quantile box
+(omniloc.py:52-58) is applied after each Adam update, to the parameters only
+(Adam moments are NOT projected, matching torch semantics where the clamp is
+done under no_grad on the param data).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .loss import Pose, pose_rotation, sampling_loss
+from .optim import adam_plateau_step, init_adam_plateau
+
+__all__ = ["SolveResult", "solve", "descend"]
+
+
+class SolveResult(NamedTuple):
+    """All candidates' final states, ordered as the input candidates."""
+
+    t: jnp.ndarray  # (B, 3) final translations
+    ypr: jnp.ndarray  # (B, 3) final yaw/pitch/roll
+    rot: jnp.ndarray  # (B, 3, 3) final rotation matrices
+    loss: jnp.ndarray  # (B,) final losses (evaluated BEFORE the last update,
+    #                     matching the reference's returned loss)
+    lr: jnp.ndarray  # (B,) final learning rates (diagnostics)
+
+
+def _descend_single(
+    img: jnp.ndarray,
+    xyz: jnp.ndarray,
+    rgb: jnp.ndarray,
+    t0: jnp.ndarray,
+    ypr0: jnp.ndarray,
+    lo: jnp.ndarray,
+    hi: jnp.ndarray,
+    point_mask: Optional[jnp.ndarray],
+    num_iter: int,
+    lr: float,
+    patience: int,
+    factor: float,
+) -> Tuple[Pose, jnp.ndarray, jnp.ndarray]:
+    params = Pose(t=t0, yaw=ypr0[0], pitch=ypr0[1], roll=ypr0[2])
+    state = init_adam_plateau(params, lr)
+
+    loss_fn = lambda p: sampling_loss(p, xyz, rgb, img, point_mask)
+    value_and_grad = jax.value_and_grad(loss_fn)
+
+    def step(carry, _):
+        params, state = carry
+        loss, grads = value_and_grad(params)
+        params, state = adam_plateau_step(
+            params, grads, state, loss, patience, factor
+        )
+        params = params._replace(t=jnp.clip(params.t, lo, hi))
+        return (params, state), loss
+
+    (params, state), losses = jax.lax.scan(
+        step, (params, state), None, length=num_iter
+    )
+    return params, losses[-1], state.lr
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_iter", "lr", "patience", "factor", "masked")
+)
+def descend(
+    img: jnp.ndarray,
+    xyz: jnp.ndarray,
+    rgb: jnp.ndarray,
+    trans0: jnp.ndarray,
+    ypr0: jnp.ndarray,
+    lo: jnp.ndarray,
+    hi: jnp.ndarray,
+    point_mask: Optional[jnp.ndarray] = None,
+    *,
+    num_iter: int = 100,
+    lr: float = 0.1,
+    patience: int = 5,
+    factor: float = 0.9,
+    masked: bool = False,
+) -> SolveResult:
+    """Descend all candidates in parallel.
+
+    Args:
+      img:    (H, W, 3) query panorama in [0, 1].
+      xyz:    (N, 3) world points; rgb: (N, 3) colours.
+      trans0: (B, 3) candidate translations; ypr0: (B, 3) candidate ypr.
+      lo/hi:  (3,) translation clamp box (order-quantile bounds of the cloud).
+      point_mask: (N,) bool or None (pass masked=True when given).
+      num_iter/lr/patience/factor: optimisation budget
+        (reference defaults: omniloc.py:25-30; shipped configs use
+        factor=0.8).
+
+    Returns:
+      SolveResult over the B candidates.
+    """
+    pm = point_mask if masked else None
+
+    def one(t0, y0):
+        return _descend_single(
+            img, xyz, rgb, t0, y0, lo, hi, pm, num_iter, lr, patience, factor
+        )
+
+    params, losses, lrs = jax.vmap(one)(trans0, ypr0)
+    ypr = jnp.stack([params.yaw, params.pitch, params.roll], axis=-1)
+    rot = pose_rotation(params)
+    return SolveResult(t=params.t, ypr=ypr, rot=rot, loss=losses, lr=lrs)
+
+
+def solve(
+    img,
+    xyz,
+    rgb,
+    trans0,
+    ypr0,
+    lo,
+    hi,
+    point_mask=None,
+    **kw,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, SolveResult]:
+    """Run the descent and select the minimum-loss candidate.
+
+    Returns (t (3,), R (3,3), loss ()) of the winner plus the full
+    SolveResult (the reference's argmin over results is at
+    ``localize.py:231-233``).
+    """
+    res = descend(
+        img,
+        xyz,
+        rgb,
+        trans0,
+        ypr0,
+        lo,
+        hi,
+        point_mask,
+        masked=point_mask is not None,
+        **kw,
+    )
+    k = jnp.argmin(res.loss)
+    return res.t[k], res.rot[k], res.loss[k], res

@@ -1,0 +1,31 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip hardware is not available in CI; sharding tests use XLA's host
+platform device count instead (the JAX analog of a fake process group).
+Must run before jax initializes, hence the env mutation at import time.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+# f64 stays off: the framework is f32 end-to-end like the reference.
+
+import jax  # noqa: E402
+
+# Some environments register an accelerator plugin at interpreter start and
+# force jax_platforms through jax.config (ignoring the env var) — override it
+# back to CPU here, before any computation runs.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(2)

@@ -1,0 +1,77 @@
+"""Golden tests: bilinear_sample vs torch F.grid_sample (the reference's
+native sampling kernel, utils.py:64-103)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+from piccolo_tpu.ops.sampling import bilinear_sample
+
+
+def _torch_sample(img: np.ndarray, coords: np.ndarray) -> np.ndarray:
+    """Reference sample_from_img semantics."""
+    timg = torch.from_numpy(img).permute(2, 0, 1).unsqueeze(0)
+    grid = torch.from_numpy(coords).reshape(1, -1, 1, 2)
+    grid = torch.clip(grid, min=-0.99, max=0.99)
+    out = F.grid_sample(timg, grid, align_corners=False, padding_mode="zeros")
+    return out.squeeze(0).squeeze(-1).T.numpy()
+
+
+def test_matches_grid_sample_random(rng):
+    img = rng.random((37, 53, 3)).astype(np.float32)
+    coords = (rng.random((5000, 2)).astype(np.float32) * 2.4) - 1.2  # incl. OOB
+    ours = np.asarray(bilinear_sample(jnp.asarray(img), jnp.asarray(coords)))
+    ref = _torch_sample(img, coords)
+    np.testing.assert_allclose(ours, ref, atol=2e-6)
+
+
+def test_matches_grid_sample_large_image(rng):
+    img = rng.random((512, 1024, 3)).astype(np.float32)
+    coords = (rng.random((20000, 2)).astype(np.float32) * 2.0) - 1.0
+    ours = np.asarray(bilinear_sample(jnp.asarray(img), jnp.asarray(coords)))
+    ref = _torch_sample(img, coords)
+    np.testing.assert_allclose(ours, ref, atol=2e-6)
+
+
+def test_exact_pixel_centers():
+    img = np.arange(12, dtype=np.float32).reshape(2, 2, 3)
+    H, W = 2, 2
+    # align_corners=False: pixel (i, j) center is at
+    # x = (2*j + 1)/W - 1, y = (2*i + 1)/H - 1
+    coords = []
+    for i in range(H):
+        for j in range(W):
+            coords.append([(2 * j + 1) / W - 1, (2 * i + 1) / H - 1])
+    out = np.asarray(bilinear_sample(jnp.asarray(img), jnp.asarray(coords)))
+    np.testing.assert_allclose(out, img.reshape(4, 3), atol=1e-6)
+
+
+def test_gradient_matches_torch(rng):
+    img = rng.random((16, 32, 3)).astype(np.float32)
+    coords = (rng.random((200, 2)).astype(np.float32) * 1.8) - 0.9
+
+    def f(c):
+        return jnp.sum(bilinear_sample(jnp.asarray(img), c) ** 2)
+
+    g_jax = np.asarray(jax.grad(f)(jnp.asarray(coords)))
+
+    timg = torch.from_numpy(img).permute(2, 0, 1).unsqueeze(0)
+    tc = torch.from_numpy(coords).requires_grad_()
+    grid = torch.clip(tc.reshape(1, -1, 1, 2), min=-0.99, max=0.99)
+    out = F.grid_sample(timg, grid, align_corners=False, padding_mode="zeros")
+    (out**2).sum().backward()
+    np.testing.assert_allclose(g_jax, tc.grad.numpy(), atol=1e-4)
+
+
+def test_vmap_batched_matches_loop(rng):
+    img = rng.random((8, 16, 3)).astype(np.float32)
+    coords = (rng.random((4, 50, 2)).astype(np.float32) * 2) - 1
+    batched = jax.vmap(lambda c: bilinear_sample(jnp.asarray(img), c))(
+        jnp.asarray(coords)
+    )
+    flat = bilinear_sample(jnp.asarray(img), jnp.asarray(coords.reshape(-1, 2)))
+    np.testing.assert_allclose(
+        np.asarray(batched).reshape(-1, 3), np.asarray(flat), atol=1e-7
+    )

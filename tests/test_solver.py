@@ -1,0 +1,134 @@
+"""Solver tests, including the render-then-recover integration oracle:
+
+Render a panorama from a synthetic colored cloud at a known pose, then verify
+the descent recovers that pose from a nearby start. This is the strongest
+self-consistent oracle the problem offers (SURVEY §4) — no dataset needed.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from piccolo_tpu.loss import Pose, sampling_loss
+from piccolo_tpu.ops.pano import render_pano
+from piccolo_tpu.ops.quantile import cloud_bounds
+from piccolo_tpu.ops.rotation import rot_from_ypr
+from piccolo_tpu.solver import descend, solve
+
+
+def make_room(rng, n_per_wall=4000, size=(6.0, 4.0, 3.0)):
+    """A colored box room: 6 walls with distinct smooth color gradients."""
+    sx, sy, sz = size
+    pts, cols = [], []
+    for axis, sign in [(0, 1), (0, -1), (1, 1), (1, -1), (2, 1), (2, -1)]:
+        uv = rng.random((n_per_wall, 2)).astype(np.float32)
+        p = np.empty((n_per_wall, 3), np.float32)
+        dims = [d for d in range(3) if d != axis]
+        ext = [size[d] for d in dims]
+        p[:, dims[0]] = (uv[:, 0] - 0.5) * ext[0]
+        p[:, dims[1]] = (uv[:, 1] - 0.5) * ext[1]
+        p[:, axis] = sign * size[axis] / 2
+        base = np.zeros(3, np.float32)
+        base[axis] = 0.75 if sign > 0 else 0.25
+        c = np.clip(
+            base[None, :] + 0.5 * np.stack([uv[:, 0], uv[:, 1], uv[:, 0] * uv[:, 1]], 1),
+            0.05,
+            1.0,
+        ).astype(np.float32)
+        pts.append(p)
+        cols.append(c)
+    return np.concatenate(pts), np.concatenate(cols)
+
+
+def render_at(xyz, rgb, t, ypr, resolution=(256, 512)):
+    R = rot_from_ypr(jnp.asarray(ypr))
+    cam = (jnp.asarray(xyz) - jnp.asarray(t)) @ R.T
+    return render_pano(cam, jnp.asarray(rgb), resolution) / 255.0
+
+
+def test_render_then_recover(rng):
+    xyz, rgb = make_room(rng)
+    gt_t = np.array([0.4, -0.3, 0.2], np.float32)
+    gt_ypr = np.array([0.5, 0.0, 0.0], np.float32)
+    img = render_at(xyz, rgb, gt_t, gt_ypr)
+
+    lo, hi = cloud_bounds(jnp.asarray(xyz), 0.05)
+    # start near the GT (the init stage supplies such starts in the pipeline)
+    t0 = jnp.asarray((gt_t + np.array([0.3, -0.25, 0.1], np.float32))[None])
+    ypr0 = jnp.asarray((gt_ypr + np.array([0.25, 0.0, 0.0], np.float32))[None])
+
+    t, R, loss, res = solve(
+        img,
+        jnp.asarray(xyz),
+        jnp.asarray(rgb),
+        t0,
+        ypr0,
+        lo,
+        hi,
+        num_iter=100,
+        lr=0.1,
+        patience=5,
+        factor=0.8,
+    )
+    t_err = float(jnp.linalg.norm(t - jnp.asarray(gt_t)))
+    R_gt = np.asarray(rot_from_ypr(jnp.asarray(gt_ypr)))
+    tr = np.clip((np.trace(np.asarray(R).T @ R_gt) - 1) / 2, -1, 1)
+    r_err = np.degrees(np.arccos(tr))
+    assert t_err < 0.2, t_err
+    assert r_err < np.degrees(0.2), r_err
+
+
+def test_multi_start_picks_best(rng):
+    xyz, rgb = make_room(rng, n_per_wall=2000)
+    gt_t = np.array([0.0, 0.0, 0.0], np.float32)
+    gt_ypr = np.array([1.0, 0.0, 0.0], np.float32)
+    img = render_at(xyz, rgb, gt_t, gt_ypr, resolution=(128, 256))
+
+    lo, hi = cloud_bounds(jnp.asarray(xyz), 0.05)
+    # 4 yaw starts; only one is close.
+    t0 = jnp.zeros((4, 3))
+    ypr0 = jnp.asarray(
+        np.stack(
+            [np.array([y, 0, 0], np.float32) for y in (1.2, 2.5, 4.0, 5.5)]
+        )
+    )
+    t, R, loss, res = solve(
+        img, jnp.asarray(xyz), jnp.asarray(rgb), t0, ypr0, lo, hi,
+        num_iter=60, lr=0.1, patience=5, factor=0.8,
+    )
+    assert int(jnp.argmin(res.loss)) == 0
+    assert float(res.loss[0]) < float(res.loss[1])
+
+
+def test_translation_stays_in_box(rng):
+    xyz, rgb = make_room(rng, n_per_wall=1000)
+    img = render_at(xyz, rgb, np.zeros(3, np.float32), np.zeros(3, np.float32),
+                    resolution=(64, 128))
+    lo, hi = cloud_bounds(jnp.asarray(xyz), 0.05)
+    # absurd start far outside the room: clamp must keep it in the box
+    t0 = jnp.asarray(np.array([[50.0, -50.0, 30.0]], np.float32))
+    ypr0 = jnp.zeros((1, 3))
+    res = descend(
+        img, jnp.asarray(xyz), jnp.asarray(rgb), t0, ypr0, lo, hi,
+        num_iter=5, lr=0.1, patience=5, factor=0.8,
+    )
+    assert np.all(np.asarray(res.t[0]) >= np.asarray(lo) - 1e-5)
+    assert np.all(np.asarray(res.t[0]) <= np.asarray(hi) + 1e-5)
+
+
+def test_loss_decreases(rng):
+    xyz, rgb = make_room(rng, n_per_wall=1500)
+    gt_ypr = np.array([0.8, 0.0, 0.0], np.float32)
+    img = render_at(xyz, rgb, np.zeros(3, np.float32), gt_ypr, resolution=(128, 256))
+    lo, hi = cloud_bounds(jnp.asarray(xyz), 0.05)
+    t0 = jnp.asarray(np.array([[0.3, 0.3, 0.1]], np.float32))
+    ypr0 = jnp.asarray(np.array([[1.1, 0.0, 0.0]], np.float32))
+
+    pose0 = Pose(t0[0], ypr0[0, 0], ypr0[0, 1], ypr0[0, 2])
+    initial = float(
+        sampling_loss(pose0, jnp.asarray(xyz), jnp.asarray(rgb), img)
+    )
+    res = descend(
+        img, jnp.asarray(xyz), jnp.asarray(rgb), t0, ypr0, lo, hi,
+        num_iter=50, lr=0.1, patience=5, factor=0.8,
+    )
+    assert float(res.loss[0]) < initial
