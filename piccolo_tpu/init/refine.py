@@ -1,0 +1,231 @@
+"""Two-stage candidate trimming: brute-force loss table, then histogram match.
+
+Re-design of the reference's ``trim_input_loss`` / ``trim_input_hist_secondary``
+/ ``make_input`` (reference: ``utils.py:462-629``).  The reference's slowest
+code path — an O(|trans|x|rot|) *Python loop* of full-cloud projections
+(utils.py:484-499) — becomes one jitted, vmapped evaluation chunked with
+``lax.map`` to bound memory; the per-candidate panorama renders + blockwise
+histogram intersections of stage two (utils.py:546-581) are likewise one
+batched program.
+
+Deliberate behaviour deltas (documented; SURVEY §2 "latent bugs"):
+  * empty-mask candidates score +inf (the reference produces NaN via a mean
+    over an empty selection, relying on NaN-sorts-last);
+  * stage two computes every block independently (the reference ``break``s
+    out of a row on the first empty block and reuses *stale* per-block
+    values from the previous candidate).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..loss import Pose, sampling_loss
+from ..ops.histogram import block_histograms
+from ..ops.pano import render_pano
+from ..ops.rotation import rot_from_ypr
+from .candidates import generate_rot_points, generate_trans_points
+
+__all__ = ["score_pose_grid", "trim_by_loss", "hist_scores", "trim_by_hist", "make_input"]
+
+_HIST_BINS = (8, 8, 8)  # reference utils.py:531
+
+
+def _pad_rows(a: jnp.ndarray, multiple: int) -> Tuple[jnp.ndarray, int]:
+    n = a.shape[0]
+    pad = (-n) % multiple
+    if pad:
+        a = jnp.concatenate([a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])])
+    return a, n
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "masked"))
+def _score_pairs(
+    img, xyz, rgb, pair_t, pair_ypr, point_mask=None, *, chunk=64, masked=False
+):
+    pm = point_mask if masked else None
+
+    def one(args):
+        t, ypr = args
+        pose = Pose(t=t, yaw=ypr[0], pitch=ypr[1], roll=ypr[2])
+        return sampling_loss(pose, xyz, rgb, img, pm)
+
+    k = pair_t.shape[0]
+    tc = pair_t.reshape(k // chunk, chunk, 3)
+    yc = pair_ypr.reshape(k // chunk, chunk, 3)
+    scores = jax.lax.map(lambda c: jax.vmap(lambda t, y: one((t, y)))(c[0], c[1]), (tc, yc))
+    return scores.reshape(-1)
+
+
+def score_pose_grid(
+    img: jnp.ndarray,
+    xyz: jnp.ndarray,
+    rgb: jnp.ndarray,
+    trans: jnp.ndarray,
+    rot: jnp.ndarray,
+    point_mask: Optional[jnp.ndarray] = None,
+    chunk: int = 64,
+) -> jnp.ndarray:
+    """Loss table over the trans x rot grid, flattened trans-major.
+
+    Equivalent to the reference's loss_table (utils.py:481-499) but computed
+    as one on-device program: ~1.8k full-cloud projections collapse from a
+    Python loop into chunked vmap.
+    """
+    T, R = trans.shape[0], rot.shape[0]
+    pair_t = jnp.repeat(trans, R, axis=0)
+    pair_r = jnp.tile(rot, (T, 1))
+    pair_t, n = _pad_rows(pair_t, chunk)
+    pair_r, _ = _pad_rows(pair_r, chunk)
+    scores = _score_pairs(
+        img, xyz, rgb, pair_t, pair_r, point_mask,
+        chunk=chunk, masked=point_mask is not None,
+    )
+    return scores[:n]
+
+
+def trim_by_loss(
+    img, xyz, rgb, trans, rot, num_keep: int, point_mask=None
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Keep the num_keep (trans, rot) pairs with lowest sampling loss.
+
+    Parity with reference trim_input_loss (utils.py:462-507): flat argsort of
+    the table, pair recovered by divmod over len(rot).
+    """
+    R = rot.shape[0]
+    scores = score_pose_grid(img, xyz, rgb, trans, rot, point_mask)
+    k = min(num_keep, scores.shape[0])
+    idx = jnp.argsort(scores)[:k]
+    return jnp.take(trans, idx // R, axis=0), jnp.take(rot, idx % R, axis=0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_split_h", "num_split_w", "chunk", "masked")
+)
+def hist_scores(
+    img: jnp.ndarray,
+    xyz: jnp.ndarray,
+    rgb: jnp.ndarray,
+    trans: jnp.ndarray,
+    ypr: jnp.ndarray,
+    point_mask=None,
+    *,
+    num_split_h: int,
+    num_split_w: int,
+    chunk: int = 8,
+    masked: bool = False,
+) -> jnp.ndarray:
+    """Blockwise histogram-intersection score per candidate (higher=better).
+
+    Parity with reference trim_input_hist_secondary (utils.py:510-588):
+      * query-image block histograms over img_mask (nonzero pixels);
+      * candidate pano rendered at the SAME resolution, block histograms
+        over proj_mask & img_mask;
+      * per-block normalized-histogram intersection, zeroed when either
+        block selection is empty;
+      * only middle block rows h in [1, num_split_h-2] contribute;
+      * score = sum / (num_split_h * num_split_w).
+    """
+    H, W, _ = img.shape
+    sh, sw = num_split_h, num_split_w
+    nb = _HIST_BINS[0] * _HIST_BINS[1] * _HIST_BINS[2]
+    pm = point_mask if masked else None
+
+    img255 = img * 255.0
+    img_mask = jnp.sum(img255 == 0.0, axis=-1) != 3
+    img_h, img_c = block_histograms(img255, img_mask, _HIST_BINS, sh, sw)
+    img_hn = img_h / jnp.maximum(img_c, 1e-12)[:, None]
+
+    row_ids = jnp.arange(sh * sw) // sw
+    middle = (row_ids >= 1) & (row_ids <= sh - 2)
+
+    def one(t, y):
+        R = rot_from_ypr(y)
+        cam = jnp.einsum("nj,kj->nk", xyz - t, R, precision="highest")
+        proj = render_pano(cam, rgb, (H, W), pm)  # (H, W, 3) in [0, 255]
+        proj_mask = jnp.sum(proj == 0.0, axis=-1) != 3
+        ph, pc = block_histograms(
+            proj, proj_mask & img_mask, _HIST_BINS, sh, sw
+        )
+        phn = ph / jnp.maximum(pc, 1e-12)[:, None]
+        inter = jnp.minimum(phn, img_hn).sum(-1)  # (sh*sw,)
+        valid = (pc > 0) & (img_c > 0) & middle
+        return jnp.sum(inter * valid) / (sh * sw)
+
+    k = trans.shape[0]
+    tc = trans.reshape(k // chunk, chunk, 3)
+    yc = ypr.reshape(k // chunk, chunk, 3)
+    scores = jax.lax.map(lambda c: jax.vmap(one)(c[0], c[1]), (tc, yc))
+    return scores.reshape(-1)
+
+
+def trim_by_hist(
+    img, xyz, rgb, trans, rot, num_input: int,
+    num_split_h: int, num_split_w: int, point_mask=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Keep the num_input candidates with the highest histogram score."""
+    trans_p, n = _pad_rows(trans, 8)
+    rot_p, _ = _pad_rows(rot, 8)
+    scores = hist_scores(
+        img, xyz, rgb, trans_p, rot_p, point_mask,
+        num_split_h=num_split_h, num_split_w=num_split_w,
+        masked=point_mask is not None,
+    )[:n]
+    k = min(num_input, int(scores.shape[0]))
+    idx = jnp.argsort(scores)[-k:][::-1]
+    return jnp.take(trans, idx, axis=0), jnp.take(rot, idx, axis=0)
+
+
+def make_input(
+    img: jnp.ndarray,
+    xyz: jnp.ndarray,
+    rgb: jnp.ndarray,
+    num_input: int,
+    init_dict: Dict,
+    criterion: str = "loss_histogram",
+    num_intermediate: Optional[int] = None,
+    point_mask: Optional[jnp.ndarray] = None,
+    seed: int = 2,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Full initialization: candidate grids -> loss trim -> histogram trim.
+
+    Orchestration parity with reference make_input (utils.py:591-629).
+    Returns numpy (num_input, 3) translation and rotation starting points.
+
+    Only criterion='loss_histogram' exists (the reference's other branch is
+    unreachable/broken — utils.py:625-627); anything else raises ValueError.
+    """
+    if criterion != "loss_histogram":
+        raise ValueError(
+            f"criterion={criterion!r} not supported (only 'loss_histogram')"
+        )
+
+    xyz_np = np.asarray(xyz)
+    rot = jnp.asarray(generate_rot_points(init_dict))
+    trans = jnp.asarray(generate_trans_points(xyz_np, init_dict))
+
+    in_xyz, in_rgb, in_mask = xyz, rgb, point_mask
+    rate = init_dict.get("sample_rate_for_init")
+    if rate is not None:
+        # Bernoulli keep with p = 1/rate (reference utils.py:618-620) —
+        # applied to xyz, rgb AND the validity mask together.
+        rng = np.random.default_rng(seed)
+        keep = rng.random(xyz_np.shape[0]) < (1.0 / rate)
+        keep_j = jnp.asarray(keep)
+        # Keep shapes static: drop points via the mask instead of gathering
+        # a dynamic subset.
+        in_mask = keep_j if point_mask is None else (point_mask & keep_j)
+
+    t1, r1 = trim_by_loss(
+        img, in_xyz, in_rgb, trans, rot, num_intermediate, in_mask
+    )
+    t2, r2 = trim_by_hist(
+        img, in_xyz, in_rgb, t1, r1, num_input,
+        init_dict["num_split_h"], init_dict["num_split_w"], in_mask,
+    )
+    return np.asarray(t2), np.asarray(r2)

@@ -92,4 +92,9 @@ def sampling_loss(
     per_point = safe_norm(sampled - rgb)
     count = jnp.sum(valid)
     total = jnp.sum(per_point * valid)
-    return total / jnp.maximum(count, 1)
+    # A pose that samples nothing scores +inf so candidate ranking discards
+    # it (the reference produces NaN via a mean over an empty selection and
+    # relies on NaN sorting last; +inf is equivalent for ranking and safe
+    # for the plateau scheduler).
+    mean = total / jnp.maximum(count, 1)
+    return jnp.where(count > 0, mean, jnp.inf)
