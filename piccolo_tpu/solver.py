@@ -53,7 +53,8 @@ def _descend_single(
     lr: float,
     patience: int,
     factor: float,
-) -> Tuple[Pose, jnp.ndarray, jnp.ndarray]:
+    trajectory: bool = False,
+):
     params = Pose(t=t0, yaw=ypr0[0], pitch=ypr0[1], roll=ypr0[2])
     state = init_adam_plateau(params, lr)
 
@@ -67,16 +68,21 @@ def _descend_single(
             params, grads, state, loss, patience, factor
         )
         params = params._replace(t=jnp.clip(params.t, lo, hi))
-        return (params, state), loss
+        ys = (loss, params) if trajectory else loss
+        return (params, state), ys
 
-    (params, state), losses = jax.lax.scan(
+    (params, state), ys = jax.lax.scan(
         step, (params, state), None, length=num_iter
     )
-    return params, losses[-1], state.lr
+    if trajectory:
+        losses, traj = ys
+        return params, losses[-1], state.lr, traj
+    return params, ys[-1], state.lr, None
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_iter", "lr", "patience", "factor", "masked")
+    jax.jit,
+    static_argnames=("num_iter", "lr", "patience", "factor", "masked", "trajectory"),
 )
 def descend(
     img: jnp.ndarray,
@@ -93,7 +99,8 @@ def descend(
     patience: int = 5,
     factor: float = 0.9,
     masked: bool = False,
-) -> SolveResult:
+    trajectory: bool = False,
+):
     """Descend all candidates in parallel.
 
     Args:
@@ -113,13 +120,17 @@ def descend(
 
     def one(t0, y0):
         return _descend_single(
-            img, xyz, rgb, t0, y0, lo, hi, pm, num_iter, lr, patience, factor
+            img, xyz, rgb, t0, y0, lo, hi, pm,
+            num_iter, lr, patience, factor, trajectory,
         )
 
-    params, losses, lrs = jax.vmap(one)(trans0, ypr0)
+    params, losses, lrs, traj = jax.vmap(one)(trans0, ypr0)
     ypr = jnp.stack([params.yaw, params.pitch, params.roll], axis=-1)
     rot = pose_rotation(params)
-    return SolveResult(t=params.t, ypr=ypr, rot=rot, loss=losses, lr=lrs)
+    result = SolveResult(t=params.t, ypr=ypr, rot=rot, loss=losses, lr=lrs)
+    if trajectory:
+        return result, traj  # traj: Pose pytree with leading (B, num_iter)
+    return result
 
 
 def solve(

@@ -1,0 +1,5 @@
+"""Utilities: profiling, timing, debug switches."""
+
+from .profiling import Timer, enable_nan_debug, maybe_trace
+
+__all__ = ["Timer", "enable_nan_debug", "maybe_trace"]

@@ -1,0 +1,46 @@
+"""Profiling / tracing hooks.
+
+The reference has no profiling subsystem beyond wall-clock pairs and tqdm
+(SURVEY §5).  Here: per-query wall timing stays in the harness CSV (parity),
+plus an optional ``jax.profiler.trace`` context activated by the
+``profile_dir`` config key, and a NaN-debug switch standing in for the
+reference's always-on ``torch.autograd.set_detect_anomaly``.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Optional
+
+import jax
+
+__all__ = ["Timer", "maybe_trace", "enable_nan_debug"]
+
+
+class Timer:
+    """Context-manager wall timer: ``with Timer() as t: ...; t.elapsed``."""
+
+    def __enter__(self):
+        self._start = time.time()
+        return self
+
+    def __exit__(self, *exc):
+        self.elapsed = time.time() - self._start
+        return False
+
+
+@contextlib.contextmanager
+def maybe_trace(profile_dir: Optional[str]):
+    """jax.profiler trace when a directory is configured, no-op otherwise."""
+    if profile_dir:
+        with jax.profiler.trace(profile_dir):
+            yield
+    else:
+        yield
+
+
+def enable_nan_debug(enable: bool = True) -> None:
+    """Raise on NaNs produced inside jitted code (debug runs only — it
+    forces per-op checking and disables some fusions)."""
+    jax.config.update("jax_debug_nans", enable)

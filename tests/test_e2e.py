@@ -1,0 +1,127 @@
+"""End-to-end CLI test: synthetic dataset -> full harness -> CSV artifacts.
+
+Drives ``piccolo_tpu.main`` exactly as a user would, on generated
+Stanford-layout and OmniScenes-layout data (render-then-recover oracle at
+the whole-framework level).
+"""
+
+import csv
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.join(os.path.dirname(__file__), "..")
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("synth_data"))
+    from scripts.make_synth_dataset import main as gen
+
+    gen([
+        "--root", root, "--rooms", "1", "--queries", "2",
+        "--points", "12000", "--height", "128",
+    ])
+    return root
+
+
+def _write_cfg(path, dataset, root, extra=""):
+    body = f"""
+[Default]
+dataset = {dataset}
+data_root = {root}
+sample_rate = 1
+out_of_room_quantile = 0.05
+num_trans = 12
+xy_only = True
+yaw_only = True
+z_prior = None
+num_yaw = 4
+criterion = loss_histogram
+num_intermediate = 8
+num_input = 4
+num_split_h = 4
+num_split_w = 4
+lr = 0.1
+num_iter = 60
+patience = 5
+factor = 0.8
+visualize = False
+{extra}
+"""
+    with open(path, "w") as f:
+        f.write(body)
+    return path
+
+
+def _read_results(path):
+    with open(path, newline="") as f:
+        rows = list(csv.reader(f))
+    return rows[0], rows[1:]
+
+
+def test_cli_stanford_end_to_end(synth_root, tmp_path):
+    from piccolo_tpu.main import main
+
+    cfg = _write_cfg(str(tmp_path / "cfg.ini"), "Stanford2D-3D-S", synth_root)
+    log = str(tmp_path / "log")
+    acc = main(["--config", cfg, "--log", log, "--no-tensorboard"])
+
+    header, rows = _read_results(os.path.join(log, "stanford_results.csv"))
+    assert header[0] == "area_num" and "t_error (m)" in header
+    assert len(rows) == 2
+    t_errs = [float(r[7]) for r in rows if r[4] == "0"]
+    assert len(t_errs) == 2
+    assert acc == 1.0, rows
+    # effective config persisted
+    assert os.path.exists(os.path.join(log, "config.ini"))
+    # result images dumped
+    assert os.path.isdir(os.path.join(log, "results", "area_1"))
+
+
+def test_cli_omniscenes_end_to_end(synth_root, tmp_path):
+    from piccolo_tpu.main import main
+
+    cfg = _write_cfg(
+        str(tmp_path / "cfg.ini"), "OmniScenes", synth_root,
+        extra="match_color = False\ninit_downsample_h = 2\ninit_downsample_w = 2\n",
+    )
+    log = str(tmp_path / "log_omni")
+    acc = main(["--config", cfg, "--log", log, "--no-tensorboard"])
+
+    header, rows = _read_results(os.path.join(log, "omniscenes_results.csv"))
+    assert header[0] == "pano_name"
+    assert len(rows) == 2
+    # OmniScenes threshold is strict (0.1 m / 5 deg); on a tiny 128px synth
+    # scene just require sub-0.5 m localization for every query.
+    for r in rows:
+        assert r[3] == "0"
+        assert float(r[6]) < 0.5, rows
+
+
+def test_cli_override_and_resume(synth_root, tmp_path):
+    from piccolo_tpu.main import main
+
+    cfg = _write_cfg(str(tmp_path / "cfg.ini"), "Stanford2D-3D-S", synth_root)
+    log = str(tmp_path / "log2")
+    main([
+        "--config", cfg, "--log", log, "--no-tensorboard",
+        "--override", "num_iter=30,room_name=office_1",
+    ])
+    # saved effective config reflects the override
+    from piccolo_tpu.config import parse_ini
+
+    eff = parse_ini(os.path.join(log, "config.ini"))
+    assert eff.num_iter == 30
+
+    _, rows1 = _read_results(os.path.join(log, "stanford_results.csv"))
+    # resume: second run skips all already-done queries, keeps the rows
+    main([
+        "--config", cfg, "--log", log, "--no-tensorboard",
+        "--override", "num_iter=30,resume=True",
+    ])
+    _, rows2 = _read_results(os.path.join(log, "stanford_results.csv"))
+    assert len(rows2) == len(rows1)
