@@ -43,6 +43,12 @@ def main(argv=None) -> float:
     cfg = parse_ini(args.config)
     cfg = apply_overrides(cfg, args.override)
 
+    from .config import cfg_get
+    from .utils import enable_compilation_cache
+
+    if cfg_get(cfg, "compilation_cache", True):
+        enable_compilation_cache(cfg_get(cfg, "compilation_cache_dir"))
+
     os.makedirs(args.log, exist_ok=True)
     save_config(cfg, args.log)
 

@@ -1,0 +1,226 @@
+"""Multi-chip execution: candidate x point sharding over a device mesh.
+
+The reference is strictly single-GPU (SURVEY §2.3: no torch.distributed, no
+NCCL — its only parallelism is intra-device candidate batching).  The
+TPU-native scaling story is SPMD over an ICI mesh with two orthogonal axes:
+
+  * ``cand`` — pose candidates are embarrassingly parallel until the final
+    argmin; shard the candidate batch.
+  * ``point`` — the sampling loss is a mean over points; shard the cloud and
+    reconstruct the global mean with one ``psum`` per loss evaluation (the
+    structural cousin of sequence parallelism for this workload, SURVEY §5).
+
+The full descent (lax.scan over iterations, per-candidate Adam state) runs
+INSIDE ``shard_map``: parameters for a candidate live replicated along the
+``point`` axis and stay in sync because every point-group member sees the
+same psum'd loss/gradients.  The only cross-device traffic is the per-step
+loss psum (bytes per candidate) riding ICI — there is no gradient
+all-reduce of any model state.
+
+Scene-level data parallelism (multi-host sweep over rooms) needs no
+collectives at all: shard query files across hosts and concatenate CSVs.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..loss import Pose, pose_rotation
+from ..ops.projection import safe_norm, spherical_project
+from ..ops.sampling import bilinear_sample
+from ..optim import adam_plateau_step, init_adam_plateau
+from ..solver import SolveResult
+
+try:  # jax >= 0.4.31 exposes shard_map at top level
+    from jax import shard_map as _shard_map_mod
+
+    shard_map = _shard_map_mod.shard_map if hasattr(_shard_map_mod, "shard_map") else _shard_map_mod
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+__all__ = ["make_mesh", "solve_sharded", "shard_map"]
+
+
+def make_mesh(
+    n_cand: Optional[int] = None,
+    n_point: Optional[int] = None,
+    devices=None,
+) -> Mesh:
+    """Build a ('cand', 'point') mesh over the available devices.
+
+    Default factorization favors the point axis (clouds run to millions of
+    points; candidate batches are small — reference num_input=6): at most
+    2-way candidates, everything else on points.
+    """
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    if n_cand is None or n_point is None:
+        n_cand = 2 if (n >= 4 and n % 2 == 0) else 1
+        n_point = n // n_cand
+    assert n_cand * n_point == n, (n_cand, n_point, n)
+    return Mesh(devices.reshape(n_cand, n_point), axis_names=("cand", "point"))
+
+
+def _point_sharded_loss(pose: Pose, xyz, rgb, img, point_mask):
+    """Sampling loss with the point dimension sharded along 'point'.
+
+    Local partial (sum, count) + one psum reconstruct the exact global mean
+    of piccolo_tpu.loss.sampling_loss.
+    """
+    R = pose_rotation(pose)
+    cam = jnp.einsum("nj,kj->nk", xyz - pose.t, R, precision="highest")
+    coords = spherical_project(cam)
+    sampled = bilinear_sample(img, coords)
+    valid = jnp.sum(sampled == 0.0, axis=-1) != 3
+    if point_mask is not None:
+        valid = valid & point_mask
+    per_point = safe_norm(sampled - rgb)
+    total = jax.lax.psum(jnp.sum(per_point * valid), "point")
+    count = jax.lax.psum(jnp.sum(valid), "point")
+    mean = total / jnp.maximum(count, 1)
+    return jnp.where(count > 0, mean, jnp.inf)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "num_iter", "lr", "patience", "factor"),
+)
+def _solve_sharded_jit(
+    img, xyz, rgb, trans0, ypr0, lo, hi, point_mask,
+    *, mesh, num_iter, lr, patience, factor,
+):
+    def local_descent(img_l, xyz_l, rgb_l, mask_l, t0_l, ypr0_l, lo_l, hi_l):
+        def one(t0, y0):
+            params = Pose(t=t0, yaw=y0[0], pitch=y0[1], roll=y0[2])
+            state = init_adam_plateau(params, lr)
+            # The scheduler scalars start as replicated constants but become
+            # 'cand'-varying after the first step (the loss differs per
+            # candidate); mark them varying up front so the scan carry type
+            # is stable under shard_map's replication tracking.
+            vary = lambda x: jax.lax.pcast(x, ("cand",), to="varying")
+            state = state._replace(
+                lr=vary(state.lr), best=vary(state.best), num_bad=vary(state.num_bad)
+            )
+            vg = jax.value_and_grad(
+                lambda p: _point_sharded_loss(p, xyz_l, rgb_l, img_l, mask_l)
+            )
+
+            def step(carry, _):
+                params, state = carry
+                loss, grads = vg(params)
+                params, state = adam_plateau_step(
+                    params, grads, state, loss, patience, factor
+                )
+                params = params._replace(t=jnp.clip(params.t, lo_l, hi_l))
+                return (params, state), loss
+
+            (params, state), losses = jax.lax.scan(
+                step, (params, state), None, length=num_iter
+            )
+            return params, losses[-1], state.lr
+
+        params, losses, lrs = jax.vmap(one)(t0_l, ypr0_l)
+        ypr = jnp.stack([params.yaw, params.pitch, params.roll], axis=-1)
+        return params.t, ypr, losses, lrs
+
+    t, ypr, losses, lrs = shard_map(
+        local_descent,
+        mesh=mesh,
+        in_specs=(
+            P(),  # img replicated
+            P("point", None),  # xyz
+            P("point", None),  # rgb
+            P("point"),  # validity mask
+            P("cand", None),  # candidate translations
+            P("cand", None),  # candidate rotations
+            P(),  # lo
+            P(),  # hi
+        ),
+        out_specs=(P("cand", None), P("cand", None), P("cand"), P("cand")),
+    )(img, xyz, rgb, point_mask, trans0, ypr0, lo, hi)
+
+    from ..ops.rotation import rot_from_ypr
+
+    rot = rot_from_ypr(ypr)
+    return SolveResult(t=t, ypr=ypr, rot=rot, loss=losses, lr=lrs)
+
+
+def _pad_axis0(a: np.ndarray, multiple: int) -> Tuple[np.ndarray, int]:
+    n = a.shape[0]
+    pad = (-n) % multiple
+    if pad:
+        a = np.concatenate([a, np.broadcast_to(a[:1], (pad,) + a.shape[1:])])
+    return a, n
+
+
+def solve_sharded(
+    mesh: Mesh,
+    img,
+    xyz,
+    rgb,
+    trans0,
+    ypr0,
+    lo,
+    hi,
+    point_mask=None,
+    *,
+    num_iter: int = 100,
+    lr: float = 0.1,
+    patience: int = 5,
+    factor: float = 0.9,
+):
+    """Multi-chip multi-start descent; same contract as solver.solve.
+
+    Candidates are padded to a multiple of the 'cand' axis, points (with the
+    validity mask) to a multiple of the 'point' axis; the padding never
+    influences results (padded candidates are clones whose losses are
+    discarded; padded points are mask=False).
+
+    Returns (t, R, loss, SolveResult-over-original-candidates).
+    """
+    n_cand = mesh.shape["cand"]
+    n_point = mesh.shape["point"]
+
+    trans0, b = _pad_axis0(np.asarray(trans0, np.float32), n_cand)
+    ypr0, _ = _pad_axis0(np.asarray(ypr0, np.float32), n_cand)
+
+    xyz = np.asarray(xyz, np.float32)
+    rgb = np.asarray(rgb, np.float32)
+    n = xyz.shape[0]
+    if point_mask is None:
+        point_mask = np.ones(n, bool)
+    else:
+        point_mask = np.asarray(point_mask, bool)
+    pad = (-n) % n_point
+    if pad:
+        xyz = np.concatenate([xyz, np.zeros((pad, 3), np.float32)])
+        rgb = np.concatenate([rgb, np.zeros((pad, 3), np.float32)])
+        point_mask = np.concatenate([point_mask, np.zeros(pad, bool)])
+
+    # Place inputs on the mesh so jit doesn't re-lay them out per call.
+    dev = lambda spec: NamedSharding(mesh, spec)
+    img = jax.device_put(jnp.asarray(img, jnp.float32), dev(P()))
+    xyz = jax.device_put(xyz, dev(P("point", None)))
+    rgb = jax.device_put(rgb, dev(P("point", None)))
+    point_mask = jax.device_put(point_mask, dev(P("point")))
+    trans0 = jax.device_put(trans0, dev(P("cand", None)))
+    ypr0 = jax.device_put(ypr0, dev(P("cand", None)))
+    lo = jax.device_put(jnp.asarray(lo, jnp.float32), dev(P()))
+    hi = jax.device_put(jnp.asarray(hi, jnp.float32), dev(P()))
+
+    res = _solve_sharded_jit(
+        img, xyz, rgb, trans0, ypr0, lo, hi, point_mask,
+        mesh=mesh, num_iter=num_iter, lr=lr, patience=patience, factor=factor,
+    )
+    res = SolveResult(
+        t=res.t[:b], ypr=res.ypr[:b], rot=res.rot[:b],
+        loss=res.loss[:b], lr=res.lr[:b],
+    )
+    k = int(jnp.argmin(res.loss))
+    return res.t[k], res.rot[k], res.loss[k], res

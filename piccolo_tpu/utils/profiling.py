@@ -15,7 +15,23 @@ from typing import Optional
 
 import jax
 
-__all__ = ["Timer", "maybe_trace", "enable_nan_debug"]
+__all__ = ["Timer", "maybe_trace", "enable_nan_debug", "enable_compilation_cache"]
+
+
+def enable_compilation_cache(path: Optional[str] = None) -> None:
+    """Persist XLA compilations across processes.
+
+    First-compile of the init+descent pipeline costs minutes; the cache
+    brings warm-start runs down to seconds. Safe to call repeatedly.
+    """
+    import os
+
+    path = path or os.path.join(
+        os.path.expanduser("~"), ".cache", "piccolo_tpu", "xla"
+    )
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 class Timer:
