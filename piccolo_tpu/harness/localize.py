@@ -188,6 +188,20 @@ def _gif_frames(traj, k, xyz, rgb, mask, resolution) -> list:
     return frames
 
 
+def _shard_queries(cfg, filenames):
+    """Scene-level data parallelism across hosts (DCN axis, SURVEY §2.3).
+
+    Queries are independent, so multi-host scale-out needs no collectives:
+    run one process per host with ``query_shards = N`` /
+    ``query_shard_index = i`` and concatenate the CSVs afterwards.
+    """
+    n = cfg_get(cfg, "query_shards", 1)
+    i = cfg_get(cfg, "query_shard_index", 0)
+    if n > 1:
+        return filenames[i::n]
+    return filenames
+
+
 def _seed_everything():
     # Host-side reproducibility parity with the reference's fixed seeds
     # (localize.py:94-101); device math is deterministic under jit already.
@@ -246,6 +260,7 @@ def localize_stanford(cfg, writer=None, log_dir: str = "./log") -> float:
         )
     if room_name is not None:
         filenames = [f for f in filenames if room_name in f]
+    filenames = _shard_queries(cfg, filenames)
 
     tracker = AccuracyTracker(STANFORD_T_THRESH, STANFORD_R_THRESH_DEG)
     summaries = ScalarSummaries(writer)
@@ -415,6 +430,7 @@ def localize_omniscenes(cfg, writer=None, log_dir: str = "./log") -> float:
         filenames = [f for f in filenames if any(r in f for r in rooms)]
     if scene_number is not None:
         filenames = [f for f in filenames if f"scene_{scene_number}" in f]
+    filenames = _shard_queries(cfg, filenames)
 
     tracker = AccuracyTracker(OMNISCENES_T_THRESH, OMNISCENES_R_THRESH_DEG)
     summaries = ScalarSummaries(writer)

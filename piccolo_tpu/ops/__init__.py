@@ -8,9 +8,10 @@ from .histogram import (
 )
 from .pano import render_pano
 from .projection import safe_norm, spherical_project
-from .quantile import cloud_bounds, order_quantile, out_of_room
+from .quantile import cloud_bounds, order_quantile, out_of_room, pose_search_bounds
 from .rotation import rot_from_ypr, rot_x, rot_y, rot_z
 from .sampling import bilinear_sample
+from .warp import warp_from_img
 
 __all__ = [
     "bin_ids",
@@ -28,4 +29,6 @@ __all__ = [
     "rot_y",
     "rot_z",
     "bilinear_sample",
+    "pose_search_bounds",
+    "warp_from_img",
 ]

@@ -14,7 +14,7 @@ from typing import Tuple
 
 import jax.numpy as jnp
 
-__all__ = ["order_quantile", "cloud_bounds", "out_of_room"]
+__all__ = ["order_quantile", "cloud_bounds", "out_of_room", "pose_search_bounds"]
 
 
 def order_quantile(x: jnp.ndarray, q: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -39,6 +39,35 @@ def cloud_bounds(xyz: jnp.ndarray, q: float = 0.05) -> Tuple[jnp.ndarray, jnp.nd
     lo = s[int(n * q)]
     hi = s[int(n * (1 - q))]
     return lo, hi
+
+
+def pose_search_bounds(
+    xyz: jnp.ndarray,
+    out_quantile: float = 0.05,
+    yaw=(0.0, 6.283185307179586),
+    pitch=(0.0, 3.141592653589793),
+    roll=(0.0, 6.283185307179586),
+    as_slices: bool = False,
+):
+    """6-DoF search bounds for external optimizers.
+
+    Equivalent of the reference's ``get_bound`` (utils.py:257-279), which
+    fed a bayesian-optimization / brute-force search: translation bounds
+    from the cloud's order-quantile box plus configurable angle ranges.
+    Returns a dict of (lo, hi) pairs, or slices when ``as_slices``.
+    """
+    lo, hi = cloud_bounds(xyz, out_quantile)
+    lo = [float(v) for v in lo]
+    hi = [float(v) for v in hi]
+    if as_slices:
+        return (
+            slice(lo[0], hi[0]), slice(lo[1], hi[1]), slice(lo[2], hi[2]),
+            slice(*yaw), slice(*pitch), slice(*roll),
+        )
+    return {
+        "x": (lo[0], hi[0]), "y": (lo[1], hi[1]), "z": (lo[2], hi[2]),
+        "yaw": tuple(yaw), "pitch": tuple(pitch), "roll": tuple(roll),
+    }
 
 
 def out_of_room(xyz: jnp.ndarray, trans: jnp.ndarray, q: float = 0.05) -> bool:

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from .loss import Pose, pose_rotation, sampling_loss
 from .optim import adam_plateau_step, init_adam_plateau
 
-__all__ = ["SolveResult", "solve", "descend"]
+__all__ = ["SolveResult", "solve", "descend", "evaluate_poses"]
 
 
 class SolveResult(NamedTuple):
@@ -131,6 +131,28 @@ def descend(
     if trajectory:
         return result, traj  # traj: Pose pytree with leading (B, num_iter)
     return result
+
+
+@functools.partial(jax.jit, static_argnames=("masked",))
+def evaluate_poses(
+    img, xyz, rgb, trans, ypr, point_mask=None, *, masked: bool = False
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One-shot loss evaluation of candidate poses (no descent).
+
+    The working equivalent of the reference's standalone ``sampling_loss``
+    evaluator API (omniloc.py:105-157 — imported by its harness but dead);
+    returns (losses (B,), rotations (B, 3, 3)).
+    """
+    pm = point_mask if masked else None
+
+    def one(t, y):
+        pose = Pose(t=t, yaw=y[0], pitch=y[1], roll=y[2])
+        return sampling_loss(pose, xyz, rgb, img, pm)
+
+    losses = jax.vmap(one)(trans, ypr)
+    from .ops.rotation import rot_from_ypr
+
+    return losses, rot_from_ypr(ypr)
 
 
 def solve(
