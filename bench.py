@@ -17,6 +17,7 @@ BASELINE.md for the measurement and for the reference's GPU-era context.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -33,7 +34,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from piccolo_tpu.init import default_init_dict, make_input
+    from piccolo_tpu.init import default_init_dict
+    from piccolo_tpu.init.candidates import generate_rot_points, generate_trans_points
+    from piccolo_tpu.init.refine import trim_by_hist, trim_by_loss
+    from piccolo_tpu.pipeline import localize_query
     from piccolo_tpu.solver import descend
     from piccolo_tpu.testing import make_room, random_pose_inside, render_at
     from piccolo_tpu.utils import enable_compilation_cache
@@ -51,27 +55,54 @@ def main() -> None:
         xy_only=True, num_trans=50, yaw_only=True, num_yaw=8,
         z_prior=None, num_split_h=4, num_split_w=4,
     )
+    # once-per-room work: candidate grids (host) shipped to device
+    trans_grid = generate_trans_points(xyz, init_dict)
+    rot_grid = generate_rot_points(init_dict)
+    pad = (-trans_grid.shape[0]) % 8
+    trans_valid = np.ones(trans_grid.shape[0] + pad, bool)
+    if pad:
+        trans_valid[-pad:] = False
+        trans_grid = np.concatenate([trans_grid, np.zeros((pad, 3), np.float32)])
+    trans_grid = jnp.asarray(trans_grid)
+    rot_grid = jnp.asarray(rot_grid)
+    trans_valid = jnp.asarray(trans_valid)
+    lo_d, hi_d = jnp.asarray(lo), jnp.asarray(hi)
+
+    # The fused whole-query program is the fast path (one dispatch, packed
+    # one-gather sampling); --staged runs the three-stage path instead.
+    use_fused = "--staged" not in sys.argv
 
     def one_query(seed: int):
         q = np.random.default_rng(seed)
         gt_t, gt_ypr = random_pose_inside(q, size)
         img_main = render_at(xyz, rgb, gt_t, gt_ypr, (512, 1024))
         img_init = img_main[::2, ::2]  # init downsample 2 (reference default)
+        np.asarray(img_init[0, 0])  # force the GT render to finish pre-timer
         t0 = time.time()
-        trans0, rot0 = make_input(
-            img_init, xyz_d, rgb_d, 6, init_dict, "loss_histogram", 20,
-            point_mask=mask_d,
-        )
-        res = descend(
-            img_main, xyz_d, rgb_d,
-            jnp.asarray(trans0), jnp.asarray(rot0),
-            jnp.asarray(lo), jnp.asarray(hi), mask_d,
-            num_iter=100, lr=0.1, patience=5, factor=0.8, masked=True,
-        )
-        k = int(jnp.argmin(res.loss))
-        jax.block_until_ready(res.t)
+        if use_fused:
+            res = localize_query(
+                img_init, img_main, xyz_d, rgb_d, trans_grid, rot_grid,
+                trans_valid, lo_d, hi_d, mask_d,
+                num_intermediate=20, num_input=6, num_iter=100,
+                lr=0.1, patience=5, factor=0.8, masked=True,
+            )
+            t = np.asarray(res.t)
+        else:
+            t1, r1 = trim_by_loss(
+                img_init, xyz_d, rgb_d,
+                trans_grid, rot_grid, 20, mask_d, valid=trans_valid,
+            )
+            t2, r2 = trim_by_hist(
+                img_init, xyz_d, rgb_d, t1, r1, 6, 4, 4, mask_d
+            )
+            res = descend(
+                img_main, xyz_d, rgb_d, t2, r2, lo_d, hi_d, mask_d,
+                num_iter=100, lr=0.1, patience=5, factor=0.8, masked=True,
+            )
+            k = int(jnp.argmin(res.loss))
+            t = np.asarray(res.t[k])
         elapsed = time.time() - t0
-        t_err = float(np.linalg.norm(np.asarray(res.t[k]) - gt_t))
+        t_err = float(np.linalg.norm(t - gt_t))
         return elapsed, t_err
 
     # warm-up query compiles everything

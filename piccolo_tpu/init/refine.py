@@ -25,8 +25,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..loss import Pose, sampling_loss
+from ..loss import Pose, sampling_loss_packed
 from ..ops.histogram import block_histograms
+from ..ops.sampling import pack_bilinear_blocks
 from ..ops.pano import render_pano
 from ..ops.rotation import rot_from_ypr
 from .candidates import generate_rot_points, generate_trans_points
@@ -49,11 +50,13 @@ def _score_pairs(
     img, xyz, rgb, pair_t, pair_ypr, point_mask=None, *, chunk=64, masked=False
 ):
     pm = point_mask if masked else None
+    H, W, _ = img.shape
+    blocks = pack_bilinear_blocks(img)  # one gather per sample (see sampling.py)
 
     def one(args):
         t, ypr = args
         pose = Pose(t=t, yaw=ypr[0], pitch=ypr[1], roll=ypr[2])
-        return sampling_loss(pose, xyz, rgb, img, pm)
+        return sampling_loss_packed(pose, xyz, rgb, blocks, H, W, pm)
 
     k = pair_t.shape[0]
     tc = pair_t.reshape(k // chunk, chunk, 3)
@@ -70,12 +73,15 @@ def score_pose_grid(
     rot: jnp.ndarray,
     point_mask: Optional[jnp.ndarray] = None,
     chunk: int = 64,
+    valid: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Loss table over the trans x rot grid, flattened trans-major.
 
     Equivalent to the reference's loss_table (utils.py:481-499) but computed
     as one on-device program: ~1.8k full-cloud projections collapse from a
-    Python loop into chunked vmap.
+    Python loop into chunked vmap.  ``valid`` optionally marks padding rows
+    of ``trans`` whose scores are forced to +inf (static-shape reuse across
+    rooms).
     """
     T, R = trans.shape[0], rot.shape[0]
     pair_t = jnp.repeat(trans, R, axis=0)
@@ -85,12 +91,14 @@ def score_pose_grid(
     scores = _score_pairs(
         img, xyz, rgb, pair_t, pair_r, point_mask,
         chunk=chunk, masked=point_mask is not None,
-    )
-    return scores[:n]
+    )[:n]
+    if valid is not None:
+        scores = jnp.where(jnp.repeat(valid, R), scores, jnp.inf)
+    return scores
 
 
 def trim_by_loss(
-    img, xyz, rgb, trans, rot, num_keep: int, point_mask=None
+    img, xyz, rgb, trans, rot, num_keep: int, point_mask=None, valid=None
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Keep the num_keep (trans, rot) pairs with lowest sampling loss.
 
@@ -98,7 +106,7 @@ def trim_by_loss(
     the table, pair recovered by divmod over len(rot).
     """
     R = rot.shape[0]
-    scores = score_pose_grid(img, xyz, rgb, trans, rot, point_mask)
+    scores = score_pose_grid(img, xyz, rgb, trans, rot, point_mask, valid=valid)
     k = min(num_keep, scores.shape[0])
     idx = jnp.argsort(scores)[:k]
     return jnp.take(trans, idx // R, axis=0), jnp.take(rot, idx % R, axis=0)

@@ -25,9 +25,15 @@ import jax.numpy as jnp
 
 from .ops.projection import safe_norm, spherical_project
 from .ops.rotation import rot_from_ypr
-from .ops.sampling import bilinear_sample
+from .ops.sampling import bilinear_sample, bilinear_sample_packed
 
-__all__ = ["Pose", "sampling_loss", "transform_cloud", "pose_rotation"]
+__all__ = [
+    "Pose",
+    "sampling_loss",
+    "sampling_loss_packed",
+    "transform_cloud",
+    "pose_rotation",
+]
 
 
 class Pose(NamedTuple):
@@ -82,7 +88,32 @@ def sampling_loss(
     cam = transform_cloud(pose, xyz)
     coords = spherical_project(cam)
     sampled = bilinear_sample(img, coords)
+    return _masked_color_loss(sampled, rgb, point_mask)
 
+
+def sampling_loss_packed(
+    pose: Pose,
+    xyz: jnp.ndarray,
+    rgb: jnp.ndarray,
+    blocks: jnp.ndarray,
+    height: int,
+    width: int,
+    point_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """sampling_loss on a packed-neighbourhood image table.
+
+    Bit-identical to :func:`sampling_loss` on the image that produced
+    ``blocks`` (ops.sampling.pack_bilinear_blocks) with one gather per point
+    instead of four — the preferred form inside iteration loops where the
+    image is constant.
+    """
+    cam = transform_cloud(pose, xyz)
+    coords = spherical_project(cam)
+    sampled = bilinear_sample_packed(blocks, height, width, coords)
+    return _masked_color_loss(sampled, rgb, point_mask)
+
+
+def _masked_color_loss(sampled, rgb, point_mask):
     # Reference masks points that sampled pure black (omniloc.py:198):
     # sum(sample == 0, -1) != 3.
     valid = jnp.sum(sampled == 0.0, axis=-1) != 3

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["bilinear_sample"]
+__all__ = ["bilinear_sample", "pack_bilinear_blocks", "bilinear_sample_packed"]
 
 
 def bilinear_sample(
@@ -76,3 +76,64 @@ def bilinear_sample(
         + tap(x1, y1, wx1 * wy1)
     )
     return out
+
+
+def pack_bilinear_blocks(img: jnp.ndarray) -> jnp.ndarray:
+    """Precompute the 2x2 texel neighbourhoods for one-gather sampling.
+
+    TPU gathers are op-bound, not byte-bound: four row gathers per sample
+    (one per bilinear tap) cost ~4x one gather of a wider row.  This packs
+    every (y0, x0) anchor's four taps into a single 12-float row of a
+    zero-padded table, so :func:`bilinear_sample_packed` needs exactly ONE
+    gather per sample while reproducing grid_sample's zeros padding exactly
+    (out-of-image taps read the zero border).
+
+    Args:
+      img: (H, W, 3) image.
+    Returns:
+      ((H+1)*(W+1), 12) table; row r = (y0+1)*(W+1) + (x0+1) holds
+      [tex(y0,x0), tex(y0,x0+1), tex(y0+1,x0), tex(y0+1,x0+1)] channels,
+      with y0 in [-1, H-1], x0 in [-1, W-1].
+    """
+    H, W, C = img.shape
+    P = jnp.pad(img, ((1, 1), (1, 1), (0, 0)))
+    blocks = jnp.concatenate(
+        [P[:-1, :-1], P[:-1, 1:], P[1:, :-1], P[1:, 1:]], axis=-1
+    )  # (H+1, W+1, 4C)
+    return blocks.reshape((H + 1) * (W + 1), 4 * C)
+
+
+def bilinear_sample_packed(
+    blocks: jnp.ndarray,
+    height: int,
+    width: int,
+    coords: jnp.ndarray,
+    clip: bool = True,
+) -> jnp.ndarray:
+    """Sample with one gather per point from a packed-neighbourhood table.
+
+    Exactly equivalent to :func:`bilinear_sample` on the image that produced
+    ``blocks`` (verified in tests/test_sampling.py), ~4x fewer gather ops.
+    """
+    H, W = height, width
+    if clip:
+        coords = jnp.clip(coords, -0.99, 0.99)
+    x = ((coords[..., 0] + 1.0) * W - 1.0) / 2.0
+    y = ((coords[..., 1] + 1.0) * H - 1.0) / 2.0
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    # clipped coords guarantee x0 in [-1, W-1], y0 in [-1, H-1]
+    row = (y0f.astype(jnp.int32) + 1) * (W + 1) + (x0f.astype(jnp.int32) + 1)
+    wx1 = x - x0f
+    wx0 = 1.0 - wx1
+    wy1 = y - y0f
+    wy0 = 1.0 - wy1
+
+    g = jnp.take(blocks, row, axis=0)  # (..., 4C)
+    C = blocks.shape[-1] // 4
+    return (
+        g[..., 0:C] * (wx0 * wy0)[..., None]
+        + g[..., C : 2 * C] * (wx1 * wy0)[..., None]
+        + g[..., 2 * C : 3 * C] * (wx0 * wy1)[..., None]
+        + g[..., 3 * C :] * (wx1 * wy1)[..., None]
+    )

@@ -33,7 +33,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..loss import Pose, pose_rotation
 from ..ops.projection import safe_norm, spherical_project
-from ..ops.sampling import bilinear_sample
+from ..ops.sampling import bilinear_sample_packed, pack_bilinear_blocks
 from ..optim import adam_plateau_step, init_adam_plateau
 from ..solver import SolveResult
 
@@ -67,7 +67,7 @@ def make_mesh(
     return Mesh(devices.reshape(n_cand, n_point), axis_names=("cand", "point"))
 
 
-def _point_sharded_loss(pose: Pose, xyz, rgb, img, point_mask):
+def _point_sharded_loss(pose: Pose, xyz, rgb, blocks, height, width, point_mask):
     """Sampling loss with the point dimension sharded along 'point'.
 
     Local partial (sum, count) + one psum reconstruct the exact global mean
@@ -76,7 +76,7 @@ def _point_sharded_loss(pose: Pose, xyz, rgb, img, point_mask):
     R = pose_rotation(pose)
     cam = jnp.einsum("nj,kj->nk", xyz - pose.t, R, precision="highest")
     coords = spherical_project(cam)
-    sampled = bilinear_sample(img, coords)
+    sampled = bilinear_sample_packed(blocks, height, width, coords)
     valid = jnp.sum(sampled == 0.0, axis=-1) != 3
     if point_mask is not None:
         valid = valid & point_mask
@@ -96,6 +96,9 @@ def _solve_sharded_jit(
     *, mesh, num_iter, lr, patience, factor,
 ):
     def local_descent(img_l, xyz_l, rgb_l, mask_l, t0_l, ypr0_l, lo_l, hi_l):
+        H, W, _ = img_l.shape
+        blocks_l = pack_bilinear_blocks(img_l)
+
         def one(t0, y0):
             params = Pose(t=t0, yaw=y0[0], pitch=y0[1], roll=y0[2])
             state = init_adam_plateau(params, lr)
@@ -108,7 +111,9 @@ def _solve_sharded_jit(
                 lr=vary(state.lr), best=vary(state.best), num_bad=vary(state.num_bad)
             )
             vg = jax.value_and_grad(
-                lambda p: _point_sharded_loss(p, xyz_l, rgb_l, img_l, mask_l)
+                lambda p: _point_sharded_loss(
+                    p, xyz_l, rgb_l, blocks_l, H, W, mask_l
+                )
             )
 
             def step(carry, _):

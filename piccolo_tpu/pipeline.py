@@ -1,0 +1,233 @@
+"""Whole-query fused pipeline: init scoring + trims + descent in ONE jit.
+
+The staged path (init.make_input then solver.descend) round-trips trimmed
+candidates through the host between stages.  Device compute per query is
+only ~4 ms; on deployments where dispatch/transfer latency dominates (remote
+TPU frontends) the round trips ARE the query time.  This module compiles the
+entire per-query pipeline into a single XLA program:
+
+    loss table over the trans x rot grid
+      -> top-num_intermediate (lax.top_k)
+      -> per-candidate pano render + blockwise histogram intersection
+      -> top-num_input
+      -> multi-start Adam/plateau descent (lax.scan + vmap)
+      -> winner argmin
+
+Only the query image goes up and the winner pose comes back.  Semantics are
+identical to the staged path (same ops, same selection rules) — verified in
+tests/test_pipeline.py.  One deliberate delta: ranking ties may resolve
+differently than argsort-based trimming (lax.top_k is stable too, so in
+practice selections match).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .init.refine import _HIST_BINS
+from .loss import Pose, sampling_loss_packed
+from .ops.histogram import block_histograms
+from .ops.pano import render_pano
+from .ops.rotation import rot_from_ypr
+from .ops.sampling import pack_bilinear_blocks
+from .optim import adam_plateau_step, init_adam_plateau
+
+__all__ = ["LocalizeResult", "localize_query", "localize_query_batch"]
+
+
+class LocalizeResult(NamedTuple):
+    t: jnp.ndarray  # (3,) winner translation
+    rot: jnp.ndarray  # (3, 3) winner rotation
+    loss: jnp.ndarray  # () winner loss
+    cand_t: jnp.ndarray  # (num_input, 3) final candidate translations
+    cand_ypr: jnp.ndarray  # (num_input, 3)
+    cand_loss: jnp.ndarray  # (num_input,)
+    start_t: jnp.ndarray  # (num_input, 3) selected starting translations
+    start_ypr: jnp.ndarray  # (num_input, 3)
+    winner: jnp.ndarray  # () int32 index into the candidates
+
+
+def _grid_scores(img, xyz, rgb, pair_t, pair_ypr, pair_valid, point_mask, chunk):
+    """Loss table over flattened (trans, rot) pairs; invalid pairs -> +inf."""
+    H, W, _ = img.shape
+    blocks = pack_bilinear_blocks(img)
+
+    def one(t, ypr, valid):
+        pose = Pose(t=t, yaw=ypr[0], pitch=ypr[1], roll=ypr[2])
+        s = sampling_loss_packed(pose, xyz, rgb, blocks, H, W, point_mask)
+        return jnp.where(valid, s, jnp.inf)
+
+    k = pair_t.shape[0]
+    tc = pair_t.reshape(k // chunk, chunk, 3)
+    yc = pair_ypr.reshape(k // chunk, chunk, 3)
+    vc = pair_valid.reshape(k // chunk, chunk)
+    scores = jax.lax.map(
+        lambda c: jax.vmap(one)(c[0], c[1], c[2]), (tc, yc, vc)
+    )
+    return scores.reshape(-1)
+
+
+def _hist_scores(img, xyz, rgb, trans, ypr, point_mask, sh, sw, chunk):
+    H, W, _ = img.shape
+    img255 = img * 255.0
+    img_mask = jnp.sum(img255 == 0.0, axis=-1) != 3
+    img_h, img_c = block_histograms(img255, img_mask, _HIST_BINS, sh, sw)
+    img_hn = img_h / jnp.maximum(img_c, 1e-12)[:, None]
+    row_ids = jnp.arange(sh * sw) // sw
+    middle = (row_ids >= 1) & (row_ids <= sh - 2)
+
+    def one(t, y):
+        R = rot_from_ypr(y)
+        cam = jnp.einsum("nj,kj->nk", xyz - t, R, precision="highest")
+        proj = render_pano(cam, rgb, (H, W), point_mask)
+        proj_mask = jnp.sum(proj == 0.0, axis=-1) != 3
+        ph, pc = block_histograms(proj, proj_mask & img_mask, _HIST_BINS, sh, sw)
+        phn = ph / jnp.maximum(pc, 1e-12)[:, None]
+        inter = jnp.minimum(phn, img_hn).sum(-1)
+        valid = (pc > 0) & (img_c > 0) & middle
+        return jnp.sum(inter * valid) / (sh * sw)
+
+    k = trans.shape[0]
+    tc = trans.reshape(k // chunk, chunk, 3)
+    yc = ypr.reshape(k // chunk, chunk, 3)
+    return jax.lax.map(lambda c: jax.vmap(one)(c[0], c[1]), (tc, yc)).reshape(-1)
+
+
+def _descend(img, xyz, rgb, t0s, ypr0s, lo, hi, point_mask,
+             num_iter, lr, patience, factor):
+    H, W, _ = img.shape
+    blocks = pack_bilinear_blocks(img)
+
+    def one(t0, y0):
+        params = Pose(t=t0, yaw=y0[0], pitch=y0[1], roll=y0[2])
+        state = init_adam_plateau(params, lr)
+        vg = jax.value_and_grad(
+            lambda p: sampling_loss_packed(p, xyz, rgb, blocks, H, W, point_mask)
+        )
+
+        def step(carry, _):
+            params, state = carry
+            loss, grads = vg(params)
+            params, state = adam_plateau_step(
+                params, grads, state, loss, patience, factor
+            )
+            params = params._replace(t=jnp.clip(params.t, lo, hi))
+            return (params, state), loss
+
+        (params, _), losses = jax.lax.scan(
+            step, (params, state), None, length=num_iter
+        )
+        return params, losses[-1]
+
+    return jax.vmap(one)(t0s, ypr0s)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_intermediate", "num_input", "num_split_h", "num_split_w",
+        "num_iter", "lr", "patience", "factor", "masked",
+        "grid_chunk", "hist_chunk",
+    ),
+)
+def localize_query(
+    img_init: jnp.ndarray,
+    img_main: jnp.ndarray,
+    xyz: jnp.ndarray,
+    rgb: jnp.ndarray,
+    trans_grid: jnp.ndarray,  # (T, 3) padded candidate translations
+    rot_grid: jnp.ndarray,  # (R, 3) rotation grid
+    trans_valid: jnp.ndarray,  # (T,) bool — False for padding rows
+    lo: jnp.ndarray,
+    hi: jnp.ndarray,
+    point_mask: Optional[jnp.ndarray] = None,
+    *,
+    num_intermediate: int = 20,
+    num_input: int = 6,
+    num_split_h: int = 4,
+    num_split_w: int = 4,
+    num_iter: int = 100,
+    lr: float = 0.1,
+    patience: int = 5,
+    factor: float = 0.8,
+    masked: bool = False,
+    grid_chunk: int = 64,
+    hist_chunk: int = 8,
+) -> LocalizeResult:
+    """Localize one panorama end-to-end on device.
+
+    The candidate grids come from init.candidates (host, data-dependent
+    sizes) padded to static shapes by the caller; everything else never
+    leaves the device.
+    """
+    pm = point_mask if masked else None
+    T, R = trans_grid.shape[0], rot_grid.shape[0]
+
+    # ---- stage 1: brute-force loss table (reference utils.py:462-507)
+    pair_t = jnp.repeat(trans_grid, R, axis=0)
+    pair_r = jnp.tile(rot_grid, (T, 1))
+    pair_valid = jnp.repeat(trans_valid, R)
+    pad = (-pair_t.shape[0]) % grid_chunk
+    if pad:
+        pair_t = jnp.concatenate([pair_t, jnp.broadcast_to(pair_t[:1], (pad, 3))])
+        pair_r = jnp.concatenate([pair_r, jnp.broadcast_to(pair_r[:1], (pad, 3))])
+        pair_valid = jnp.concatenate([pair_valid, jnp.zeros(pad, bool)])
+    scores = _grid_scores(
+        img_init, xyz, rgb, pair_t, pair_r, pair_valid, pm, grid_chunk
+    )
+    k1 = min(num_intermediate, T * R)
+    # smallest-k via top_k on negated scores (stable, same order as argsort)
+    _, idx1 = jax.lax.top_k(-scores, k1)
+    t1 = jnp.take(pair_t, idx1, axis=0)
+    r1 = jnp.take(pair_r, idx1, axis=0)
+
+    # ---- stage 2: histogram intersection (reference utils.py:510-588)
+    padh = (-k1) % hist_chunk
+    t1p = jnp.concatenate([t1, jnp.broadcast_to(t1[:1], (padh, 3))]) if padh else t1
+    r1p = jnp.concatenate([r1, jnp.broadcast_to(r1[:1], (padh, 3))]) if padh else r1
+    hs = _hist_scores(
+        img_init, xyz, rgb, t1p, r1p, pm, num_split_h, num_split_w, hist_chunk
+    )[:k1]
+    k2 = min(num_input, k1)
+    _, idx2 = jax.lax.top_k(hs, k2)
+    t2 = jnp.take(t1, idx2, axis=0)
+    r2 = jnp.take(r1, idx2, axis=0)
+
+    # ---- stage 3: multi-start descent (reference omniloc.py)
+    params, losses = _descend(
+        img_main, xyz, rgb, t2, r2, lo, hi, pm, num_iter, lr, patience, factor
+    )
+    ypr = jnp.stack([params.yaw, params.pitch, params.roll], axis=-1)
+    w = jnp.argmin(losses)
+    rot = rot_from_ypr(ypr)
+    return LocalizeResult(
+        t=params.t[w], rot=rot[w], loss=losses[w],
+        cand_t=params.t, cand_ypr=ypr, cand_loss=losses,
+        start_t=t2, start_ypr=r2, winner=w,
+    )
+
+
+def localize_query_batch(
+    img_init_batch: jnp.ndarray,  # (Q, Hi, Wi, 3)
+    img_main_batch: jnp.ndarray,  # (Q, Hm, Wm, 3)
+    xyz, rgb, trans_grid, rot_grid, trans_valid, lo, hi, point_mask=None,
+    **kw,
+) -> LocalizeResult:
+    """Localize a BATCH of query panoramas of one room in a single program.
+
+    Throughput mode (no reference counterpart): one chip is heavily
+    underutilised by a single query's gathers, so independent queries of the
+    same room vmap into one executable that amortises fixed overheads and
+    fills the vector units. Returns a LocalizeResult with a leading Q axis.
+    """
+    def one(ii, im):
+        return localize_query(
+            ii, im, xyz, rgb, trans_grid, rot_grid, trans_valid, lo, hi,
+            point_mask, **kw,
+        )
+
+    return jax.vmap(one)(img_init_batch, img_main_batch)

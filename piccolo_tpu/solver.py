@@ -23,7 +23,8 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from .loss import Pose, pose_rotation, sampling_loss
+from .loss import Pose, pose_rotation, sampling_loss, sampling_loss_packed
+from .ops.sampling import pack_bilinear_blocks
 from .optim import adam_plateau_step, init_adam_plateau
 
 __all__ = ["SolveResult", "solve", "descend", "evaluate_poses"]
@@ -41,7 +42,9 @@ class SolveResult(NamedTuple):
 
 
 def _descend_single(
-    img: jnp.ndarray,
+    blocks: jnp.ndarray,
+    height: int,
+    width: int,
     xyz: jnp.ndarray,
     rgb: jnp.ndarray,
     t0: jnp.ndarray,
@@ -58,7 +61,12 @@ def _descend_single(
     params = Pose(t=t0, yaw=ypr0[0], pitch=ypr0[1], roll=ypr0[2])
     state = init_adam_plateau(params, lr)
 
-    loss_fn = lambda p: sampling_loss(p, xyz, rgb, img, point_mask)
+    # The image is constant across the scan: the packed-neighbourhood table
+    # (built once by the caller) makes each loss evaluation one gather
+    # instead of four, bit-identically.
+    loss_fn = lambda p: sampling_loss_packed(
+        p, xyz, rgb, blocks, height, width, point_mask
+    )
     value_and_grad = jax.value_and_grad(loss_fn)
 
     def step(carry, _):
@@ -117,10 +125,12 @@ def descend(
       SolveResult over the B candidates.
     """
     pm = point_mask if masked else None
+    H, W, _ = img.shape
+    blocks = pack_bilinear_blocks(img)
 
     def one(t0, y0):
         return _descend_single(
-            img, xyz, rgb, t0, y0, lo, hi, pm,
+            blocks, H, W, xyz, rgb, t0, y0, lo, hi, pm,
             num_iter, lr, patience, factor, trajectory,
         )
 

@@ -65,6 +65,31 @@ def test_gradient_matches_torch(rng):
     np.testing.assert_allclose(g_jax, tc.grad.numpy(), atol=1e-4)
 
 
+def test_packed_bit_identical(rng):
+    """One-gather packed sampling must be bit-identical (values + grads)."""
+    from piccolo_tpu.ops.sampling import (
+        bilinear_sample_packed,
+        pack_bilinear_blocks,
+    )
+
+    img = rng.random((37, 53, 3)).astype(np.float32)
+    coords = (rng.random((4000, 2)).astype(np.float32) * 2.4) - 1.2
+    blocks = pack_bilinear_blocks(jnp.asarray(img))
+    a = np.asarray(bilinear_sample(jnp.asarray(img), jnp.asarray(coords)))
+    b = np.asarray(
+        bilinear_sample_packed(blocks, 37, 53, jnp.asarray(coords))
+    )
+    np.testing.assert_array_equal(a, b)
+
+    ga = jax.grad(
+        lambda c: (bilinear_sample(jnp.asarray(img), c) ** 2).sum()
+    )(jnp.asarray(coords))
+    gb = jax.grad(
+        lambda c: (bilinear_sample_packed(blocks, 37, 53, c) ** 2).sum()
+    )(jnp.asarray(coords))
+    np.testing.assert_array_equal(np.asarray(ga), np.asarray(gb))
+
+
 def test_vmap_batched_matches_loop(rng):
     img = rng.random((8, 16, 3)).astype(np.float32)
     coords = (rng.random((4, 50, 2)).astype(np.float32) * 2) - 1
