@@ -34,9 +34,11 @@ from .. import data as data_mod
 from ..color import color_match, color_mod
 from ..config import cfg_get
 from ..init import make_input
+from ..init.candidates import generate_rot_points, generate_trans_points
 from ..loss import Pose
 from ..ops.pano import render_pano
 from ..ops.rotation import rot_from_ypr
+from ..pipeline import localize_query
 from ..solver import descend
 from ..utils.profiling import maybe_trace
 from .imaging import imread_rgb, resize
@@ -188,6 +190,56 @@ def _gif_frames(traj, k, xyz, rgb, mask, resolution) -> list:
     return frames
 
 
+def _use_fused(cfg, init_dict) -> bool:
+    """Whether the fused single-program pipeline can serve this config.
+
+    ``fused = True`` (default) routes queries through pipeline.localize_query
+    — one device dispatch per query.  Falls back to the staged path when a
+    feature needs staged semantics: per-iteration trajectories (visualize),
+    an init-only subsample mask, or a non-default criterion.
+    """
+    return (
+        cfg_get(cfg, "fused", True)
+        and not cfg_get(cfg, "visualize", False)
+        and init_dict.get("sample_rate_for_init") is None
+        and cfg_get(cfg, "criterion", "loss_histogram") == "loss_histogram"
+    )
+
+
+class _FusedGrids:
+    """Per-room candidate grids padded to static shapes for localize_query."""
+
+    def __init__(self, xyz_np: np.ndarray, init_dict: Dict):
+        trans = generate_trans_points(xyz_np, init_dict)
+        rot = generate_rot_points(init_dict)
+        pad = (-trans.shape[0]) % 8
+        valid = np.ones(trans.shape[0] + pad, bool)
+        if pad:
+            valid[-pad:] = False
+            trans = np.concatenate([trans, np.zeros((pad, 3), np.float32)])
+        self.trans = jnp.asarray(trans, jnp.float32)
+        self.rot = jnp.asarray(rot, jnp.float32)
+        self.valid = jnp.asarray(valid)
+
+
+def _run_fused(img_init, img_main, cache, rgb_used, cfg, init_dict, grids):
+    res = localize_query(
+        jnp.asarray(img_init), jnp.asarray(img_main),
+        cache["xyz"], rgb_used, grids.trans, grids.rot, grids.valid,
+        jnp.asarray(cache["lo"]), jnp.asarray(cache["hi"]), cache["mask"],
+        num_intermediate=cfg_get(cfg, "num_intermediate", 20),
+        num_input=cfg_get(cfg, "num_input", 6),
+        num_split_h=init_dict["num_split_h"],
+        num_split_w=init_dict["num_split_w"],
+        num_iter=cfg_get(cfg, "num_iter", 100),
+        lr=cfg_get(cfg, "lr", 0.1),
+        patience=cfg_get(cfg, "patience", 5),
+        factor=cfg_get(cfg, "factor", 0.9),
+        masked=True,
+    )
+    return res
+
+
 def _shard_queries(cfg, filenames):
     """Scene-level data parallelism across hosts (DCN axis, SURVEY §2.3).
 
@@ -295,11 +347,11 @@ def localize_stanford(cfg, writer=None, log_dir: str = "./log") -> float:
                 rgb_np = rgb_np.astype(np.float32)
                 xyz_d, rgb_d, mask_d = _pad_cloud(xyz_np, rgb_np)
                 lo, hi = _order_bounds(xyz_np, out_q)
+                cache.clear()
                 cache.update(
                     pcd=pcd_name, xyz_np=xyz_np, rgb_np=rgb_np,
                     xyz=xyz_d, rgb=rgb_d, mask=mask_d, lo=lo, hi=hi,
                 )
-                cache["pcd"] = pcd_name
 
             orig = imread_rgb(filename)  # uint8 RGB
             H0, W0 = orig.shape[:2]
@@ -324,25 +376,39 @@ def localize_stanford(cfg, writer=None, log_dir: str = "./log") -> float:
 
             start = time.time()
             init_dict = get_init_dict(cfg)
+            img_main = resize(orig, (W0 // main_dw, H0 // main_dh)).astype(np.float32) / 255.0
             with maybe_trace(cfg_get(cfg, "profile_dir")):
-                trans0, rot0 = make_input(
-                    jnp.asarray(img_init), cache["xyz"], rgb_used,
-                    cfg_get(cfg, "num_input", 6), init_dict,
-                    cfg_get(cfg, "criterion", "loss_histogram"),
-                    cfg_get(cfg, "num_intermediate", 20),
-                    point_mask=cache["mask"],
-                )
-
-                img_main = resize(orig, (W0 // main_dw, H0 // main_dh)).astype(np.float32) / 255.0
-                res, traj = _solve_query(
-                    jnp.asarray(img_main), cache["xyz"], rgb_used, cache["mask"],
-                    cache["lo"], cache["hi"], trans0, rot0, cfg, want_traj=vis,
-                )
-                k = int(jnp.argmin(res.loss))
+                if _use_fused(cfg, init_dict):
+                    if "grids" not in cache:
+                        cache["grids"] = _FusedGrids(cache["xyz_np"], init_dict)
+                    fres = _run_fused(
+                        img_init, img_main, cache, rgb_used, cfg, init_dict,
+                        cache["grids"],
+                    )
+                    k = int(fres.winner)
+                    t = np.asarray(fres.t)
+                    R = np.asarray(fres.rot)
+                    loss_k = float(fres.loss)
+                    traj = None
+                else:
+                    trans0, rot0 = make_input(
+                        jnp.asarray(img_init), cache["xyz"], rgb_used,
+                        cfg_get(cfg, "num_input", 6), init_dict,
+                        cfg_get(cfg, "criterion", "loss_histogram"),
+                        cfg_get(cfg, "num_intermediate", 20),
+                        point_mask=cache["mask"],
+                    )
+                    res, traj = _solve_query(
+                        jnp.asarray(img_main), cache["xyz"], rgb_used,
+                        cache["mask"], cache["lo"], cache["hi"],
+                        trans0, rot0, cfg, want_traj=vis,
+                    )
+                    k = int(jnp.argmin(res.loss))
+                    t = np.asarray(res.t[k])
+                    R = np.asarray(res.rot[k])
+                    loss_k = float(res.loss[k])
             elapsed = time.time() - start
 
-            t = np.asarray(res.t[k])
-            R = np.asarray(res.rot[k])
             t_err = translation_error(gt_trans, t)
             r_err = rotation_error_deg(gt_rot, R)
             ok = tracker.update(t_err, r_err)
@@ -352,7 +418,7 @@ def localize_stanford(cfg, writer=None, log_dir: str = "./log") -> float:
 
             print(f"\n{img_name}")
             print(f"min_index : {k}")
-            print(f"min loss : {float(res.loss[k])}")
+            print(f"min loss : {loss_k}")
             print(f"translation error : {t_err}")
             print(f"rotation error : {r_err}\n")
             print(
@@ -468,6 +534,7 @@ def localize_omniscenes(cfg, writer=None, log_dir: str = "./log") -> float:
                 rgb_np = rgb_np.astype(np.float32)
                 xyz_d, rgb_d, mask_d = _pad_cloud(xyz_np, rgb_np)
                 lo, hi = _order_bounds(xyz_np, out_q)
+                cache.clear()
                 cache.update(
                     pcd=pcd_name, xyz_np=xyz_np, rgb_np=rgb_np,
                     xyz=xyz_d, rgb=rgb_d, mask=mask_d, lo=lo, hi=hi,
@@ -512,14 +579,38 @@ def localize_omniscenes(cfg, writer=None, log_dir: str = "./log") -> float:
 
             start = time.time()
             init_dict = get_init_dict(cfg)
+            img_main = resize(orig, (W0 // main_dw, H0 // main_dh)).astype(np.float32) / 255.0
             with maybe_trace(cfg_get(cfg, "profile_dir")):
-                trans0, rot0 = make_input(
-                    jnp.asarray(img_init), cache["xyz"], rgb_used,
-                    cfg_get(cfg, "num_input", 6), init_dict,
-                    cfg_get(cfg, "criterion", "loss_histogram"),
-                    cfg_get(cfg, "num_intermediate", 20),
-                    point_mask=cache["mask"],
-                )
+                if _use_fused(cfg, init_dict):
+                    if "grids" not in cache:
+                        cache["grids"] = _FusedGrids(cache["xyz_np"], init_dict)
+                    fres = _run_fused(
+                        img_init, img_main, cache, rgb_used, cfg, init_dict,
+                        cache["grids"],
+                    )
+                    k = int(fres.winner)
+                    t = np.asarray(fres.t)
+                    R = np.asarray(fres.rot)
+                    loss_k = float(fres.loss)
+                    trans0 = np.asarray(fres.start_t)
+                    rot0 = np.asarray(fres.start_ypr)
+                else:
+                    trans0, rot0 = make_input(
+                        jnp.asarray(img_init), cache["xyz"], rgb_used,
+                        cfg_get(cfg, "num_input", 6), init_dict,
+                        cfg_get(cfg, "criterion", "loss_histogram"),
+                        cfg_get(cfg, "num_intermediate", 20),
+                        point_mask=cache["mask"],
+                    )
+                    res, traj = _solve_query(
+                        jnp.asarray(img_main), cache["xyz"], rgb_used,
+                        cache["mask"], cache["lo"], cache["hi"],
+                        trans0, rot0, cfg, want_traj=vis,
+                    )
+                    k = int(jnp.argmin(res.loss))
+                    t = np.asarray(res.t[k])
+                    R = np.asarray(res.rot[k])
+                    loss_k = float(res.loss[k])
 
                 if cfg_get(cfg, "save_starting_point", False):
                     for idx in range(trans0.shape[0]):
@@ -535,17 +626,8 @@ def localize_omniscenes(cfg, writer=None, log_dir: str = "./log") -> float:
                             ),
                             orig, rendered,
                         )
-
-                img_main = resize(orig, (W0 // main_dw, H0 // main_dh)).astype(np.float32) / 255.0
-                res, traj = _solve_query(
-                    jnp.asarray(img_main), cache["xyz"], rgb_used, cache["mask"],
-                    cache["lo"], cache["hi"], trans0, rot0, cfg, want_traj=vis,
-                )
-                k = int(jnp.argmin(res.loss))
             elapsed = time.time() - start
 
-            t = np.asarray(res.t[k])
-            R = np.asarray(res.rot[k])
             t_err = translation_error(gt_trans, t)
             r_err = rotation_error_deg(gt_rot, R)
             ok = tracker.update(t_err, r_err)
@@ -555,7 +637,7 @@ def localize_omniscenes(cfg, writer=None, log_dir: str = "./log") -> float:
 
             print(f"\n{filename}")
             print(f"min_index : {k}")
-            print(f"min loss : {float(res.loss[k])}")
+            print(f"min loss : {loss_k}")
             print(f"translation error : {t_err}")
             print(f"rotation error : {r_err}\n")
             print(

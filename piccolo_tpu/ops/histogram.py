@@ -41,16 +41,25 @@ def masked_histogram(
     mask: jnp.ndarray,
     bins: Sequence[int] = (8, 8, 8),
     normalize: bool = True,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """Histogram of masked pixels. img255: (..., 3) in [0, 255]; mask (...,).
 
     Returns a flat (prod(bins),) histogram (the reference reshapes to
     (*bins,) — intersection only needs the flat view).
+    ``use_pallas`` routes through the MXU one-hot kernel
+    (kernels/histogram_mxu.py) instead of XLA's scatter-add — bit-exact;
+    see docs/PERFORMANCE.md for when that pays off.
     """
     nb = int(jnp.prod(jnp.array(bins)))
     ids = bin_ids(img255, bins).reshape(-1)
     m = mask.reshape(-1).astype(jnp.float32)
-    hist = jnp.zeros((nb,), dtype=jnp.float32).at[ids].add(m)
+    if use_pallas:
+        from ..kernels import histogram_pallas
+
+        hist = histogram_pallas(ids, m, nb)
+    else:
+        hist = jnp.zeros((nb,), dtype=jnp.float32).at[ids].add(m)
     if normalize:
         hist = hist / jnp.maximum(hist.sum(), 1e-12)
     return hist

@@ -102,6 +102,31 @@ def test_cli_omniscenes_end_to_end(synth_root, tmp_path):
         assert float(r[6]) < 0.5, rows
 
 
+def test_cli_staged_path_matches(synth_root, tmp_path):
+    """fused=False (the staged make_input+descend path) localizes too."""
+    from piccolo_tpu.main import main
+
+    cfg = _write_cfg(str(tmp_path / "cfg.ini"), "Stanford2D-3D-S", synth_root,
+                     extra="fused = False\n")
+    log = str(tmp_path / "log_staged")
+    acc = main(["--config", cfg, "--log", log, "--no-tensorboard"])
+    assert acc == 1.0
+
+
+def test_cli_visualize_gif(synth_root, tmp_path):
+    """visualize=True forces the staged path and writes optimization GIFs."""
+    from piccolo_tpu.main import main
+
+    cfg = _write_cfg(str(tmp_path / "cfg.ini"), "Stanford2D-3D-S", synth_root)
+    log = str(tmp_path / "log_vis")
+    main([
+        "--config", cfg, "--log", log, "--no-tensorboard",
+        "--override", "visualize=True,num_iter=12",
+    ])
+    gifs = os.listdir(os.path.join(log, "gifs", "area_1"))
+    assert len(gifs) == 2 and all(g.endswith(".gif") for g in gifs)
+
+
 def test_cli_override_and_resume(synth_root, tmp_path):
     from piccolo_tpu.main import main
 
