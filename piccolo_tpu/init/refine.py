@@ -47,7 +47,7 @@ def _pad_rows(a: jnp.ndarray, multiple: int) -> Tuple[jnp.ndarray, int]:
 
 @functools.partial(jax.jit, static_argnames=("chunk", "masked"))
 def _score_pairs(
-    img, xyz, rgb, pair_t, pair_ypr, point_mask=None, *, chunk=64, masked=False
+    img, xyz, rgb, pair_t, pair_ypr, point_mask=None, *, chunk=16, masked=False
 ):
     pm = point_mask if masked else None
     H, W, _ = img.shape
@@ -72,7 +72,7 @@ def score_pose_grid(
     trans: jnp.ndarray,
     rot: jnp.ndarray,
     point_mask: Optional[jnp.ndarray] = None,
-    chunk: int = 64,
+    chunk: int = 16,
     valid: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Loss table over the trans x rot grid, flattened trans-major.

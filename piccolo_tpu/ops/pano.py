@@ -13,16 +13,18 @@ layer far-to-near.  The winner of a pixel is therefore:
   1. the tap layer painted last that hits the pixel (centre beats idx1 beats
      idx2 ... beats idx8), then
   2. within that layer, the nearest point.
-We reproduce exactly that priority with three scatter passes:
-  pass 1: min tap-priority per pixel
-  pass 2: min distance per pixel among winning-priority taps
-  pass 3: min point index among (priority, distance) winners (tie-break)
+We reproduce exactly that priority with two scatter passes:
+  pass 1: min packed (tap-priority, distance) key per pixel — positive-f32
+          distance bits are monotonic as unsigned ints, so priority and
+          distance pack into one int32 scatter-min
+  pass 2: min point index among key winners (deterministic tie-break)
 """
 
 from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from .projection import spherical_project
@@ -101,19 +103,26 @@ def render_pano(
         jnp.arange(N, dtype=jnp.int32), (9, N)
     ).reshape(-1)
 
+    # pass 1: one scatter-min over a packed (priority, distance) key.
+    # Positive-f32 bit patterns are monotonic as unsigned ints, so
+    # (prio << 27) | (dist_bits >> 5) orders by priority then distance in a
+    # single int32 (top 4 bits priority 0..9, next 27 bits the distance's
+    # high bits — ties only for distances within ~4e-6 relative, where the
+    # point-index tie-break below decides deterministically).
     big_prio = jnp.where(valid9, prio, 9)
-    # pass 1: best (lowest) tap priority per pixel
-    min_prio = jnp.full((H * W,), 9, dtype=jnp.int32).at[pix].min(big_prio)
-    on_prio = valid9 & (big_prio == min_prio[pix])
+    dist_bits = jax.lax.bitcast_convert_type(
+        jnp.maximum(dist9, 0.0), jnp.uint32
+    )
+    key = ((big_prio.astype(jnp.uint32) << 27) | (dist_bits >> 5)).astype(
+        jnp.int32
+    )
+    max_key = jnp.int32(10 << 27)
+    key = jnp.where(valid9, key, max_key)
+    min_key = jnp.full((H * W,), max_key, dtype=jnp.int32).at[pix].min(key)
+    on_key = valid9 & (key == min_key[pix])
 
-    # pass 2: nearest distance among winning-priority taps
-    inf = jnp.float32(jnp.inf)
-    d_eff = jnp.where(on_prio, dist9, inf)
-    min_dist = jnp.full((H * W,), inf, dtype=jnp.float32).at[pix].min(d_eff)
-    on_dist = on_prio & (dist9 == min_dist[pix])
-
-    # pass 3: deterministic tie-break by lowest point index
-    i_eff = jnp.where(on_dist, idx9, N).astype(jnp.int32)
+    # pass 2: deterministic tie-break by lowest point index
+    i_eff = jnp.where(on_key, idx9, N).astype(jnp.int32)
     winner = jnp.full((H * W,), N, dtype=jnp.int32).at[pix].min(i_eff)
 
     hit = winner < N

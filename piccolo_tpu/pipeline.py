@@ -155,8 +155,8 @@ def localize_query(
     patience: int = 5,
     factor: float = 0.8,
     masked: bool = False,
-    grid_chunk: int = 64,
-    hist_chunk: int = 8,
+    grid_chunk: int = 16,
+    hist_chunk: int = 4,
 ) -> LocalizeResult:
     """Localize one panorama end-to-end on device.
 
