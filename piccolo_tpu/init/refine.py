@@ -139,10 +139,25 @@ def hist_scores(
       * only middle block rows h in [1, num_split_h-2] contribute;
       * score = sum / (num_split_h * num_split_w).
     """
+    return hist_scores_core(
+        img, xyz, rgb, trans, ypr,
+        point_mask if masked else None, num_split_h, num_split_w, chunk,
+    )
+
+
+def hist_scores_core(
+    img, xyz, rgb, trans, ypr, pm, num_split_h, num_split_w, chunk
+):
+    """Jit-inlinable body of hist_scores (shared with pipeline.py).
+
+    Render the candidate pano (render_pano) and block-histogram it against
+    the query image's block histograms.  (A winner-index-gather variant that
+    avoids materialising the RGB image was measured 4% SLOWER end-to-end —
+    XLA overlaps the render's gathers better than the extra per-pixel
+    table gathers; see docs/PERFORMANCE.md.)
+    """
     H, W, _ = img.shape
     sh, sw = num_split_h, num_split_w
-    nb = _HIST_BINS[0] * _HIST_BINS[1] * _HIST_BINS[2]
-    pm = point_mask if masked else None
 
     img255 = img * 255.0
     img_mask = jnp.sum(img255 == 0.0, axis=-1) != 3
@@ -157,13 +172,11 @@ def hist_scores(
         cam = jnp.einsum("nj,kj->nk", xyz - t, R, precision="highest")
         proj = render_pano(cam, rgb, (H, W), pm)  # (H, W, 3) in [0, 255]
         proj_mask = jnp.sum(proj == 0.0, axis=-1) != 3
-        ph, pc = block_histograms(
-            proj, proj_mask & img_mask, _HIST_BINS, sh, sw
-        )
+        ph, pc = block_histograms(proj, proj_mask & img_mask, _HIST_BINS, sh, sw)
         phn = ph / jnp.maximum(pc, 1e-12)[:, None]
         inter = jnp.minimum(phn, img_hn).sum(-1)  # (sh*sw,)
-        valid = (pc > 0) & (img_c > 0) & middle
-        return jnp.sum(inter * valid) / (sh * sw)
+        ok = (pc > 0) & (img_c > 0) & middle
+        return jnp.sum(inter * ok) / (sh * sw)
 
     k = trans.shape[0]
     tc = trans.reshape(k // chunk, chunk, 3)

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from .projection import spherical_project
 
-__all__ = ["render_pano"]
+__all__ = ["render_pano", "render_winner"]
 
 # (priority, dr, dc): centre has priority 0 (painted last in the reference),
 # idx1..idx8 have priorities 1..8 (idx8 painted first).
@@ -48,24 +48,18 @@ _TAPS = (
 )
 
 
-def render_pano(
+def render_winner(
     xyz: jnp.ndarray,
-    rgb: jnp.ndarray,
     resolution: Tuple[int, int] = (200, 400),
     point_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Render a panorama from a coloured point cloud.
+    """Z-buffer resolve only: the winning point index per pixel.
 
-    Args:
-      xyz: (N, 3) points in the camera frame.
-      rgb: (N, 3) colours in [0, 1].
-      resolution: (H, W) output size.
-      point_mask: optional (N,) bool; False points are not splatted (used for
-        padded clouds under jit's static-shape constraint).
-
-    Returns:
-      (H, W, 3) float image in [0, 255] (the reference returns image*255;
-      ``utils.py:200``). Background pixels are 0.
+    Returns (H*W,) int32 with N for background pixels.  This is the
+    expensive half of :func:`render_pano`; consumers that only need
+    per-pixel point attributes (e.g. the histogram trim, which bins colours)
+    gather from precomputed per-point tables instead of materialising the
+    RGB image.
     """
     H, W = resolution
     N = xyz.shape[0]
@@ -124,7 +118,31 @@ def render_pano(
     # pass 2: deterministic tie-break by lowest point index
     i_eff = jnp.where(on_key, idx9, N).astype(jnp.int32)
     winner = jnp.full((H * W,), N, dtype=jnp.int32).at[pix].min(i_eff)
+    return winner
 
+
+def render_pano(
+    xyz: jnp.ndarray,
+    rgb: jnp.ndarray,
+    resolution: Tuple[int, int] = (200, 400),
+    point_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Render a panorama from a coloured point cloud.
+
+    Args:
+      xyz: (N, 3) points in the camera frame.
+      rgb: (N, 3) colours in [0, 1].
+      resolution: (H, W) output size.
+      point_mask: optional (N,) bool; False points are not splatted (used for
+        padded clouds under jit's static-shape constraint).
+
+    Returns:
+      (H, W, 3) float image in [0, 255] (the reference returns image*255;
+      ``utils.py:200``). Background pixels are 0.
+    """
+    H, W = resolution
+    N = xyz.shape[0]
+    winner = render_winner(xyz, resolution, point_mask)
     hit = winner < N
     safe_winner = jnp.where(hit, winner, 0)
     img = jnp.where(hit[:, None], jnp.take(rgb, safe_winner, axis=0), 0.0)

@@ -28,10 +28,8 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from .init.refine import _HIST_BINS
+from .init.refine import hist_scores_core
 from .loss import Pose, sampling_loss_packed
-from .ops.histogram import block_histograms
-from .ops.pano import render_pano
 from .ops.rotation import rot_from_ypr
 from .ops.sampling import pack_bilinear_blocks
 from .optim import adam_plateau_step, init_adam_plateau
@@ -72,29 +70,7 @@ def _grid_scores(img, xyz, rgb, pair_t, pair_ypr, pair_valid, point_mask, chunk)
 
 
 def _hist_scores(img, xyz, rgb, trans, ypr, point_mask, sh, sw, chunk):
-    H, W, _ = img.shape
-    img255 = img * 255.0
-    img_mask = jnp.sum(img255 == 0.0, axis=-1) != 3
-    img_h, img_c = block_histograms(img255, img_mask, _HIST_BINS, sh, sw)
-    img_hn = img_h / jnp.maximum(img_c, 1e-12)[:, None]
-    row_ids = jnp.arange(sh * sw) // sw
-    middle = (row_ids >= 1) & (row_ids <= sh - 2)
-
-    def one(t, y):
-        R = rot_from_ypr(y)
-        cam = jnp.einsum("nj,kj->nk", xyz - t, R, precision="highest")
-        proj = render_pano(cam, rgb, (H, W), point_mask)
-        proj_mask = jnp.sum(proj == 0.0, axis=-1) != 3
-        ph, pc = block_histograms(proj, proj_mask & img_mask, _HIST_BINS, sh, sw)
-        phn = ph / jnp.maximum(pc, 1e-12)[:, None]
-        inter = jnp.minimum(phn, img_hn).sum(-1)
-        valid = (pc > 0) & (img_c > 0) & middle
-        return jnp.sum(inter * valid) / (sh * sw)
-
-    k = trans.shape[0]
-    tc = trans.reshape(k // chunk, chunk, 3)
-    yc = ypr.reshape(k // chunk, chunk, 3)
-    return jax.lax.map(lambda c: jax.vmap(one)(c[0], c[1]), (tc, yc)).reshape(-1)
+    return hist_scores_core(img, xyz, rgb, trans, ypr, point_mask, sh, sw, chunk)
 
 
 def _descend(img, xyz, rgb, t0s, ypr0s, lo, hi, point_mask,

@@ -151,6 +151,51 @@ def test_make_input_end_to_end(rng):
     assert np.any((d_t < 1.5) & (d_yaw < np.pi / 3)), (trans, rot)
 
 
+def test_hist_scores_equals_naive_render_path(rng):
+    """The winner-gather histogram scorer must exactly match rendering the
+    pano and block-histogramming it (the reference formulation)."""
+    import jax.numpy as jnp
+
+    from piccolo_tpu.init.refine import _HIST_BINS, hist_scores
+    from piccolo_tpu.ops.histogram import block_histograms
+    from piccolo_tpu.ops.pano import render_pano
+
+    xyz, rgb = make_room(rng, n_per_wall=600)
+    rgb = rgb.copy()
+    rgb[:30] = 0.0  # pure-black points must count as background
+    img = render_at(xyz, rgb, np.array([0.2, 0.1, 0.0], np.float32),
+                    np.array([0.7, 0, 0], np.float32), (64, 128))
+    trans = jnp.asarray(rng.random((8, 3)).astype(np.float32) * 0.5)
+    ypr = jnp.asarray(np.stack([[y, 0, 0] for y in np.linspace(0, 5, 8)]).astype(np.float32))
+
+    fast = np.asarray(hist_scores(
+        img, jnp.asarray(xyz), jnp.asarray(rgb), trans, ypr,
+        num_split_h=4, num_split_w=4, chunk=4,
+    ))
+
+    # naive per-candidate: render then histogram (reference semantics)
+    H, W = 64, 128
+    img255 = img * 255.0
+    img_mask = jnp.sum(img255 == 0.0, axis=-1) != 3
+    img_h, img_c = block_histograms(img255, img_mask, _HIST_BINS, 4, 4)
+    img_hn = np.asarray(img_h / jnp.maximum(img_c, 1e-12)[:, None])
+    middle = np.array([(i // 4 >= 1) and (i // 4 <= 2) for i in range(16)])
+    naive = []
+    from piccolo_tpu.ops.rotation import rot_from_ypr
+
+    for i in range(8):
+        R = rot_from_ypr(ypr[i])
+        cam = (jnp.asarray(xyz) - trans[i]) @ R.T
+        proj = render_pano(cam, jnp.asarray(rgb), (H, W))
+        proj_mask = jnp.sum(proj == 0.0, axis=-1) != 3
+        ph, pc = block_histograms(proj, proj_mask & img_mask, _HIST_BINS, 4, 4)
+        phn = np.asarray(ph / jnp.maximum(pc, 1e-12)[:, None])
+        inter = np.minimum(phn, img_hn).sum(-1)
+        ok = (np.asarray(pc) > 0) & (np.asarray(img_c) > 0) & middle
+        naive.append(float((inter * ok).sum()) / 16)
+    np.testing.assert_allclose(fast, np.array(naive), atol=1e-6)
+
+
 def test_make_input_rejects_unknown_criterion(rng):
     xyz, rgb = make_room(rng, n_per_wall=200)
     img = render_at(xyz, rgb, np.zeros(3, np.float32), np.zeros(3, np.float32),
