@@ -23,27 +23,7 @@ __all__ = [
     "masked_histogram",
     "histogram_intersection",
     "block_histograms",
-    "block_layout",
 ]
-
-
-def block_layout(H: int, W: int, num_split_h: int, num_split_w: int):
-    """Per-pixel (flat block id, in-grid mask) for the block tiling.
-
-    Same anchoring as :func:`block_histograms` (top-left blocks of size
-    (H//sh, W//sw); remainder rows/cols outside every block).
-    Returns ((H*W,) int32, (H*W,) bool).
-    """
-    sh, sw = num_split_h, num_split_w
-    bh, bw = H // sh, W // sw
-    row = jnp.arange(H)[:, None] // bh
-    col = jnp.arange(W)[None, :] // bw
-    in_grid = (row < sh) & (col < sw)
-    block = jnp.clip(row, 0, sh - 1) * sw + jnp.clip(col, 0, sw - 1)
-    return (
-        jnp.broadcast_to(block, (H, W)).reshape(-1).astype(jnp.int32),
-        jnp.broadcast_to(in_grid, (H, W)).reshape(-1),
-    )
 
 
 def bin_ids(img255: jnp.ndarray, bins: Sequence[int] = (8, 8, 8)) -> jnp.ndarray:

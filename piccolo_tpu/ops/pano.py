@@ -56,10 +56,10 @@ def render_winner(
     """Z-buffer resolve only: the winning point index per pixel.
 
     Returns (H*W,) int32 with N for background pixels.  This is the
-    expensive half of :func:`render_pano`; consumers that only need
-    per-pixel point attributes (e.g. the histogram trim, which bins colours)
-    gather from precomputed per-point tables instead of materialising the
-    RGB image.
+    expensive half of :func:`render_pano` (its only in-tree consumer);
+    exposed for callers that need per-pixel point attributes other than
+    colour.  Note: a histogram-trim variant built on this was measured
+    slower than rendering + re-binning — see docs/PERFORMANCE.md.
     """
     H, W = resolution
     N = xyz.shape[0]

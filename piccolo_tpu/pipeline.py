@@ -69,10 +69,6 @@ def _grid_scores(img, xyz, rgb, pair_t, pair_ypr, pair_valid, point_mask, chunk)
     return scores.reshape(-1)
 
 
-def _hist_scores(img, xyz, rgb, trans, ypr, point_mask, sh, sw, chunk):
-    return hist_scores_core(img, xyz, rgb, trans, ypr, point_mask, sh, sw, chunk)
-
-
 def _descend(img, xyz, rgb, t0s, ypr0s, lo, hi, point_mask,
              num_iter, lr, patience, factor):
     H, W, _ = img.shape
@@ -165,7 +161,7 @@ def localize_query(
     padh = (-k1) % hist_chunk
     t1p = jnp.concatenate([t1, jnp.broadcast_to(t1[:1], (padh, 3))]) if padh else t1
     r1p = jnp.concatenate([r1, jnp.broadcast_to(r1[:1], (padh, 3))]) if padh else r1
-    hs = _hist_scores(
+    hs = hist_scores_core(
         img_init, xyz, rgb, t1p, r1p, pm, num_split_h, num_split_w, hist_chunk
     )[:k1]
     k2 = min(num_input, k1)

@@ -152,8 +152,9 @@ def test_make_input_end_to_end(rng):
 
 
 def test_hist_scores_equals_naive_render_path(rng):
-    """The winner-gather histogram scorer must exactly match rendering the
-    pano and block-histogramming it (the reference formulation)."""
+    """The chunked/vmapped histogram scorer must exactly match a plain
+    per-candidate render-then-block-histogram loop (the reference
+    formulation), including pure-black points counting as background."""
     import jax.numpy as jnp
 
     from piccolo_tpu.init.refine import _HIST_BINS, hist_scores
