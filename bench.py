@@ -34,6 +34,17 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    # The TPU claim can fail transiently if another process briefly holds
+    # the chip; probe once and give it a moment before giving up.
+    try:
+        jax.devices()
+    except RuntimeError:
+        time.sleep(20)
+        import importlib
+
+        importlib.reload(jax._src.xla_bridge)  # re-run backend discovery
+        jax.devices()
+
     from piccolo_tpu.init import default_init_dict
     from piccolo_tpu.init.candidates import generate_rot_points, generate_trans_points
     from piccolo_tpu.init.refine import trim_by_hist, trim_by_loss

@@ -102,6 +102,36 @@ def test_cli_omniscenes_end_to_end(synth_root, tmp_path):
         assert float(r[6]) < 0.5, rows
 
 
+def test_cli_area_filter(synth_root, tmp_path):
+    """area = 1 (explicit) selects only that area's panos."""
+    from piccolo_tpu.main import main
+
+    cfg = _write_cfg(str(tmp_path / "cfg.ini"), "Stanford2D-3D-S", synth_root,
+                     extra="area = 1\n")
+    log = str(tmp_path / "log_area")
+    acc = main(["--config", cfg, "--log", log, "--no-tensorboard"])
+    _, rows = _read_results(os.path.join(log, "stanford_results.csv"))
+    assert len(rows) == 2 and acc == 1.0
+
+
+def test_cli_query_sharding(synth_root, tmp_path):
+    """query_shards=2: the two shards partition the queries exactly."""
+    from piccolo_tpu.main import main
+
+    cfg = _write_cfg(str(tmp_path / "cfg.ini"), "Stanford2D-3D-S", synth_root)
+    names = []
+    for idx in (0, 1):
+        log = str(tmp_path / f"log_shard{idx}")
+        main([
+            "--config", cfg, "--log", log, "--no-tensorboard",
+            "--override", f"query_shards=2,query_shard_index={idx}",
+        ])
+        _, rows = _read_results(os.path.join(log, "stanford_results.csv"))
+        names.append({r[1] for r in rows})
+    assert names[0] & names[1] == set()
+    assert len(names[0] | names[1]) == 2
+
+
 def test_cli_staged_path_matches(synth_root, tmp_path):
     """fused=False (the staged make_input+descend path) localizes too."""
     from piccolo_tpu.main import main
