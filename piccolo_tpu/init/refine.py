@@ -227,6 +227,10 @@ def make_input(
         )
 
     xyz_np = np.asarray(xyz)
+    if point_mask is not None:
+        # Candidate grids are quantile/extent statistics of the cloud —
+        # padding rows (zeros) must not pollute them.
+        xyz_np = xyz_np[np.asarray(point_mask)]
     rot = jnp.asarray(generate_rot_points(init_dict))
     trans = jnp.asarray(generate_trans_points(xyz_np, init_dict))
 

@@ -38,6 +38,26 @@ def test_native_loader_matches_pandas(tmp_path, rng):
     np.testing.assert_allclose(native, ref, rtol=1e-12, atol=1e-9)
 
 
+def test_native_loader_formats(tmp_path, rng):
+    """Exponent notation, CRLF line endings, blank lines, signed values."""
+    if not txt_loader.available():
+        pytest.skip("native toolchain unavailable")
+    path = str(tmp_path / "tricky.txt")
+    with open(path, "wb") as f:
+        f.write(b"1.5e-3 -2.75 +3.25e2 255 0 128\r\n")
+        f.write(b"\r\n")
+        f.write(b"  -0.001 4e1 5 1 2 3\n")
+        f.write(b"7 8 9 10 11 12")  # no trailing newline
+    out = txt_loader.load(path)
+    exp = np.array([
+        [1.5e-3, -2.75, 3.25e2, 255, 0, 128],
+        [-0.001, 40.0, 5, 1, 2, 3],
+        [7, 8, 9, 10, 11, 12],
+    ])
+    assert out.shape == (3, 6)
+    np.testing.assert_allclose(out, exp, rtol=1e-12)
+
+
 def test_load_txt_pointcloud_scaling(tmp_path, rng):
     path = str(tmp_path / "cloud.txt")
     xyz, rgb = _write_cloud(path, 1000, rng)

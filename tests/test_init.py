@@ -197,6 +197,34 @@ def test_hist_scores_equals_naive_render_path(rng):
     np.testing.assert_allclose(fast, np.array(naive), atol=1e-6)
 
 
+def test_make_input_padding_does_not_pollute_grids(rng):
+    """Padded clouds (static-shape buckets) must produce the same candidates
+    as the unpadded cloud — padding zeros must not shift the quantile grids
+    (regression: the staged harness passed padded clouds to make_input)."""
+    import jax.numpy as jnp
+
+    xyz, rgb = make_room(rng, n_per_wall=500)
+    gt_t = np.array([0.4, -0.2, 0.1], np.float32)
+    img = render_at(xyz, rgb, gt_t, np.array([0.8, 0, 0], np.float32),
+                    resolution=(64, 128))
+    d = default_init_dict(xy_only=True, num_trans=16, yaw_only=True,
+                          num_yaw=4, z_prior=None)
+
+    t_clean, r_clean = make_input(
+        img, jnp.asarray(xyz), jnp.asarray(rgb), 4, d, "loss_histogram", 8
+    )
+    pad = 997
+    xyz_p = np.concatenate([xyz, np.zeros((pad, 3), np.float32)])
+    rgb_p = np.concatenate([rgb, np.zeros((pad, 3), np.float32)])
+    mask = jnp.arange(xyz_p.shape[0]) < xyz.shape[0]
+    t_pad, r_pad = make_input(
+        img, jnp.asarray(xyz_p), jnp.asarray(rgb_p), 4, d, "loss_histogram", 8,
+        point_mask=mask,
+    )
+    np.testing.assert_allclose(t_pad, t_clean, atol=1e-6)
+    np.testing.assert_allclose(r_pad, r_clean, atol=1e-6)
+
+
 def test_make_input_rejects_unknown_criterion(rng):
     xyz, rgb = make_room(rng, n_per_wall=200)
     img = render_at(xyz, rgb, np.zeros(3, np.float32), np.zeros(3, np.float32),
