@@ -139,10 +139,19 @@ def _order_bounds(xyz: np.ndarray, q: float) -> Tuple[np.ndarray, np.ndarray]:
     return s[int(n * q)].astype(np.float32), s[int(n * (1 - q))].astype(np.float32)
 
 
-def _out_of_room(xyz: np.ndarray, trans: np.ndarray, q: float) -> bool:
-    lo, hi = _order_bounds(xyz, q)
+def _outside_bounds(lo: np.ndarray, hi: np.ndarray, trans: np.ndarray) -> bool:
+    """Out-of-room gate against precomputed order-quantile bounds
+    (reference utils.out_of_room semantics; strict inequalities)."""
     t = np.asarray(trans).ravel()[:3]
     return not bool(np.all((t > lo) & (t < hi)))
+
+
+def _pad_rgb(rgb_mod: np.ndarray, padded_len: int) -> jnp.ndarray:
+    """Pad per-query modified colors to the cloud's existing bucket size."""
+    pad = padded_len - rgb_mod.shape[0]
+    if pad:
+        rgb_mod = np.concatenate([rgb_mod, np.zeros((pad, 3), rgb_mod.dtype)])
+    return jnp.asarray(rgb_mod, jnp.float32)
 
 
 _render_half = jax.jit(render_pano, static_argnames=("resolution",))
@@ -361,11 +370,11 @@ def localize_stanford(cfg, writer=None, log_dir: str = "./log") -> float:
             if cfg_get(cfg, "sharpen_color", False):
                 num_bins = cfg_get(cfg, "num_bins", 256)
                 img_init, rgb_mod = color_mod(img_init, cache["rgb_np"], num_bins)
-                rgb_used = _pad_cloud(cache["xyz_np"], rgb_mod)[1]
+                rgb_used = _pad_rgb(rgb_mod, int(cache["mask"].shape[0]))
 
             gt_trans, gt_rot = data_mod.obtain_gt_stanford(data_root, area, img_name)
 
-            if _out_of_room(cache["xyz_np"], gt_trans, out_q) and not eval_full:
+            if _outside_bounds(cache["lo"], cache["hi"], gt_trans) and not eval_full:
                 print(f"corrupted file : {filename}, gt_trans is out of the room\n")
                 skipped.append(filename)
                 summaries.add_text("skipped rooms", filename)
@@ -563,14 +572,14 @@ def localize_omniscenes(cfg, writer=None, log_dir: str = "./log") -> float:
                 num_bins = cfg_get(cfg, "num_bins", 256)
                 mod_img, rgb_mod = color_mod(mod_img, cache["rgb_np"], num_bins)
                 orig = (mod_img * 255).astype(np.uint8)
-                rgb_used = _pad_cloud(cache["xyz_np"], rgb_mod)[1]
+                rgb_used = _pad_rgb(rgb_mod, int(cache["mask"].shape[0]))
 
             H0, W0 = orig.shape[:2]
             img_init = resize(orig, (W0 // init_dw, H0 // init_dh)).astype(np.float32) / 255.0
 
             gt_trans, gt_rot = data_mod.obtain_gt_omniscenes(filename)
 
-            if _out_of_room(cache["xyz_np"], gt_trans, out_q):
+            if _outside_bounds(cache["lo"], cache["hi"], gt_trans):
                 print(f"corrupted file : {filename}, gt_trans is out of the room\n")
                 skipped.append(filename)
                 summaries.add_text("skipped rooms", filename)
@@ -605,7 +614,7 @@ def localize_omniscenes(cfg, writer=None, log_dir: str = "./log") -> float:
                     res, traj = _solve_query(
                         jnp.asarray(img_main), cache["xyz"], rgb_used,
                         cache["mask"], cache["lo"], cache["hi"],
-                        trans0, rot0, cfg, want_traj=vis,
+                        trans0, rot0, cfg, want_traj=False,
                     )
                     k = int(jnp.argmin(res.loss))
                     t = np.asarray(res.t[k])

@@ -226,11 +226,15 @@ def make_input(
             f"criterion={criterion!r} not supported (only 'loss_histogram')"
         )
 
-    xyz_np = np.asarray(xyz)
+    xyz_np_full = np.asarray(xyz)
     if point_mask is not None:
         # Candidate grids are quantile/extent statistics of the cloud —
         # padding rows (zeros) must not pollute them.
-        xyz_np = xyz_np[np.asarray(point_mask)]
+        mask_np = np.asarray(point_mask)
+        xyz_np = xyz_np_full[mask_np]
+    else:
+        mask_np = None
+        xyz_np = xyz_np_full
     rot = jnp.asarray(generate_rot_points(init_dict))
     trans = jnp.asarray(generate_trans_points(xyz_np, init_dict))
 
@@ -238,9 +242,16 @@ def make_input(
     rate = init_dict.get("sample_rate_for_init")
     if rate is not None:
         # Bernoulli keep with p = 1/rate (reference utils.py:618-620) —
-        # applied to xyz, rgb AND the validity mask together.
+        # applied to xyz, rgb AND the validity mask together.  The draw is
+        # over the VALID points (so the kept subset is independent of any
+        # padding), then scattered back to the padded layout.
         rng = np.random.default_rng(seed)
-        keep = rng.random(xyz_np.shape[0]) < (1.0 / rate)
+        draw = rng.random(xyz_np.shape[0]) < (1.0 / rate)
+        if mask_np is None:
+            keep = draw
+        else:
+            keep = np.zeros(xyz_np_full.shape[0], bool)
+            keep[mask_np] = draw
         keep_j = jnp.asarray(keep)
         # Keep shapes static: drop points via the mask instead of gathering
         # a dynamic subset.

@@ -60,9 +60,13 @@ def make_mesh(
     """
     devices = np.asarray(devices if devices is not None else jax.devices())
     n = devices.size
-    if n_cand is None or n_point is None:
+    if n_cand is None and n_point is None:
         n_cand = 2 if (n >= 4 and n % 2 == 0) else 1
         n_point = n // n_cand
+    elif n_point is None:
+        n_point = n // n_cand
+    elif n_cand is None:
+        n_cand = n // n_point
     assert n_cand * n_point == n, (n_cand, n_point, n)
     return Mesh(devices.reshape(n_cand, n_point), axis_names=("cand", "point"))
 

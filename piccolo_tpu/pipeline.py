@@ -153,7 +153,10 @@ def localize_query(
     )
     k1 = min(num_intermediate, T * R)
     # smallest-k via top_k on negated scores (stable, same order as argsort)
-    _, idx1 = jax.lax.top_k(-scores, k1)
+    neg_top, idx1 = jax.lax.top_k(-scores, k1)
+    # when fewer than k1 valid pairs exist, +inf padding rows slip in here;
+    # carry their (in)validity so stage 2 can never promote them
+    sel_valid = jnp.isfinite(neg_top)
     t1 = jnp.take(pair_t, idx1, axis=0)
     r1 = jnp.take(pair_r, idx1, axis=0)
 
@@ -164,6 +167,7 @@ def localize_query(
     hs = hist_scores_core(
         img_init, xyz, rgb, t1p, r1p, pm, num_split_h, num_split_w, hist_chunk
     )[:k1]
+    hs = jnp.where(sel_valid, hs, -jnp.inf)
     k2 = min(num_input, k1)
     _, idx2 = jax.lax.top_k(hs, k2)
     t2 = jnp.take(t1, idx2, axis=0)

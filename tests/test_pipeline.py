@@ -79,6 +79,50 @@ def test_fused_recovers_pose(rng):
     assert int(res.winner) == int(np.argmin(np.asarray(res.cand_loss)))
 
 
+def test_fused_invalid_rows_blocked_when_valid_pairs_scarce(rng):
+    """Fewer valid (trans,rot) pairs than num_intermediate: the +inf padding
+    candidates that slip through stage-1 top_k must never survive the
+    histogram ranking into the descent starts (regression)."""
+    xyz, rgb, img, trans, rot, lo, hi, gt_t = _setup(rng)
+    # only 3 valid translations x 4 rots = 12 pairs < num_intermediate=20;
+    # padding rows sit exactly on the GT so any leak would win the descent
+    few = trans[:3]
+    bad = np.broadcast_to(gt_t, (5, 3)).astype(np.float32)
+    trans_p = np.concatenate([few, bad])
+    valid = np.concatenate([np.ones(3, bool), np.zeros(5, bool)])
+    res = localize_query(
+        jnp.asarray(img), jnp.asarray(img), jnp.asarray(xyz), jnp.asarray(rgb),
+        jnp.asarray(trans_p), jnp.asarray(rot),
+        jnp.asarray(valid), jnp.asarray(lo), jnp.asarray(hi),
+        num_intermediate=20, num_input=6, num_iter=5,
+    )
+    for s in np.asarray(res.start_t):
+        assert not np.allclose(s, gt_t, atol=1e-6), np.asarray(res.start_t)
+
+
+def test_make_input_subsample_with_padded_mask(rng):
+    """sample_rate_for_init + a padded point_mask must compose (regression:
+    the Bernoulli keep vector was drawn at the filtered length)."""
+    from piccolo_tpu.init import default_init_dict, make_input
+
+    xyz, rgb = make_room(rng, n_per_wall=400)
+    img = render_at(xyz, rgb, np.zeros(3, np.float32),
+                    np.zeros(3, np.float32), (32, 64))
+    pad = 123
+    xyz_p = np.concatenate([xyz, np.zeros((pad, 3), np.float32)])
+    rgb_p = np.concatenate([rgb, np.zeros((pad, 3), np.float32)])
+    mask = jnp.arange(xyz_p.shape[0]) < xyz.shape[0]
+    d = default_init_dict(xy_only=True, num_trans=8, yaw_only=True,
+                          num_yaw=4, z_prior=None, sample_rate_for_init=3)
+    t, r = make_input(img, jnp.asarray(xyz_p), jnp.asarray(rgb_p), 3, d,
+                      "loss_histogram", 6, point_mask=mask)
+    assert t.shape == (3, 3) and r.shape == (3, 3)
+    # the kept subset is independent of padding: same candidates unpadded
+    t2, r2 = make_input(img, jnp.asarray(xyz), jnp.asarray(rgb), 3, d,
+                        "loss_histogram", 6)
+    np.testing.assert_allclose(t, t2, atol=1e-6)
+
+
 def test_fused_padding_rows_never_win(rng):
     xyz, rgb, img, trans, rot, lo, hi, gt_t = _setup(rng)
     # pad the grid with rows sitting exactly on the GT — but marked invalid
