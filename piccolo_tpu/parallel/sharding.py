@@ -44,7 +44,36 @@ try:  # jax >= 0.4.31 exposes shard_map at top level
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
-__all__ = ["make_mesh", "solve_sharded", "shard_map"]
+__all__ = ["make_mesh", "solve_sharded", "shard_map", "init_distributed"]
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Initialise multi-host JAX (one process per host, ICI+DCN mesh).
+
+    Thin wrapper over ``jax.distributed.initialize`` — with no arguments it
+    auto-detects the cluster environment (TPU pods, GKE, SLURM).  Call once
+    per process before any device use; after it, ``jax.devices()`` spans the
+    pod, ``make_mesh()`` builds the global mesh, and scene-level sweeps use
+    ``query_shards=jax.process_count(), query_shard_index=jax.process_index()``.
+
+    Returns the process index.
+    """
+    if num_processes is not None and num_processes > 1 or coordinator_address:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    elif coordinator_address is None and num_processes is None:
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            pass  # single-process environment: nothing to initialise
+    return jax.process_index()
 
 
 def make_mesh(
