@@ -69,7 +69,7 @@ def main() -> None:
     # once-per-room work: candidate grids (host) shipped to device
     trans_grid = generate_trans_points(xyz, init_dict)
     rot_grid = generate_rot_points(init_dict)
-    pad = (-trans_grid.shape[0]) % 8
+    pad = (-trans_grid.shape[0]) % 64  # match the harness's shape bucket
     trans_valid = np.ones(trans_grid.shape[0] + pad, bool)
     if pad:
         trans_valid[-pad:] = False

@@ -216,12 +216,20 @@ def _use_fused(cfg, init_dict) -> bool:
 
 
 class _FusedGrids:
-    """Per-room candidate grids padded to static shapes for localize_query."""
+    """Per-room candidate grids padded to static shapes for localize_query.
+
+    The translation count is data-dependent (adaptive_trans_num); padding to
+    a coarse multiple (64) makes almost every room share ONE program shape —
+    a new shape costs a ~19 s XLA compile, while scoring the masked padding
+    rows costs a few percent of stage 1.
+    """
+
+    PAD_MULTIPLE = 64
 
     def __init__(self, xyz_np: np.ndarray, init_dict: Dict):
         trans = generate_trans_points(xyz_np, init_dict)
         rot = generate_rot_points(init_dict)
-        pad = (-trans.shape[0]) % 8
+        pad = (-trans.shape[0]) % self.PAD_MULTIPLE
         valid = np.ones(trans.shape[0] + pad, bool)
         if pad:
             valid[-pad:] = False
