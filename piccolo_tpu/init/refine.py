@@ -26,9 +26,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..loss import Pose, sampling_loss_packed
-from ..ops.histogram import block_histograms
+from ..ops.histogram import bin_ids, block_histograms
 from ..ops.sampling import pack_bilinear_blocks
-from ..ops.pano import render_pano
+from ..ops.pano import render_attr_min
 from ..ops.rotation import rot_from_ypr
 from .candidates import generate_rot_points, generate_trans_points
 
@@ -150,14 +150,19 @@ def hist_scores_core(
 ):
     """Jit-inlinable body of hist_scores (shared with pipeline.py).
 
-    Render the candidate pano (render_pano) and block-histogram it against
-    the query image's block histograms.  (A winner-index-gather variant that
-    avoids materialising the RGB image was measured 4% SLOWER end-to-end —
-    XLA overlaps the render's gathers better than the extra per-pixel
-    table gathers; see docs/PERFORMANCE.md.)
+    The histogram trim needs only the winning point's colour BIN per pixel,
+    so the z-buffer resolves through ops.pano.render_attr_min: ONE packed
+    scatter-min per candidate instead of a full RGB render plus re-binning
+    (equivalent up to measure-zero distance ties; exactness-tested against
+    the naive render-then-histogram formulation in tests/test_init.py).
+
+    Points whose colour is exactly black count as background, matching the
+    reference's proj==0 mask on the rendered image — encoded by binning
+    them to a sentinel (bin 512) excluded from the histogram.
     """
     H, W, _ = img.shape
     sh, sw = num_split_h, num_split_w
+    nb = _HIST_BINS[0] * _HIST_BINS[1] * _HIST_BINS[2]
 
     img255 = img * 255.0
     img_mask = jnp.sum(img255 == 0.0, axis=-1) != 3
@@ -167,12 +172,35 @@ def hist_scores_core(
     row_ids = jnp.arange(sh * sw) // sw
     middle = (row_ids >= 1) & (row_ids <= sh - 2)
 
+    # per-point colour bins; pure-black points -> sentinel bin nb
+    rgb255 = rgb * 255.0
+    rgb_bins = bin_ids(rgb255, _HIST_BINS).astype(jnp.int32)
+    rgb_black = jnp.sum(rgb255 == 0.0, axis=-1) == 3
+    rgb_bins = jnp.where(rgb_black, nb, rgb_bins)
+
+    bh, bw = H // sh, W // sw
+    prow = jnp.arange(H)[:, None] // bh
+    pcol = jnp.arange(W)[None, :] // bw
+    in_grid = (prow < sh) & (pcol < sw)
+    block_flat = (
+        (jnp.clip(prow, 0, sh - 1) * sw + jnp.clip(pcol, 0, sw - 1))
+        .reshape(-1)
+        .astype(jnp.int32)
+    )
+    pix_ok = img_mask.reshape(-1) & in_grid.reshape(-1)
+
     def one(t, y):
         R = rot_from_ypr(y)
         cam = jnp.einsum("nj,kj->nk", xyz - t, R, precision="highest")
-        proj = render_pano(cam, rgb, (H, W), pm)  # (H, W, 3) in [0, 255]
-        proj_mask = jnp.sum(proj == 0.0, axis=-1) != 3
-        ph, pc = block_histograms(proj, proj_mask & img_mask, _HIST_BINS, sh, sw)
+        # 10 bits cover bins 0..512 (sentinel included)
+        pbin = render_attr_min(cam, rgb_bins, 10, (H, W), pm)  # (H*W,)
+        valid = (pbin >= 0) & (pbin < nb) & pix_ok
+        ph = (
+            jnp.zeros((sh * sw * nb,), jnp.float32)
+            .at[block_flat * nb + jnp.clip(pbin, 0, nb - 1)]
+            .add(valid.astype(jnp.float32))
+        ).reshape(sh * sw, nb)
+        pc = ph.sum(-1)
         phn = ph / jnp.maximum(pc, 1e-12)[:, None]
         inter = jnp.minimum(phn, img_hn).sum(-1)  # (sh*sw,)
         ok = (pc > 0) & (img_c > 0) & middle

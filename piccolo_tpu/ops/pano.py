@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from .projection import spherical_project
 
-__all__ = ["render_pano", "render_winner"]
+__all__ = ["render_pano", "render_winner", "render_attr_min"]
 
 # (priority, dr, dc): centre has priority 0 (painted last in the reference),
 # idx1..idx8 have priorities 1..8 (idx8 painted first).
@@ -48,18 +48,10 @@ _TAPS = (
 )
 
 
-def render_winner(
-    xyz: jnp.ndarray,
-    resolution: Tuple[int, int] = (200, 400),
-    point_mask: Optional[jnp.ndarray] = None,
-) -> jnp.ndarray:
-    """Z-buffer resolve only: the winning point index per pixel.
+def _tap_expansion(xyz, resolution, point_mask):
+    """Project points and expand the 9 splat taps.
 
-    Returns (H*W,) int32 with N for background pixels.  This is the
-    expensive half of :func:`render_pano` (its only in-tree consumer);
-    exposed for callers that need per-pixel point attributes other than
-    colour.  Note: a histogram-trim variant built on this was measured
-    slower than rendering + re-binning — see docs/PERFORMANCE.md.
+    Returns flat (9N,) pixel ids, tap priorities, distances, validity.
     """
     H, W = resolution
     N = xyz.shape[0]
@@ -78,7 +70,6 @@ def render_winner(
     else:
         valid = point_mask
 
-    # Build the 9-tap expansion: (9, N) pixel ids and priorities.
     rows = []
     cols = []
     prios = []
@@ -86,13 +77,29 @@ def render_winner(
         rows.append(jnp.clip(row0 + dr, 0, H - 1))
         cols.append(jnp.clip(col0 + dc, 0, W - 1))
         prios.append(jnp.full((N,), p, dtype=jnp.int32))
-    pix = jnp.stack(rows) * W + jnp.stack(cols)  # (9, N)
-    prio = jnp.stack(prios)  # (9, N)
-
-    pix = pix.reshape(-1)
-    prio = prio.reshape(-1)
+    pix = (jnp.stack(rows) * W + jnp.stack(cols)).reshape(-1)
+    prio = jnp.stack(prios).reshape(-1)
     dist9 = jnp.broadcast_to(dist, (9, N)).reshape(-1)
     valid9 = jnp.broadcast_to(valid, (9, N)).reshape(-1)
+    return pix, prio, dist9, valid9
+
+
+def render_winner(
+    xyz: jnp.ndarray,
+    resolution: Tuple[int, int] = (200, 400),
+    point_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Z-buffer resolve only: the winning point index per pixel.
+
+    Returns (H*W,) int32 with N for background pixels.  This is the
+    expensive half of :func:`render_pano` (its only in-tree consumer);
+    exposed for callers that need per-pixel point attributes other than
+    colour.  Note: a histogram-trim variant built on this was measured
+    slower than rendering + re-binning — see docs/PERFORMANCE.md.
+    """
+    H, W = resolution
+    N = xyz.shape[0]
+    pix, prio, dist9, valid9 = _tap_expansion(xyz, resolution, point_mask)
     idx9 = jnp.broadcast_to(
         jnp.arange(N, dtype=jnp.int32), (9, N)
     ).reshape(-1)
@@ -119,6 +126,65 @@ def render_winner(
     i_eff = jnp.where(on_key, idx9, N).astype(jnp.int32)
     winner = jnp.full((H * W,), N, dtype=jnp.int32).at[pix].min(i_eff)
     return winner
+
+
+def render_attr_min(
+    xyz: jnp.ndarray,
+    attr: jnp.ndarray,
+    attr_bits: int,
+    resolution: Tuple[int, int] = (200, 400),
+    point_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Z-buffered splat of a small integer attribute in ONE scatter pass.
+
+    For consumers that need only a per-pixel point attribute (e.g. the
+    histogram trim needs the winner's colour BIN, not its index or RGB),
+    the whole resolve packs into a single 32-bit scatter-min key:
+
+        [ tap priority (4b) | distance (28-attr_bits msb of f32) | attr ]
+
+    mapped through the sign-flip trick so unsigned key order survives the
+    int32 scatter-min.  Winner selection matches :func:`render_winner`
+    except that distances are compared at (28-attr_bits)-bit precision and
+    exact truncated-distance ties resolve by smallest attribute instead of
+    smallest point index — both tie classes are measure-zero for real
+    float distances (the reference's own tie behaviour is write-order).
+
+    Args:
+      attr: (N,) int32 in [0, 2**attr_bits).
+    Returns:
+      (H*W,) int32 attribute per pixel, -1 where no point splats.
+    """
+    H, W = resolution
+    N = xyz.shape[0]
+    pix, prio, dist9, valid9 = _tap_expansion(xyz, resolution, point_mask)
+
+    dist_bits_n = 28 - attr_bits
+    dist_bits = jax.lax.bitcast_convert_type(
+        jnp.maximum(dist9, 0.0), jnp.uint32
+    ) >> (32 - dist_bits_n)
+    attr9 = jnp.broadcast_to(attr.astype(jnp.uint32), (9, N)).reshape(-1)
+    key_u = (
+        (prio.astype(jnp.uint32) << 28)
+        | (dist_bits << attr_bits)
+        | attr9
+    )
+    sentinel_u = jnp.uint32(0xFFFFFFFF)
+    key_u = jnp.where(valid9, key_u, sentinel_u)
+    # unsigned order -> signed order: flip the sign bit
+    key_i = jax.lax.bitcast_convert_type(
+        key_u ^ jnp.uint32(0x80000000), jnp.int32
+    )
+    init_i = jax.lax.bitcast_convert_type(
+        sentinel_u ^ jnp.uint32(0x80000000), jnp.int32
+    )
+    min_i = jnp.full((H * W,), init_i, dtype=jnp.int32).at[pix].min(key_i)
+    min_u = jax.lax.bitcast_convert_type(min_i, jnp.uint32) ^ jnp.uint32(
+        0x80000000
+    )
+    hit = min_u != sentinel_u
+    out = (min_u & jnp.uint32((1 << attr_bits) - 1)).astype(jnp.int32)
+    return jnp.where(hit, out, -1)
 
 
 def render_pano(

@@ -152,9 +152,15 @@ def test_make_input_end_to_end(rng):
 
 
 def test_hist_scores_equals_naive_render_path(rng):
-    """The chunked/vmapped histogram scorer must exactly match a plain
+    """The single-pass packed-key histogram scorer must match a plain
     per-candidate render-then-block-histogram loop (the reference
-    formulation), including pure-black points counting as background."""
+    formulation), including pure-black points counting as background.
+
+    Tolerance: the packed key compares distances at 18-bit precision, so
+    same-pixel same-priority taps within ~2e-3 relative distance may
+    resolve to a different (equally valid) winner — observed score noise
+    is ~2e-4, two orders below the ~1e-2 gaps between genuinely different
+    candidates that drive selection."""
     import jax.numpy as jnp
 
     from piccolo_tpu.init.refine import _HIST_BINS, hist_scores
@@ -194,7 +200,9 @@ def test_hist_scores_equals_naive_render_path(rng):
         inter = np.minimum(phn, img_hn).sum(-1)
         ok = (np.asarray(pc) > 0) & (np.asarray(img_c) > 0) & middle
         naive.append(float((inter * ok).sum()) / 16)
-    np.testing.assert_allclose(fast, np.array(naive), atol=1e-6)
+    np.testing.assert_allclose(fast, np.array(naive), atol=1e-3)
+    # rankings must agree despite tie noise
+    np.testing.assert_array_equal(np.argsort(fast), np.argsort(np.array(naive)))
 
 
 def test_make_input_padding_does_not_pollute_grids(rng):
