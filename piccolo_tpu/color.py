@@ -108,10 +108,9 @@ def color_mod(
 
 
 def _match_cdf_channel(
-    source: np.ndarray, template: np.ndarray, weight: np.ndarray
+    src_bins: np.ndarray, template: np.ndarray, weight: np.ndarray
 ) -> np.ndarray:
-    """Weighted CDF matching of one channel (values in [0, 1])."""
-    src_bins = (source * 255).astype(np.int64)
+    """Weighted CDF matching of one channel (src as int bins in [0, 255])."""
     counts = np.bincount(src_bins, weights=weight)
     src_quant = np.cumsum(counts)
     src_quant = src_quant / src_quant[-1]
@@ -122,7 +121,7 @@ def _match_cdf_channel(
     # np.interp clamps outside [xp[0], xp[-1]] — the same endpoint behaviour
     # the reference's periodic extension produces for in-[0,1] data.
     mapped = np.interp(src_quant, tmp_quant, tmp_values)
-    return mapped[src_bins].astype(source.dtype)
+    return mapped[src_bins].astype(np.float32)
 
 
 def color_match(img: np.ndarray, rgb: np.ndarray) -> np.ndarray:
@@ -139,17 +138,22 @@ def color_match(img: np.ndarray, rgb: np.ndarray) -> np.ndarray:
       (H, W, 3) float32 image in [0, 1].
     """
     H, W, _ = img.shape
-    flat = img.reshape(-1, 3).copy()
-    rows = np.repeat(np.arange(H), W).astype(np.float64)
+    flat = np.array(img.reshape(-1, 3), dtype=np.float32)
+    # ONE truncating int conversion serves the black mask and all three
+    # channel-bin lookups (the repeated 2M-pixel int64 astypes dominated the
+    # preprocessing wall time otherwise). int truncation matches the
+    # reference's .long() semantics.
+    flat_i = (flat * 255).astype(np.int32)
+    nonblack = flat_i.sum(-1) > 0
+    rows = np.repeat(np.arange(H, dtype=np.float32), W)
     sin_w = np.sin(rows / H * np.pi)
 
-    nonblack = (flat * 255).astype(np.int64).sum(-1) > 0
-    tgt = flat[nonblack]
+    src_i = flat_i[nonblack]
     w = sin_w[nonblack]
 
-    matched = np.empty_like(tgt)
+    matched = np.empty((src_i.shape[0], 3), np.float32)
     for c in range(3):
-        matched[:, c] = _match_cdf_channel(tgt[:, c], rgb[:, c], w)
+        matched[:, c] = _match_cdf_channel(src_i[:, c], rgb[:, c], w)
 
     flat[nonblack] = matched
-    return flat.reshape(H, W, 3).astype(np.float32)
+    return flat.reshape(H, W, 3)
