@@ -119,6 +119,16 @@ def test_save_and_reload(tmp_path):
     assert cfg2.dataset == cfg.dataset
 
 
+def test_override_list_value(tmp_path):
+    """List-valued overrides (e.g. area lists) parse through the grammar."""
+    p = tmp_path / "c.ini"
+    p.write_text(_STANFORD_INI)
+    cfg = parse_ini(str(p))
+    cfg = apply_overrides(cfg, "area=1,2")
+    # trailing grammar: 'area=1,2' -> [1, 2] (comma list, all numeric)
+    assert cfg.area == [1, 2]
+
+
 def test_cfg_get_defaults():
     cfg = make_config(dataset="OmniScenes")
     assert cfg_get(cfg, "num_iter", 100) == 100

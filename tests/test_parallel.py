@@ -32,6 +32,16 @@ def test_devices_available():
     assert len(jax.devices()) == 8, jax.devices()
 
 
+def test_make_mesh_explicit_single_axis():
+    """Explicitly fixing ONE axis fills only the other (regression)."""
+    m = make_mesh(n_cand=4)
+    assert m.shape == {"cand": 4, "point": 2}
+    m = make_mesh(n_point=8)
+    assert m.shape == {"cand": 1, "point": 8}
+    m = make_mesh()
+    assert m.shape == {"cand": 2, "point": 4}
+
+
 @pytest.mark.parametrize("n_cand,n_point", [(1, 8), (2, 4), (4, 2), (8, 1)])
 def test_sharded_matches_single_device(scene, n_cand, n_point):
     """Short-horizon trajectories must match tightly across every mesh
