@@ -24,7 +24,6 @@ import csv
 import os
 import subprocess
 import sys
-import textwrap
 
 _CONFIG = """\
 [Dataset]
@@ -92,17 +91,27 @@ def main() -> None:
         f.write("# stub: imported but unused by the reference\n")
 
     link = os.path.join(args.workdir, "data")
-    if not os.path.exists(link):
-        os.symlink(args.data, link)
+    target = os.path.abspath(args.data)
+    if os.path.lexists(link):
+        if os.path.realpath(link) != os.path.realpath(target):
+            os.remove(link)  # re-point a stale/dangling link
+            os.symlink(target, link)
+    else:
+        os.symlink(target, link)
     cfg = os.path.join(args.workdir, "cfg.ini")
     with open(cfg, "w") as f:
         f.write(_CONFIG)
     wrapper = os.path.join(args.workdir, "run_ref.py")
     with open(wrapper, "w") as f:
-        f.write(textwrap.dedent(_WRAPPER))
+        f.write(_WRAPPER)
 
     env = dict(os.environ)
-    env["PYTHONPATH"] = args.reference + os.pathsep + stubs
+    # prepend (never replace — see CLAUDE.md): the reference and stubs must
+    # win name resolution, but inherited entries stay intact
+    inherited = env.get("PYTHONPATH", "")
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in (args.reference, stubs, inherited) if p
+    )
     log = os.path.join(args.workdir, "log")
     subprocess.run(
         [sys.executable, wrapper, os.path.join(args.reference, "main.py"),
@@ -114,11 +123,14 @@ def main() -> None:
         rows = [r for r in csv.reader(f)][1:]
     times = [float(r[9]) for r in rows if len(r) > 9]
     t_errs = [float(r[7]) for r in rows if len(r) > 9]
-    times.sort()
+    import statistics
+
     print(
         f"reference: {len(times)} queries, sec/pano="
-        f"{[round(t, 2) for t in times]} (median {times[len(times) // 2]:.2f}), "
-        f"t_err={[round(e, 4) for e in t_errs]}"
+        f"{[round(t, 2) for t in times]} "
+        f"(median {statistics.median(times):.2f}), "
+        f"t_err={[round(e, 4) for e in t_errs]}  "
+        "(lists in query order)"
     )
 
 
