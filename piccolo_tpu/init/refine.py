@@ -28,7 +28,7 @@ import numpy as np
 from ..loss import Pose, sampling_loss_packed
 from ..ops.histogram import bin_ids, block_histograms
 from ..ops.sampling import pack_bilinear_blocks
-from ..ops.pano import render_attr_min
+from ..ops.pano import attr_min_decode, attr_min_keys
 from ..ops.rotation import rot_from_ypr
 from .candidates import generate_rot_points, generate_trans_points
 
@@ -146,7 +146,8 @@ def hist_scores(
 
 
 def hist_scores_core(
-    img, xyz, rgb, trans, ypr, pm, num_split_h, num_split_w, chunk
+    img, xyz, rgb, trans, ypr, pm, num_split_h, num_split_w, chunk,
+    point_axis: Optional[str] = None,
 ):
     """Jit-inlinable body of hist_scores (shared with pipeline.py).
 
@@ -159,6 +160,11 @@ def hist_scores_core(
     Points whose colour is exactly black count as background, matching the
     reference's proj==0 mask on the rendered image — encoded by binning
     them to a sentinel (bin 512) excluded from the histogram.
+
+    ``point_axis`` names a shard_map mesh axis along which the cloud
+    (xyz/rgb/pm) is sharded: each shard's local z-buffer key buffer is then
+    combined with one ``pmin`` into the exact global z-buffer (scatter-min is
+    associative), making the result bit-identical to the single-device path.
     """
     H, W, _ = img.shape
     sh, sw = num_split_h, num_split_w
@@ -193,7 +199,10 @@ def hist_scores_core(
         R = rot_from_ypr(y)
         cam = jnp.einsum("nj,kj->nk", xyz - t, R, precision="highest")
         # 10 bits cover bins 0..512 (sentinel included)
-        pbin = render_attr_min(cam, rgb_bins, 10, (H, W), pm)  # (H*W,)
+        keys = attr_min_keys(cam, rgb_bins, 10, (H, W), pm)
+        if point_axis is not None:
+            keys = jax.lax.pmin(keys, point_axis)
+        pbin = attr_min_decode(keys, 10)  # (H*W,)
         valid = (pbin >= 0) & (pbin < nb) & pix_ok
         ph = (
             jnp.zeros((sh * sw * nb,), jnp.float32)

@@ -29,7 +29,13 @@ import jax.numpy as jnp
 
 from .projection import spherical_project
 
-__all__ = ["render_pano", "render_winner", "render_attr_min"]
+__all__ = [
+    "render_pano",
+    "render_winner",
+    "render_attr_min",
+    "attr_min_keys",
+    "attr_min_decode",
+]
 
 # (priority, dr, dc): centre has priority 0 (painted last in the reference),
 # idx1..idx8 have priorities 1..8 (idx8 painted first).
@@ -155,6 +161,29 @@ def render_attr_min(
     Returns:
       (H*W,) int32 attribute per pixel, -1 where no point splats.
     """
+    return attr_min_decode(
+        attr_min_keys(xyz, attr, attr_bits, resolution, point_mask), attr_bits
+    )
+
+
+def attr_min_keys(
+    xyz: jnp.ndarray,
+    attr: jnp.ndarray,
+    attr_bits: int,
+    resolution: Tuple[int, int] = (200, 400),
+    point_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """The per-pixel packed min-key buffer behind :func:`render_attr_min`.
+
+    Exposed separately because scatter-min is ASSOCIATIVE: the buffers of
+    disjoint point subsets combine with an elementwise ``jnp.minimum`` (or a
+    ``jax.lax.pmin`` across a sharded point axis) into exactly the buffer of
+    the union — this is how the multi-chip histogram trim renders a cloud
+    sharded across devices (parallel/fused.py).
+
+    Returns (H*W,) int32 keys in sign-flipped unsigned order; pass through
+    :func:`attr_min_decode` to recover the winning attribute.
+    """
     H, W = resolution
     N = xyz.shape[0]
     pix, prio, dist9, valid9 = _tap_expansion(xyz, resolution, point_mask)
@@ -178,8 +207,14 @@ def render_attr_min(
     init_i = jax.lax.bitcast_convert_type(
         sentinel_u ^ jnp.uint32(0x80000000), jnp.int32
     )
-    min_i = jnp.full((H * W,), init_i, dtype=jnp.int32).at[pix].min(key_i)
-    min_u = jax.lax.bitcast_convert_type(min_i, jnp.uint32) ^ jnp.uint32(
+    return jnp.full((H * W,), init_i, dtype=jnp.int32).at[pix].min(key_i)
+
+
+def attr_min_decode(min_keys: jnp.ndarray, attr_bits: int) -> jnp.ndarray:
+    """Winning attribute per pixel from an :func:`attr_min_keys` buffer
+    (-1 where no point splats)."""
+    sentinel_u = jnp.uint32(0xFFFFFFFF)
+    min_u = jax.lax.bitcast_convert_type(min_keys, jnp.uint32) ^ jnp.uint32(
         0x80000000
     )
     hit = min_u != sentinel_u

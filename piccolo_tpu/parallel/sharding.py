@@ -44,7 +44,13 @@ try:  # jax >= 0.4.31 exposes shard_map at top level
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
-__all__ = ["make_mesh", "solve_sharded", "shard_map", "init_distributed"]
+__all__ = [
+    "make_mesh",
+    "solve_sharded",
+    "shard_map",
+    "init_distributed",
+    "descent_local",
+]
 
 
 def init_distributed(
@@ -120,6 +126,57 @@ def _point_sharded_loss(pose: Pose, xyz, rgb, blocks, height, width, point_mask)
     return jnp.where(count > 0, mean, jnp.inf)
 
 
+def descent_local(
+    img_l, xyz_l, rgb_l, mask_l, t0_l, ypr0_l, lo_l, hi_l,
+    *, num_iter, lr, patience, factor,
+):
+    """Per-shard multi-start descent body (runs INSIDE shard_map).
+
+    Candidates arrive 'cand'-sharded, the cloud 'point'-sharded; every loss
+    and gradient evaluation reconstructs the global mean with one psum, so a
+    candidate's Adam state stays bit-identical across its point-group
+    replicas.  Shared by solve_sharded and the fused sharded pipeline
+    (parallel/fused.py).
+    """
+    H, W, _ = img_l.shape
+    blocks_l = pack_bilinear_blocks(img_l)
+
+    def one(t0, y0):
+        params = Pose(t=t0, yaw=y0[0], pitch=y0[1], roll=y0[2])
+        state = init_adam_plateau(params, lr)
+        # The scheduler scalars start as replicated constants but become
+        # 'cand'-varying after the first step (the loss differs per
+        # candidate); mark them varying up front so the scan carry type
+        # is stable under shard_map's replication tracking.
+        vary = lambda x: jax.lax.pcast(x, ("cand",), to="varying")
+        state = state._replace(
+            lr=vary(state.lr), best=vary(state.best), num_bad=vary(state.num_bad)
+        )
+        vg = jax.value_and_grad(
+            lambda p: _point_sharded_loss(
+                p, xyz_l, rgb_l, blocks_l, H, W, mask_l
+            )
+        )
+
+        def step(carry, _):
+            params, state = carry
+            loss, grads = vg(params)
+            params, state = adam_plateau_step(
+                params, grads, state, loss, patience, factor
+            )
+            params = params._replace(t=jnp.clip(params.t, lo_l, hi_l))
+            return (params, state), loss
+
+        (params, state), losses = jax.lax.scan(
+            step, (params, state), None, length=num_iter
+        )
+        return params, losses[-1], state.lr
+
+    params, losses, lrs = jax.vmap(one)(t0_l, ypr0_l)
+    ypr = jnp.stack([params.yaw, params.pitch, params.roll], axis=-1)
+    return params.t, ypr, losses, lrs
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "num_iter", "lr", "patience", "factor"),
@@ -128,47 +185,11 @@ def _solve_sharded_jit(
     img, xyz, rgb, trans0, ypr0, lo, hi, point_mask,
     *, mesh, num_iter, lr, patience, factor,
 ):
-    def local_descent(img_l, xyz_l, rgb_l, mask_l, t0_l, ypr0_l, lo_l, hi_l):
-        H, W, _ = img_l.shape
-        blocks_l = pack_bilinear_blocks(img_l)
-
-        def one(t0, y0):
-            params = Pose(t=t0, yaw=y0[0], pitch=y0[1], roll=y0[2])
-            state = init_adam_plateau(params, lr)
-            # The scheduler scalars start as replicated constants but become
-            # 'cand'-varying after the first step (the loss differs per
-            # candidate); mark them varying up front so the scan carry type
-            # is stable under shard_map's replication tracking.
-            vary = lambda x: jax.lax.pcast(x, ("cand",), to="varying")
-            state = state._replace(
-                lr=vary(state.lr), best=vary(state.best), num_bad=vary(state.num_bad)
-            )
-            vg = jax.value_and_grad(
-                lambda p: _point_sharded_loss(
-                    p, xyz_l, rgb_l, blocks_l, H, W, mask_l
-                )
-            )
-
-            def step(carry, _):
-                params, state = carry
-                loss, grads = vg(params)
-                params, state = adam_plateau_step(
-                    params, grads, state, loss, patience, factor
-                )
-                params = params._replace(t=jnp.clip(params.t, lo_l, hi_l))
-                return (params, state), loss
-
-            (params, state), losses = jax.lax.scan(
-                step, (params, state), None, length=num_iter
-            )
-            return params, losses[-1], state.lr
-
-        params, losses, lrs = jax.vmap(one)(t0_l, ypr0_l)
-        ypr = jnp.stack([params.yaw, params.pitch, params.roll], axis=-1)
-        return params.t, ypr, losses, lrs
-
     t, ypr, losses, lrs = shard_map(
-        local_descent,
+        functools.partial(
+            descent_local,
+            num_iter=num_iter, lr=lr, patience=patience, factor=factor,
+        ),
         mesh=mesh,
         in_specs=(
             P(),  # img replicated

@@ -116,3 +116,95 @@ def test_sharded_recovers_pose(scene):
         num_iter=80, lr=0.1, patience=5, factor=0.8,
     )
     assert float(jnp.linalg.norm(t - jnp.asarray(gt_t))) < 0.25
+
+
+# ---------------------------------------------------------------------------
+# fused sharded pipeline (all three stages over the mesh)
+
+
+@pytest.fixture(scope="module")
+def fused_scene():
+    from piccolo_tpu.init import default_init_dict
+    from piccolo_tpu.init.candidates import (
+        generate_rot_points,
+        generate_trans_points,
+    )
+
+    rng = np.random.default_rng(5)
+    xyz, rgb = make_room(rng, n_per_wall=800, texture="checker")
+    gt_t = np.array([0.5, -0.4, 0.2], np.float32)
+    gt_ypr = np.array([2.1, 0.0, 0.0], np.float32)
+    img = np.asarray(render_at(xyz, rgb, gt_t, gt_ypr, (64, 128)))
+    lo, hi = cloud_bounds(jnp.asarray(xyz), 0.05)
+
+    init_dict = default_init_dict(
+        xy_only=True, num_trans=20, yaw_only=True, num_yaw=8,
+        num_split_h=4, num_split_w=4,
+    )
+    trans = generate_trans_points(xyz, init_dict)
+    rot = generate_rot_points(init_dict)
+    # pad trans with masked rows (exercises validity carrying)
+    pad = 5
+    valid = np.ones(trans.shape[0] + pad, bool)
+    valid[-pad:] = False
+    trans = np.concatenate([trans, np.zeros((pad, 3), np.float32)])
+    return xyz, rgb, img, np.asarray(lo), np.asarray(hi), trans, rot, valid, gt_t
+
+
+@pytest.mark.parametrize("n_cand,n_point", [(2, 4), (4, 2)])
+def test_fused_sharded_matches_single_device(fused_scene, n_cand, n_point):
+    """The sharded fused pipeline must select the same starting candidates
+    and the same winner as the single-device fused program.
+
+    Short descent horizon on purpose: stage 1+2 selections are (and must be)
+    EXACTLY equal, and at 5 iterations the descent agrees to ~1e-4 — while
+    at long horizons all surviving candidates converge into the GT basin and
+    winner identity degenerates to an f32 psum reduction-order coin flip
+    (same caveat as test_sharded_matches_single_device)."""
+    from piccolo_tpu.parallel import localize_query_sharded
+    from piccolo_tpu.pipeline import localize_query
+
+    xyz, rgb, img, lo, hi, trans, rot, valid, gt_t = fused_scene
+    kw = dict(
+        num_intermediate=12, num_input=4, num_split_h=4, num_split_w=4,
+        num_iter=5, lr=0.1, patience=5, factor=0.8,
+        grid_chunk=8, hist_chunk=4,
+    )
+    ref = localize_query(
+        jnp.asarray(img), jnp.asarray(img), jnp.asarray(xyz), jnp.asarray(rgb),
+        jnp.asarray(trans), jnp.asarray(rot), jnp.asarray(valid),
+        jnp.asarray(lo), jnp.asarray(hi), masked=False, **kw,
+    )
+    mesh = make_mesh(n_cand, n_point)
+    res = localize_query_sharded(
+        mesh, img, img, xyz, rgb, trans, rot, valid, lo, hi, **kw,
+    )
+    # identical starting-candidate selection (stage 1+2 agree): the stage-2
+    # z-buffer pmin combine is exact, stage-1 scores only carry psum noise
+    np.testing.assert_array_equal(
+        np.asarray(res.start_t), np.asarray(ref.start_t)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res.start_ypr), np.asarray(ref.start_ypr)
+    )
+    # identical winner; descent agrees up to f32 psum reduction-order noise
+    assert int(res.winner) == int(ref.winner)
+    np.testing.assert_allclose(
+        np.asarray(res.cand_t), np.asarray(ref.cand_t), atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.cand_loss), np.asarray(ref.cand_loss), atol=1e-3
+    )
+
+
+def test_fused_sharded_recovers_pose(fused_scene):
+    from piccolo_tpu.parallel import localize_query_sharded
+
+    xyz, rgb, img, lo, hi, trans, rot, valid, gt_t = fused_scene
+    mesh = make_mesh()
+    res = localize_query_sharded(
+        mesh, img, img, xyz, rgb, trans, rot, valid, lo, hi,
+        num_intermediate=12, num_input=4, num_iter=80,
+        grid_chunk=8, hist_chunk=4,
+    )
+    assert float(jnp.linalg.norm(res.t - jnp.asarray(gt_t))) < 0.25
