@@ -37,10 +37,11 @@ from ..init import make_input
 from ..init.candidates import generate_rot_points, generate_trans_points
 from ..loss import Pose
 from ..ops.pano import render_pano
+from ..ops.quantile import cloud_bounds, outside_box
 from ..ops.rotation import rot_from_ypr
 from ..pipeline import localize_query
 from ..solver import descend
-from ..utils.profiling import maybe_trace
+from ..utils.profiling import enable_nan_debug, maybe_trace
 from .imaging import imread_rgb, resize
 from .metrics import (
     OMNISCENES_R_THRESH_DEG,
@@ -131,19 +132,16 @@ def _pad_cloud(
 def _order_bounds(xyz: np.ndarray, q: float) -> Tuple[np.ndarray, np.ndarray]:
     """Order-quantile clamp box on the HOST from the unpadded cloud.
 
-    (Padding zeros would poison on-device quantiles; reference semantics are
-    sorted[int(n*q)] per axis — utils.py:208-229.)
+    (Padding zeros would poison on-device quantiles.)  The semantics live in
+    ops.quantile.cloud_bounds — numpy in, numpy math, no device transfer.
     """
-    n = xyz.shape[0]
-    s = np.sort(xyz, axis=0)
-    return s[int(n * q)].astype(np.float32), s[int(n * (1 - q))].astype(np.float32)
+    lo, hi = cloud_bounds(xyz, q)
+    return lo.astype(np.float32), hi.astype(np.float32)
 
 
-def _outside_bounds(lo: np.ndarray, hi: np.ndarray, trans: np.ndarray) -> bool:
-    """Out-of-room gate against precomputed order-quantile bounds
-    (reference utils.out_of_room semantics; strict inequalities)."""
-    t = np.asarray(trans).ravel()[:3]
-    return not bool(np.all((t > lo) & (t < hi)))
+# Out-of-room gate against the precomputed per-room box (strict
+# inequalities); one implementation in ops.quantile.
+_outside_bounds = outside_box
 
 
 def _pad_rgb(rgb_mod: np.ndarray, padded_len: int) -> jnp.ndarray:
@@ -199,6 +197,44 @@ def _gif_frames(traj, k, xyz, rgb, mask, resolution) -> list:
     return frames
 
 
+def _maybe_mesh(cfg):
+    """Build the multi-chip ('cand', 'point') mesh when configured.
+
+    Config keys (no reference counterpart — the reference is single-GPU,
+    SURVEY §2.3):
+      * ``n_devices``: int or 'all' — how many visible devices to mesh over;
+        unset/1 keeps the single-device path.
+      * ``mesh_cand`` / ``mesh_point``: optional explicit factorization
+        (defaults: make_mesh's point-heavy split).
+    """
+    n = cfg_get(cfg, "n_devices")
+    if n in (None, 0, 1):
+        return None
+    from ..parallel import make_mesh
+
+    devices = jax.devices()
+    n = len(devices) if n == "all" else int(n)
+    if n > len(devices):
+        raise ValueError(
+            f"n_devices={n} but only {len(devices)} devices are visible"
+        )
+    if n == 1:
+        return None
+    return make_mesh(
+        cfg_get(cfg, "mesh_cand"), cfg_get(cfg, "mesh_point"),
+        devices=devices[:n],
+    )
+
+
+def _setup_debug(cfg) -> None:
+    """``debug_nans = True`` raises on NaNs inside jitted code — the parity
+    knob for the reference's always-on anomaly detection
+    (reference localize.py:94,320: torch.autograd.set_detect_anomaly).
+    Opt-in here because per-op NaN checks block some XLA fusions."""
+    if cfg_get(cfg, "debug_nans", False):
+        enable_nan_debug(True)
+
+
 def _use_fused(cfg, init_dict) -> bool:
     """Whether the fused single-program pipeline can serve this config.
 
@@ -239,11 +275,9 @@ class _FusedGrids:
         self.valid = jnp.asarray(valid)
 
 
-def _run_fused(img_init, img_main, cache, rgb_used, cfg, init_dict, grids):
-    res = localize_query(
-        jnp.asarray(img_init), jnp.asarray(img_main),
-        cache["xyz"], rgb_used, grids.trans, grids.rot, grids.valid,
-        jnp.asarray(cache["lo"]), jnp.asarray(cache["hi"]), cache["mask"],
+def _run_fused(img_init, img_main, cache, rgb_used, cfg, init_dict, grids,
+               mesh=None):
+    kw = dict(
         num_intermediate=cfg_get(cfg, "num_intermediate", 20),
         num_input=cfg_get(cfg, "num_input", 6),
         num_split_h=init_dict["num_split_h"],
@@ -252,9 +286,21 @@ def _run_fused(img_init, img_main, cache, rgb_used, cfg, init_dict, grids):
         lr=cfg_get(cfg, "lr", 0.1),
         patience=cfg_get(cfg, "patience", 5),
         factor=cfg_get(cfg, "factor", 0.9),
-        masked=True,
     )
-    return res
+    if mesh is not None:
+        from ..parallel import localize_query_sharded
+
+        return localize_query_sharded(
+            mesh, img_init, img_main,
+            cache["xyz"], rgb_used, grids.trans, grids.rot, grids.valid,
+            cache["lo"], cache["hi"], cache["mask"], **kw,
+        )
+    return localize_query(
+        jnp.asarray(img_init), jnp.asarray(img_main),
+        cache["xyz"], rgb_used, grids.trans, grids.rot, grids.valid,
+        jnp.asarray(cache["lo"]), jnp.asarray(cache["hi"]), cache["mask"],
+        masked=True, **kw,
+    )
 
 
 def _shard_queries(cfg, filenames):
@@ -285,6 +331,8 @@ def _seed_everything():
 def localize_stanford(cfg, writer=None, log_dir: str = "./log") -> float:
     """Evaluate every Stanford2D-3D-S query panorama. Returns accuracy."""
     _seed_everything()
+    _setup_debug(cfg)
+    mesh = _maybe_mesh(cfg)
     os.makedirs(log_dir, exist_ok=True)
 
     data_root = cfg_get(cfg, "data_root", "./data")
@@ -400,7 +448,7 @@ def localize_stanford(cfg, writer=None, log_dir: str = "./log") -> float:
                         cache["grids"] = _FusedGrids(cache["xyz_np"], init_dict)
                     fres = _run_fused(
                         img_init, img_main, cache, rgb_used, cfg, init_dict,
-                        cache["grids"],
+                        cache["grids"], mesh,
                     )
                     k = int(fres.winner)
                     t = np.asarray(fres.t)
@@ -452,13 +500,16 @@ def localize_stanford(cfg, writer=None, log_dir: str = "./log") -> float:
             )
 
             half = (img_main.shape[0] // 2, img_main.shape[1] // 2)
-            rendered = _result_render(t, R, cache["xyz"], cache["rgb"], cache["mask"], half)
+            # rendered with the color-processed cloud (rgb_used), matching the
+            # reference whose sharpen rebinds rgb before the result render
+            # (reference localize.py:179,266-279)
+            rendered = _result_render(t, R, cache["xyz"], rgb_used, cache["mask"], half)
             save_result_image(
                 os.path.join(log_dir, "results", f"area_{area}", img_name),
                 orig, rendered,
             )
             if vis and traj is not None:
-                frames = _gif_frames(traj, k, cache["xyz"], cache["rgb"], cache["mask"], half)
+                frames = _gif_frames(traj, k, cache["xyz"], rgb_used, cache["mask"], half)
                 save_gif(
                     os.path.join(
                         log_dir, "gifs", f"area_{area}",
@@ -490,6 +541,8 @@ def localize_stanford(cfg, writer=None, log_dir: str = "./log") -> float:
 def localize_omniscenes(cfg, writer=None, log_dir: str = "./log") -> float:
     """Evaluate every OmniScenes query panorama. Returns accuracy."""
     _seed_everything()
+    _setup_debug(cfg)
+    mesh = _maybe_mesh(cfg)
     os.makedirs(log_dir, exist_ok=True)
 
     data_root = cfg_get(cfg, "data_root", "./data")
@@ -498,7 +551,9 @@ def localize_omniscenes(cfg, writer=None, log_dir: str = "./log") -> float:
     scene_number = cfg_get(cfg, "scene_number")
     sample_rate = cfg_get(cfg, "sample_rate", 1)
     out_q = cfg_get(cfg, "out_of_room_quantile", 0.05)
-    vis = cfg_get(cfg, "visualize", False)
+    # NOTE: no `visualize` GIF path here — the reference's OmniScenes
+    # visualize crashes on a latent NameError (omniloc.py:61, SURVEY §2
+    # latent bugs); the working visual artifact is save_starting_point below.
 
     if cfg_get(cfg, "gravity_aligned", True) is False:
         raise NotImplementedError(
@@ -603,7 +658,7 @@ def localize_omniscenes(cfg, writer=None, log_dir: str = "./log") -> float:
                         cache["grids"] = _FusedGrids(cache["xyz_np"], init_dict)
                     fres = _run_fused(
                         img_init, img_main, cache, rgb_used, cfg, init_dict,
-                        cache["grids"],
+                        cache["grids"], mesh,
                     )
                     k = int(fres.winner)
                     t = np.asarray(fres.t)
@@ -632,8 +687,11 @@ def localize_omniscenes(cfg, writer=None, log_dir: str = "./log") -> float:
                 if cfg_get(cfg, "save_starting_point", False):
                     for idx in range(trans0.shape[0]):
                         Rs = np.asarray(rot_from_ypr(jnp.asarray(rot0[idx])))
+                        # the color-processed cloud, as the reference renders
+                        # its starting points (localize.py:457-471 after the
+                        # rgb rebinds at :396-410)
                         rendered = _result_render(
-                            trans0[idx], Rs, cache["xyz"], cache["rgb"],
+                            trans0[idx], Rs, cache["xyz"], rgb_used,
                             cache["mask"], (H0 // 2, W0 // 2),
                         )
                         save_result_image(

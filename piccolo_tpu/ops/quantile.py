@@ -13,29 +13,45 @@ from __future__ import annotations
 from typing import Tuple
 
 import jax.numpy as jnp
+import numpy as np
 
-__all__ = ["order_quantile", "cloud_bounds", "out_of_room", "pose_search_bounds"]
+__all__ = [
+    "order_quantile",
+    "cloud_bounds",
+    "out_of_room",
+    "outside_box",
+    "pose_search_bounds",
+]
 
 
-def order_quantile(x: jnp.ndarray, q: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def _xp(a):
+    """numpy in -> numpy math (host path, no device transfer); jnp otherwise.
+
+    The clamp-box semantics live ONLY here; both the jitted device callers
+    and the harness's host-side gating share this one implementation.
+    """
+    return np if isinstance(a, np.ndarray) else jnp
+
+
+def order_quantile(x, q: float):
     """Return (sorted[int(n*q)], sorted[int(n*(1-q))]) of a 1-D array.
 
     Exact parity with reference ``utils.quantile`` (utils.py:208-229): the
     *lower* order statistic at index int(n*q), no interpolation.
     """
     n = x.shape[0]
-    s = jnp.sort(x)
+    s = _xp(x).sort(x)
     return s[int(n * q)], s[int(n * (1 - q))]
 
 
-def cloud_bounds(xyz: jnp.ndarray, q: float = 0.05) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def cloud_bounds(xyz, q: float = 0.05):
     """Per-axis (lo, hi) clamp box from order quantiles.
 
     Used for the per-step translation clamp (reference: ``omniloc.py:52-58``)
     and the out-of-room gate. Returns ((3,), (3,)) arrays.
     """
     n = xyz.shape[0]
-    s = jnp.sort(xyz, axis=0)
+    s = _xp(xyz).sort(xyz, axis=0)
     lo = s[int(n * q)]
     hi = s[int(n * (1 - q))]
     return lo, hi
@@ -70,13 +86,20 @@ def pose_search_bounds(
     }
 
 
-def out_of_room(xyz: jnp.ndarray, trans: jnp.ndarray, q: float = 0.05) -> bool:
+def out_of_room(xyz, trans, q: float = 0.05) -> bool:
     """True if ``trans`` falls outside the quantile box of the cloud.
 
     Parity with reference ``utils.out_of_room`` (utils.py:232-254); note the
     strict inequalities.
     """
     lo, hi = cloud_bounds(xyz, q)
-    t = jnp.asarray(trans).reshape(-1)[:3]
-    inside = jnp.all((t > lo) & (t < hi))
-    return not bool(inside)
+    return outside_box(lo, hi, trans)
+
+
+def outside_box(lo, hi, trans) -> bool:
+    """The gate of :func:`out_of_room` against a precomputed clamp box
+    (the harness caches (lo, hi) per room)."""
+    t = np.asarray(trans).reshape(-1)[:3]
+    lo = np.asarray(lo)
+    hi = np.asarray(hi)
+    return not bool(np.all((t > lo) & (t < hi)))

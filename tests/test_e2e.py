@@ -180,3 +180,43 @@ def test_cli_override_and_resume(synth_root, tmp_path):
     ])
     _, rows2 = _read_results(os.path.join(log, "stanford_results.csv"))
     assert len(rows2) == len(rows1)
+
+
+def test_cli_multichip_mesh_matches_single_device(synth_root, tmp_path):
+    """n_devices=8 routes queries through the sharded fused pipeline over the
+    virtual mesh and reproduces the single-device run's CSV (same queries,
+    same accuracy, poses equal up to f32 psum reduction-order noise)."""
+    from piccolo_tpu.main import main
+
+    cfg = _write_cfg(str(tmp_path / "cfg.ini"), "Stanford2D-3D-S", synth_root)
+    log1 = str(tmp_path / "log_single")
+    acc1 = main(["--config", cfg, "--log", log1, "--no-tensorboard"])
+    log8 = str(tmp_path / "log_mesh")
+    acc8 = main([
+        "--config", cfg, "--log", log8, "--no-tensorboard",
+        "--override", "n_devices=8",
+    ])
+
+    hdr1, rows1 = _read_results(os.path.join(log1, "stanford_results.csv"))
+    hdr8, rows8 = _read_results(os.path.join(log8, "stanford_results.csv"))
+    assert hdr1 == hdr8
+    assert acc8 == acc1 == 1.0
+    assert len(rows8) == len(rows1) == 2
+    for r1, r8 in zip(rows1, rows8):
+        assert r1[1] == r8[1]  # same query order
+        assert r1[4] == r8[4] == "0"  # same gating
+        # both runs localize to the same pose basin
+        assert abs(float(r1[7]) - float(r8[7])) < 5e-2  # t_err (m)
+        assert abs(float(r1[8]) - float(r8[8])) < 2.0  # r_err (deg)
+
+
+def test_cli_mesh_rejects_oversubscription(synth_root, tmp_path):
+    """n_devices beyond the visible device count fails loudly, not silently."""
+    from piccolo_tpu.main import main
+
+    cfg = _write_cfg(str(tmp_path / "cfg.ini"), "Stanford2D-3D-S", synth_root)
+    with pytest.raises(ValueError, match="n_devices"):
+        main([
+            "--config", cfg, "--log", str(tmp_path / "log_over"),
+            "--no-tensorboard", "--override", "n_devices=16",
+        ])

@@ -89,3 +89,41 @@ def test_localize_query_batch(rng):
 def test_continue_on_error_config():
     cfg = make_config(dataset="Stanford2D-3D-S", continue_on_error=True)
     assert cfg.continue_on_error is True
+
+
+def test_debug_nans_config_key_raises_on_poisoned_input():
+    """debug_nans=True (the reference's set_detect_anomaly parity knob,
+    localize.py:94,320 — a backward-pass NaN detector) makes a NaN-poisoned
+    gradient evaluation raise instead of silently propagating.
+
+    (A NaN *image* alone doesn't trip it: safe_norm's double-where launders
+    forward NaNs to 0 by design; the gradient path is where poison survives,
+    same as torch's anomaly mode.)"""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from piccolo_tpu.config import make_config
+    from piccolo_tpu.harness.localize import _setup_debug
+    from piccolo_tpu.loss import Pose, sampling_loss
+
+    _setup_debug(make_config(dataset="Stanford2D-3D-S"))  # default: off
+    assert not jax.config.jax_debug_nans
+
+    # poisoned inputs built BEFORE the flag flips (the per-op NaN checker
+    # would otherwise flag the intentional NaN constant's own transfer)
+    img = jnp.asarray(np.random.default_rng(1).random((8, 16, 3)), jnp.float32)
+    xyz = jnp.full((64, 3), np.nan, jnp.float32)
+    rgb = jnp.ones((64, 3), jnp.float32) * 0.5
+    pose = Pose(t=jnp.zeros(3), yaw=jnp.float32(0.1),
+                pitch=jnp.float32(0.0), roll=jnp.float32(0.0))
+    jax.block_until_ready(xyz)
+
+    _setup_debug(make_config(dataset="Stanford2D-3D-S", debug_nans=True))
+    try:
+        grad_fn = jax.jit(jax.grad(lambda p: sampling_loss(p, xyz, rgb, img)))
+        with pytest.raises(FloatingPointError):
+            jax.block_until_ready(grad_fn(pose))
+    finally:
+        jax.config.update("jax_debug_nans", False)
