@@ -2,16 +2,22 @@
 """Official benchmark: end-to-end panorama localization throughput.
 
 Runs the complete pipeline (two-stage init + multi-start descent) on a
-synthetic room at reference-benchmark scale (Stanford-style: 60k-point
-cloud, 1024x512 panorama, 50-translation x 8-yaw init budget, 6 starts x
-100 Adam iterations) and prints ONE JSON line:
+synthetic room at reference-benchmark scale and prints ONE JSON line:
 
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+Modes:
+  (default)     Stanford-scale: 60k-point cloud, 1024x512 pano, 50-trans x
+                8-yaw init -> top-20 -> 6 starts x 100 Adam iters.
+  --omniscenes  OmniScenes-scale (reference configs/omniscenes.ini budget):
+                60k-point cloud, 2048x1024 pano, 150-trans (z_prior) x 8-yaw
+                init at full resolution -> top-50 -> 6 starts x 100 iters.
+  --staged      three-stage dispatch path instead of the fused program.
 
 ``vs_baseline`` compares against the PyTorch reference running the SAME
 workload (same synthetic scene generator, same budgets) measured on this
 machine's CPU — the only hardware both frameworks can share here; see
-BASELINE.md for the measurement and for the reference's GPU-era context.
+BASELINE.md for the measurements and for the reference's GPU-era context.
 """
 
 from __future__ import annotations
@@ -22,12 +28,17 @@ import time
 
 import numpy as np
 
-# Reference wall time for this exact workload (sec/pano, steady-state), from
-# running /root/reference main.py (unmodified, env-compat shims only) on the
-# same synthetic dataset on this machine's CPU — measurement recorded in
-# BASELINE.md ("Measured baseline" table, 2026-08-16): per-query times
-# 43.83/38.83/45.97 s, median 43.83, at t_err 3-9 mm (accuracy 3/3).
-BASELINE_SEC_PER_PANO_CPU = 43.83
+# Reference wall times for these exact workloads (sec/pano, steady-state,
+# median), from running /root/reference main.py (unmodified, env-compat
+# shims only) on the same synthetic datasets on this machine's CPU —
+# measurements recorded in BASELINE.md ("Measured baseline" tables):
+#   stanford   (2026-08-16): 43.83/38.83/45.97 s -> median 43.83, t_err 3-9 mm
+#   omniscenes (2026-08-16): measured by scripts/measure_reference_baseline.py
+#                            --dataset omniscenes (see BASELINE.md)
+BASELINE_SEC_PER_PANO_CPU = {
+    "stanford": 43.83,
+    "omniscenes": 83.78,
+}
 
 
 def main() -> None:
@@ -60,6 +71,26 @@ def main() -> None:
 
     enable_compilation_cache()
 
+    mode = "omniscenes" if "--omniscenes" in sys.argv else "stanford"
+    if mode == "omniscenes":
+        # reference configs/omniscenes.ini budget; init runs at full pano
+        # resolution (the reference halves init_downsample 2 -> 1,
+        # localize.py:349-350, so init == main == 2048x1024)
+        # z_prior None (not the shipped 1.5): the synthetic rooms are
+        # z-centered, unlike real OmniScenes floors at z=0 — the prior would
+        # pin candidates to the ceiling. Grid SIZE (and so timing) is
+        # unchanged; the measured reference baseline uses the same setting
+        # (scripts/measure_reference_baseline.py).
+        pano_hw = (1024, 2048)
+        init_step = 1
+        init_kw = dict(num_trans=150, z_prior=None)
+        num_intermediate = 50
+    else:
+        pano_hw = (512, 1024)
+        init_step = 2  # init downsample 2 (reference stanford default)
+        init_kw = dict(num_trans=50, z_prior=None)
+        num_intermediate = 20
+
     rng = np.random.default_rng(7)
     size = (6.0, 4.0, 3.0)
     xyz, rgb = make_room(rng, n_per_wall=10000, size=size, texture="checker")
@@ -67,8 +98,8 @@ def main() -> None:
     lo, hi = _order_bounds(xyz, 0.05)
 
     init_dict = default_init_dict(
-        xy_only=True, num_trans=50, yaw_only=True, num_yaw=8,
-        z_prior=None, num_split_h=4, num_split_w=4,
+        xy_only=True, yaw_only=True, num_yaw=8,
+        num_split_h=4, num_split_w=4, **init_kw,
     )
     # once-per-room work: candidate grids (host) shipped to device
     trans_grid = generate_trans_points(xyz, init_dict)
@@ -90,22 +121,23 @@ def main() -> None:
     def one_query(seed: int):
         q = np.random.default_rng(seed)
         gt_t, gt_ypr = random_pose_inside(q, size)
-        img_main = render_at(xyz, rgb, gt_t, gt_ypr, (512, 1024))
-        img_init = img_main[::2, ::2]  # init downsample 2 (reference default)
+        img_main = render_at(xyz, rgb, gt_t, gt_ypr, pano_hw)
+        img_init = img_main[::init_step, ::init_step]
         np.asarray(img_init[0, 0])  # force the GT render to finish pre-timer
         t0 = time.time()
         if use_fused:
             res = localize_query(
                 img_init, img_main, xyz_d, rgb_d, trans_grid, rot_grid,
                 trans_valid, lo_d, hi_d, mask_d,
-                num_intermediate=20, num_input=6, num_iter=100,
+                num_intermediate=num_intermediate, num_input=6, num_iter=100,
                 lr=0.1, patience=5, factor=0.8, masked=True,
             )
             t = np.asarray(res.t)
         else:
             t1, r1 = trim_by_loss(
                 img_init, xyz_d, rgb_d,
-                trans_grid, rot_grid, 20, mask_d, valid=trans_valid,
+                trans_grid, rot_grid, num_intermediate, mask_d,
+                valid=trans_valid,
             )
             t2, r2 = trim_by_hist(
                 img_init, xyz_d, rgb_d, t1, r1, 6, 4, 4, mask_d
@@ -130,14 +162,17 @@ def main() -> None:
         errs.append(t_err)
 
     sec_per_pano = float(np.median(times))
+    baseline = BASELINE_SEC_PER_PANO_CPU.get(mode)
+    label = {
+        "stanford": "init+descent, 60k pts, 1024x512",
+        "omniscenes": "init+descent, 60k pts, 2048x1024, 150-trans",
+    }[mode]
     out = {
-        "metric": "sec_per_pano_end_to_end (init+descent, 60k pts, 1024x512)",
+        "metric": f"sec_per_pano_end_to_end ({label})",
         "value": round(sec_per_pano, 4),
         "unit": "s/pano",
         "vs_baseline": (
-            round(BASELINE_SEC_PER_PANO_CPU / sec_per_pano, 2)
-            if BASELINE_SEC_PER_PANO_CPU
-            else None
+            round(baseline / sec_per_pano, 2) if baseline else None
         ),
         "panos_per_sec": round(1.0 / sec_per_pano, 3),
         "median_t_err_m": round(float(np.median(errs)), 4),

@@ -166,6 +166,25 @@ def render_attr_min(
     )
 
 
+def _shift_min_rows(buf: jnp.ndarray, d: int, sentinel) -> jnp.ndarray:
+    """S[r] = min over r0 with clip(r0+d, 0, H-1) == r of buf[r0] (|d| <= 1).
+
+    The clipped tap write means a border row absorbs the rows that clamp
+    onto it; everywhere else it is a plain shift with a sentinel fill.
+    """
+    if d == 0:
+        return buf
+    H = buf.shape[0]
+    sent_row = jnp.full((1,) + buf.shape[1:], sentinel, buf.dtype)
+    if d == 1:
+        return jnp.concatenate(
+            [sent_row, buf[: H - 2], jnp.minimum(buf[H - 2 : H - 1], buf[H - 1 :])]
+        )
+    return jnp.concatenate(
+        [jnp.minimum(buf[:1], buf[1:2]), buf[2:], sent_row]
+    )
+
+
 def attr_min_keys(
     xyz: jnp.ndarray,
     attr: jnp.ndarray,
@@ -175,39 +194,68 @@ def attr_min_keys(
 ) -> jnp.ndarray:
     """The per-pixel packed min-key buffer behind :func:`render_attr_min`.
 
-    Exposed separately because scatter-min is ASSOCIATIVE: the buffers of
-    disjoint point subsets combine with an elementwise ``jnp.minimum`` (or a
-    ``jax.lax.pmin`` across a sharded point axis) into exactly the buffer of
-    the union — this is how the multi-chip histogram trim renders a cloud
-    sharded across devices (parallel/fused.py).
+    The splat's tap dilation is NOT scattered: TPU scatter-min throughput is
+    row-count-bound (~5x slower per row than gather, docs/PERFORMANCE.md),
+    so only the N center taps scatter — one (dist | attr) key per point —
+    and the 9-tap dilation becomes a dense stencil over the pixel grid:
+    per tap, a clip-aware shifted copy of the center buffer with the tap's
+    priority prepended, min-reduced elementwise (VPU work, fused by XLA).
+    Winners are bit-identical to scattering all 9N taps: the priority
+    prefix is monotone in the center key, so min-over-taps of
+    min-over-points == min over (point, tap) pairs.
+
+    Exposed separately because the result is ASSOCIATIVE under elementwise
+    min: buffers of disjoint point subsets combine with ``jnp.minimum`` (or
+    a ``jax.lax.pmin`` across a sharded point axis) into exactly the buffer
+    of the union — min commutes with the monotone per-tap map, so this is
+    how the multi-chip histogram trim renders a sharded cloud
+    (parallel/fused.py).
 
     Returns (H*W,) int32 keys in sign-flipped unsigned order; pass through
     :func:`attr_min_decode` to recover the winning attribute.
     """
     H, W = resolution
     N = xyz.shape[0]
-    pix, prio, dist9, valid9 = _tap_expansion(xyz, resolution, point_mask)
 
+    dist = jnp.sqrt(jnp.sum(xyz * xyz, axis=-1))
+    coords = spherical_project(xyz)  # (N, 2) in [-1, 1]
+    px = (coords[..., 0] + 1.0) / 2.0 * (W - 1)
+    py = (coords[..., 1] + 1.0) / 2.0 * (H - 1)
+    col0 = jnp.floor(px).astype(jnp.int32)
+    row0 = jnp.floor(py).astype(jnp.int32)
+
+    # center key: truncated distance then attr (28 bits, positive int32)
     dist_bits_n = 28 - attr_bits
     dist_bits = jax.lax.bitcast_convert_type(
-        jnp.maximum(dist9, 0.0), jnp.uint32
+        jnp.maximum(dist, 0.0), jnp.uint32
     ) >> (32 - dist_bits_n)
-    attr9 = jnp.broadcast_to(attr.astype(jnp.uint32), (9, N)).reshape(-1)
-    key_u = (
-        (prio.astype(jnp.uint32) << 28)
-        | (dist_bits << attr_bits)
-        | attr9
+    key28 = ((dist_bits << attr_bits) | attr.astype(jnp.uint32)).astype(
+        jnp.int32
     )
-    sentinel_u = jnp.uint32(0xFFFFFFFF)
-    key_u = jnp.where(valid9, key_u, sentinel_u)
-    # unsigned order -> signed order: flip the sign bit
-    key_i = jax.lax.bitcast_convert_type(
-        key_u ^ jnp.uint32(0x80000000), jnp.int32
+    sent28 = jnp.int32((1 << 28) - 1)
+    if point_mask is not None:
+        key28 = jnp.where(point_mask, key28, sent28)
+    buf = (
+        jnp.full((H * W,), sent28, jnp.int32)
+        .at[row0 * W + col0]
+        .min(key28)
+        .reshape(H, W)
     )
-    init_i = jax.lax.bitcast_convert_type(
-        sentinel_u ^ jnp.uint32(0x80000000), jnp.int32
-    )
-    return jnp.full((H * W,), init_i, dtype=jnp.int32).at[pix].min(key_i)
+
+    # dense tap dilation: min over the 9 priorities of shifted center keys
+    miss_u = jnp.uint32(0xFFFFFFFF)
+    out_u = jnp.full((H, W), miss_u, jnp.uint32)
+    for p, dr, dc in _TAPS:
+        s = _shift_min_rows(buf, dr, sent28)
+        s = _shift_min_rows(s.T, dc, sent28).T
+        cand = (jnp.uint32(p) << 28) | s.astype(jnp.uint32)
+        cand = jnp.where(s == sent28, miss_u, cand)
+        out_u = jnp.minimum(out_u, cand)
+
+    # unsigned order -> signed order (for scatter/pmin consumers downstream)
+    return jax.lax.bitcast_convert_type(
+        out_u ^ jnp.uint32(0x80000000), jnp.int32
+    ).reshape(-1)
 
 
 def attr_min_decode(min_keys: jnp.ndarray, attr_bits: int) -> jnp.ndarray:

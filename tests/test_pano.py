@@ -102,3 +102,55 @@ def test_vmap_batched_render(rng):
         np.testing.assert_allclose(
             np.asarray(batched[i]), np.asarray(single), atol=1e-5
         )
+
+
+def test_attr_min_matches_pairwise_bruteforce(rng):
+    """The dense tap-dilation z-buffer (center scatter + shifted mins) must
+    equal a brute-force min over ALL (point, tap) pairs — including the
+    clipped-border folds, where border pixels absorb extra taps."""
+    from piccolo_tpu.ops.pano import attr_min_keys, attr_min_decode
+    from piccolo_tpu.ops.projection import spherical_project
+
+    H, W = 12, 24  # tiny: borders dominate
+    N, bits = 600, 10
+    xyz = rng.normal(size=(N, 3)).astype(np.float32) * 2 + 0.05
+    attr = rng.integers(0, 1 << 9, size=N).astype(np.int32)
+    mask = rng.random(N) > 0.1
+
+    got = np.asarray(
+        attr_min_decode(
+            attr_min_keys(jnp.asarray(xyz), jnp.asarray(attr), bits, (H, W),
+                          jnp.asarray(mask)),
+            bits,
+        )
+    ).reshape(H, W)
+
+    # brute force over (point, tap) pairs with the exact packed-key order
+    coords = np.asarray(spherical_project(jnp.asarray(xyz)))
+    px = (coords[:, 0] + 1) / 2 * (W - 1)
+    py = (coords[:, 1] + 1) / 2 * (H - 1)
+    c0 = np.floor(px).astype(int)
+    r0 = np.floor(py).astype(int)
+    dist = np.linalg.norm(xyz, axis=-1)
+    dist_bits = (
+        np.asarray(dist, np.float32).view(np.uint32) >> (32 - (28 - bits))
+    ).astype(np.uint64)
+    taps = [(0, 0, 0), (1, 1, 1), (2, 1, 0), (3, 1, -1), (4, -1, 1),
+            (5, -1, 0), (6, -1, -1), (7, 0, 1), (8, 0, -1)]
+    best = np.full((H, W), np.iinfo(np.uint64).max, np.uint64)
+    best_attr = np.full((H, W), -1, np.int64)
+    for i in range(N):
+        if not mask[i]:
+            continue
+        for p, dr, dc in taps:
+            r = min(max(r0[i] + dr, 0), H - 1)
+            c = min(max(c0[i] + dc, 0), W - 1)
+            key = (
+                (np.uint64(p) << np.uint64(28))
+                | (dist_bits[i] << np.uint64(bits))
+                | np.uint64(attr[i])
+            )
+            if key < best[r, c]:
+                best[r, c] = key
+                best_attr[r, c] = attr[i]
+    np.testing.assert_array_equal(got, best_attr)
