@@ -208,3 +208,33 @@ def test_fused_sharded_recovers_pose(fused_scene):
         grid_chunk=8, hist_chunk=4,
     )
     assert float(jnp.linalg.norm(res.t - jnp.asarray(gt_t))) < 0.25
+
+
+def test_sharded_many_candidates_per_shard(scene):
+    """More candidates than devices on the 'cand' axis (real shards, not
+    just padding clones) must match the single-device solver."""
+    xyz, rgb, img, lo, hi, t0, ypr0, gt_t = scene
+    rng = np.random.default_rng(11)
+    B = 10  # cand axis 4 -> 3 per shard with 2 padding clones
+    t0b = np.asarray(lo + rng.random((B, 3)) * (hi - lo), np.float32)
+    ypr0b = np.zeros((B, 3), np.float32)
+    ypr0b[:, 0] = rng.random(B) * 2 * np.pi
+
+    ref = descend(
+        jnp.asarray(img), jnp.asarray(xyz), jnp.asarray(rgb),
+        jnp.asarray(t0b), jnp.asarray(ypr0b), jnp.asarray(lo), jnp.asarray(hi),
+        num_iter=5, lr=0.1, patience=5, factor=0.8,
+    )
+    mesh = make_mesh(4, 2)
+    _, _, _, res = solve_sharded(
+        mesh, img, xyz, rgb, t0b, ypr0b, lo, hi,
+        num_iter=5, lr=0.1, patience=5, factor=0.8,
+    )
+    assert res.t.shape == (B, 3)
+    np.testing.assert_allclose(np.asarray(res.t), np.asarray(ref.t), atol=5e-3)
+    np.testing.assert_allclose(
+        np.asarray(res.loss), np.asarray(ref.loss), atol=1e-3
+    )
+    assert int(np.argmin(np.asarray(res.loss))) == int(
+        np.argmin(np.asarray(ref.loss))
+    )
