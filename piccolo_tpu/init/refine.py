@@ -148,6 +148,7 @@ def hist_scores(
 def hist_scores_core(
     img, xyz, rgb, trans, ypr, pm, num_split_h, num_split_w, chunk,
     point_axis: Optional[str] = None,
+    use_mxu_hist: Optional[bool] = None,
 ):
     """Jit-inlinable body of hist_scores (shared with pipeline.py).
 
@@ -165,10 +166,23 @@ def hist_scores_core(
     (xyz/rgb/pm) is sharded: each shard's local z-buffer key buffer is then
     combined with one ``pmin`` into the exact global z-buffer (scatter-min is
     associative), making the result bit-identical to the single-device path.
+
+    ``use_mxu_hist`` routes the per-block winner-bin histograms through the
+    batched one-hot MXU kernel (kernels/histogram_mxu.py) instead of XLA's
+    scatter-add — bit-exact (both sum exact 0/1 integers in f32).  Default
+    (None) auto-selects it on TPU for >=1M-pixel images, where the
+    scatter-add's row-count bound dominates the whole stage
+    (docs/PERFORMANCE.md).
     """
     H, W, _ = img.shape
     sh, sw = num_split_h, num_split_w
     nb = _HIST_BINS[0] * _HIST_BINS[1] * _HIST_BINS[2]
+    if use_mxu_hist is None:
+        use_mxu_hist = (
+            point_axis is None
+            and H * W >= (1 << 20)
+            and jax.default_backend() == "tpu"
+        )
 
     img255 = img * 255.0
     img_mask = jnp.sum(img255 == 0.0, axis=-1) != 3
@@ -195,6 +209,19 @@ def hist_scores_core(
     )
     pix_ok = img_mask.reshape(-1) & in_grid.reshape(-1)
 
+    bh_, bw_ = H // sh, W // sw
+
+    def _block_layout(flat):
+        """(H*W,) -> (sh*sw, bh*bw): pixels regrouped per block (remainder
+        rows/cols outside the block grid are sliced off, same set the
+        in_grid mask excludes)."""
+        return (
+            flat.reshape(H, W)[: sh * bh_, : sw * bw_]
+            .reshape(sh, bh_, sw, bw_)
+            .transpose(0, 2, 1, 3)
+            .reshape(sh * sw, bh_ * bw_)
+        )
+
     def one(t, y):
         R = rot_from_ypr(y)
         cam = jnp.einsum("nj,kj->nk", xyz - t, R, precision="highest")
@@ -204,11 +231,18 @@ def hist_scores_core(
             keys = jax.lax.pmin(keys, point_axis)
         pbin = attr_min_decode(keys, 10)  # (H*W,)
         valid = (pbin >= 0) & (pbin < nb) & pix_ok
-        ph = (
-            jnp.zeros((sh * sw * nb,), jnp.float32)
-            .at[block_flat * nb + jnp.clip(pbin, 0, nb - 1)]
-            .add(valid.astype(jnp.float32))
-        ).reshape(sh * sw, nb)
+        if use_mxu_hist:
+            from ..kernels import block_histogram_pallas
+
+            ids = jnp.clip(_block_layout(pbin), 0, nb - 1)
+            msk = _block_layout(valid).astype(jnp.float32)
+            ph = block_histogram_pallas(ids, msk, nb)
+        else:
+            ph = (
+                jnp.zeros((sh * sw * nb,), jnp.float32)
+                .at[block_flat * nb + jnp.clip(pbin, 0, nb - 1)]
+                .add(valid.astype(jnp.float32))
+            ).reshape(sh * sw, nb)
         pc = ph.sum(-1)
         phn = ph / jnp.maximum(pc, 1e-12)[:, None]
         inter = jnp.minimum(phn, img_hn).sum(-1)  # (sh*sw,)

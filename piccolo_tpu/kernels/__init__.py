@@ -8,6 +8,6 @@ one-gather bilinear sampling — while dense reformulations like the MXU
 histogram live here).
 """
 
-from .histogram_mxu import histogram_pallas
+from .histogram_mxu import block_histogram_pallas, histogram_pallas
 
-__all__ = ["histogram_pallas"]
+__all__ = ["histogram_pallas", "block_histogram_pallas"]
