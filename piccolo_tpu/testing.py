@@ -15,7 +15,13 @@ import numpy as np
 from .ops.pano import render_pano
 from .ops.rotation import rot_from_ypr
 
-__all__ = ["make_room", "render_at", "random_pose_inside"]
+__all__ = [
+    "make_room",
+    "make_cluttered_room",
+    "render_at",
+    "random_pose_inside",
+    "pose_outside_occluders",
+]
 
 
 def make_room(
@@ -49,6 +55,87 @@ def make_room(
         pts.append(p)
         cols.append(np.clip(c, 0.05, 1.0).astype(np.float32))
     return np.concatenate(pts), np.concatenate(cols)
+
+
+def make_cluttered_room(
+    rng: np.random.Generator,
+    n_per_wall: int = 4000,
+    size: Tuple[float, float, float] = (6.0, 4.0, 3.0),
+    n_occluders: int = 3,
+    n_per_occluder: int = 2000,
+    texture: str = "checker",
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """A box room with colored box occluders standing inside it.
+
+    Occluders introduce real occlusion and parallax — a harder init/descent
+    oracle than the bare walls of :func:`make_room` (points behind an
+    occluder must lose the z-buffer and must not poison the sampling loss).
+
+    Returns (xyz, rgb, occluders) with occluders an (K, 2, 3) array of
+    axis-aligned (lo, hi) corners, for pose-sampling rejection.
+    """
+    xyz, rgb = make_room(rng, n_per_wall=n_per_wall, size=size, texture=texture)
+    pts, cols, boxes = [xyz], [rgb], []
+    half = np.array(size, np.float32) / 2
+    for k in range(n_occluders):
+        dims = (0.3 + rng.random(3) * np.array([0.7, 0.7, 1.2])).astype(
+            np.float32
+        )
+        # stand on the floor somewhere not hugging a wall
+        center_xy = (rng.random(2).astype(np.float32) - 0.5) * (
+            np.array(size[:2], np.float32) - dims[:2] - 0.6
+        )
+        lo = np.array(
+            [center_xy[0] - dims[0] / 2, center_xy[1] - dims[1] / 2, -half[2]],
+            np.float32,
+        )
+        hi = lo + dims
+        boxes.append(np.stack([lo, hi]))
+        hue = np.zeros(3, np.float32)
+        hue[k % 3] = 0.8
+        hue[(k + 1) % 3] = 0.3 + 0.4 * rng.random()
+        for axis in range(3):
+            for sign in (0, 1):
+                m = n_per_occluder // 6
+                p = (lo + rng.random((m, 3)).astype(np.float32) * dims)
+                p[:, axis] = hi[axis] if sign else lo[axis]
+                uv = p[:, [d for d in range(3) if d != axis]]
+                c = np.clip(
+                    hue[None, :]
+                    + 0.25 * np.sin(12.0 * uv[:, :1])
+                    + 0.15 * uv[:, 1:2],
+                    0.05,
+                    1.0,
+                ).astype(np.float32)
+                pts.append(p)
+                cols.append(np.broadcast_to(c, (m, 3)).copy())
+    return (
+        np.concatenate(pts),
+        np.concatenate(cols),
+        np.stack(boxes) if boxes else np.zeros((0, 2, 3), np.float32),
+    )
+
+
+def pose_outside_occluders(
+    rng: np.random.Generator,
+    occluders: np.ndarray,
+    size: Tuple[float, float, float] = (6.0, 4.0, 3.0),
+    margin: float = 0.35,
+    clearance: float = 0.25,
+    yaw_only: bool = True,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """random_pose_inside, rejecting poses inside (or hugging) an occluder."""
+    grown = occluders.copy()
+    if grown.size:
+        grown[:, 0] -= clearance
+        grown[:, 1] += clearance
+    for _ in range(200):
+        t, ypr = random_pose_inside(rng, size, margin, yaw_only)
+        if not grown.size or not bool(
+            np.any(np.all((t >= grown[:, 0]) & (t <= grown[:, 1]), axis=1))
+        ):
+            return t, ypr
+    raise RuntimeError("no free pose found among occluders")
 
 
 def render_at(

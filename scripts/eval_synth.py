@@ -1,0 +1,179 @@
+#!/usr/bin/env python
+"""Synthetic accuracy evaluation: many rooms x queries, with occluders.
+
+The real Stanford2D-3D-S / OmniScenes datasets are not downloadable in this
+environment, so accuracy evidence comes from the render-then-recover oracle
+(SURVEY.md par.4) — strengthened here beyond the bench's bare box rooms:
+several room geometries, texture variants, and cluttered rooms with box
+occluders (real occlusion + parallax). Every query runs the production
+fused pipeline at the Stanford benchmark budget and is scored against BOTH
+success criteria.
+
+Usage:
+  PYTHONPATH=/root/repo:$PYTHONPATH python scripts/eval_synth.py \
+      [--rooms 6] [--queries 4] [--points 60000] [--seed 11]
+
+Prints a per-room table and one JSON summary line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax.numpy as jnp  # noqa: E402
+
+from piccolo_tpu.harness.localize import _order_bounds, _pad_cloud  # noqa: E402
+from piccolo_tpu.harness.metrics import (  # noqa: E402
+    OMNISCENES_R_THRESH_DEG,
+    OMNISCENES_T_THRESH,
+    STANFORD_R_THRESH_DEG,
+    STANFORD_T_THRESH,
+    rotation_error_deg,
+    translation_error,
+)
+from piccolo_tpu.init import default_init_dict  # noqa: E402
+from piccolo_tpu.init.candidates import (  # noqa: E402
+    generate_rot_points,
+    generate_trans_points,
+)
+from piccolo_tpu.ops.rotation import rot_from_ypr  # noqa: E402
+from piccolo_tpu.pipeline import localize_query  # noqa: E402
+from piccolo_tpu.testing import (  # noqa: E402
+    make_cluttered_room,
+    make_room,
+    pose_outside_occluders,
+    render_at,
+)
+from piccolo_tpu.utils import enable_compilation_cache  # noqa: E402
+
+_ROOM_SIZES = [
+    (6.0, 4.0, 3.0),
+    (5.0, 5.0, 2.8),
+    (8.0, 3.5, 3.2),
+    (4.5, 6.5, 3.0),
+    (7.0, 5.0, 2.6),
+    (4.0, 4.0, 3.4),
+]
+
+
+def main(argv=None) -> dict:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rooms", type=int, default=6)
+    ap.add_argument("--queries", type=int, default=4)
+    ap.add_argument("--points", type=int, default=60000)
+    ap.add_argument("--height", type=int, default=512)
+    ap.add_argument("--seed", type=int, default=11)
+    args = ap.parse_args(argv)
+
+    enable_compilation_cache()
+    rng = np.random.default_rng(args.seed)
+
+    results = []
+    for ri in range(args.rooms):
+        size = _ROOM_SIZES[ri % len(_ROOM_SIZES)]
+        kind = ("plain", "checker", "cluttered")[ri % 3]
+        if kind == "cluttered":
+            xyz, rgb, occ = make_cluttered_room(
+                rng, n_per_wall=args.points // 8, size=size,
+                n_occluders=2 + ri % 3, n_per_occluder=args.points // 12,
+            )
+        else:
+            xyz, rgb = make_room(
+                rng, n_per_wall=args.points // 6, size=size, texture=kind
+            )
+            occ = np.zeros((0, 2, 3), np.float32)
+
+        xyz_d, rgb_d, mask_d = _pad_cloud(
+            xyz.astype(np.float32), rgb.astype(np.float32)
+        )
+        lo, hi = _order_bounds(xyz, 0.05)
+        init_dict = default_init_dict(
+            xy_only=True, num_trans=50, yaw_only=True, num_yaw=8,
+            z_prior=None, num_split_h=4, num_split_w=4,
+        )
+        trans_grid = generate_trans_points(xyz, init_dict)
+        rot_grid = generate_rot_points(init_dict)
+        pad = (-trans_grid.shape[0]) % 64
+        trans_valid = np.ones(trans_grid.shape[0] + pad, bool)
+        if pad:
+            trans_valid[-pad:] = False
+            trans_grid = np.concatenate(
+                [trans_grid, np.zeros((pad, 3), np.float32)]
+            )
+
+        for qi in range(args.queries):
+            gt_t, gt_ypr = pose_outside_occluders(rng, occ, size)
+            img_main = render_at(
+                xyz, rgb, gt_t, gt_ypr, (args.height, 2 * args.height)
+            )
+            img_init = img_main[::2, ::2]
+            np.asarray(img_init[0, 0])
+            t0 = time.time()
+            res = localize_query(
+                img_init, img_main, xyz_d, rgb_d,
+                jnp.asarray(trans_grid), jnp.asarray(rot_grid),
+                jnp.asarray(trans_valid), jnp.asarray(lo), jnp.asarray(hi),
+                mask_d, num_intermediate=20, num_input=6, num_iter=100,
+                lr=0.1, patience=5, factor=0.8, masked=True,
+            )
+            t = np.asarray(res.t)
+            elapsed = time.time() - t0
+            R = np.asarray(res.rot)
+            Rgt = np.asarray(rot_from_ypr(jnp.asarray(gt_ypr, jnp.float64)))
+            t_err = translation_error(gt_t, t)
+            r_err = rotation_error_deg(Rgt, R)
+            results.append(
+                dict(room=ri, kind=kind, query=qi, t_err=t_err, r_err=r_err,
+                     sec=elapsed)
+            )
+            print(
+                f"room {ri} ({kind}) q{qi}: t_err={t_err:.4f} m "
+                f"r_err={r_err:.3f} deg  {elapsed:.2f}s",
+                flush=True,
+            )
+
+    t_errs = np.array([r["t_err"] for r in results])
+    r_errs = np.array([r["r_err"] for r in results])
+    stanford_ok = np.sum(
+        (t_errs < STANFORD_T_THRESH) & (r_errs < STANFORD_R_THRESH_DEG)
+    )
+    omni_ok = np.sum(
+        (t_errs < OMNISCENES_T_THRESH) & (r_errs < OMNISCENES_R_THRESH_DEG)
+    )
+    n = len(results)
+    by_kind = {}
+    for kind in ("plain", "checker", "cluttered"):
+        sel = [r for r in results if r["kind"] == kind]
+        if sel:
+            ke = np.array([r["t_err"] for r in sel])
+            kr = np.array([r["r_err"] for r in sel])
+            by_kind[kind] = dict(
+                n=len(sel),
+                stanford_acc=float(
+                    np.mean((ke < STANFORD_T_THRESH) & (kr < STANFORD_R_THRESH_DEG))
+                ),
+                median_t_err=float(np.median(ke)),
+            )
+    summary = dict(
+        queries=n,
+        stanford_accuracy=float(stanford_ok / n),
+        omniscenes_accuracy=float(omni_ok / n),
+        median_t_err_m=float(np.median(t_errs)),
+        median_r_err_deg=float(np.median(r_errs)),
+        median_sec_per_pano=float(np.median([r["sec"] for r in results])),
+        by_kind=by_kind,
+    )
+    print(json.dumps(summary))
+    return summary
+
+
+if __name__ == "__main__":
+    main()

@@ -127,3 +127,52 @@ def test_debug_nans_config_key_raises_on_poisoned_input():
             jax.block_until_ready(grad_fn(pose))
     finally:
         jax.config.update("jax_debug_nans", False)
+
+
+def test_cluttered_room_recovers_pose():
+    """Occluded/cluttered scene: the pipeline must still localize (points
+    behind occluders lose the z-buffer without poisoning the loss)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from piccolo_tpu.harness.localize import _order_bounds, _pad_cloud
+    from piccolo_tpu.init import default_init_dict
+    from piccolo_tpu.init.candidates import (
+        generate_rot_points,
+        generate_trans_points,
+    )
+    from piccolo_tpu.pipeline import localize_query
+    from piccolo_tpu.testing import (
+        make_cluttered_room,
+        pose_outside_occluders,
+        render_at,
+    )
+
+    rng = np.random.default_rng(4)
+    size = (5.0, 4.0, 2.8)
+    xyz, rgb, occ = make_cluttered_room(
+        rng, n_per_wall=900, size=size, n_occluders=2, n_per_occluder=600
+    )
+    assert occ.shape == (2, 2, 3)
+    gt_t, gt_ypr = pose_outside_occluders(rng, occ, size)
+    img = render_at(xyz, rgb, gt_t, gt_ypr, (96, 192))
+
+    xyz_d, rgb_d, mask_d = _pad_cloud(
+        xyz.astype(np.float32), rgb.astype(np.float32)
+    )
+    lo, hi = _order_bounds(xyz, 0.05)
+    init_dict = default_init_dict(
+        xy_only=True, num_trans=20, yaw_only=True, num_yaw=8,
+        z_prior=None, num_split_h=4, num_split_w=4,
+    )
+    tg = generate_trans_points(xyz, init_dict)
+    rg = generate_rot_points(init_dict)
+    res = localize_query(
+        img, img, xyz_d, rgb_d, jnp.asarray(tg), jnp.asarray(rg),
+        jnp.ones(tg.shape[0], bool), jnp.asarray(lo), jnp.asarray(hi),
+        mask_d, num_intermediate=16, num_input=6, num_iter=80,
+        lr=0.1, patience=5, factor=0.8, masked=True,
+        grid_chunk=8, hist_chunk=4,
+    )
+    t_err = float(np.linalg.norm(np.asarray(res.t) - gt_t))
+    assert t_err < 0.2, t_err
