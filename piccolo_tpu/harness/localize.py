@@ -61,6 +61,7 @@ from .outputs import (
     save_gif,
     save_result_image,
 )
+from .prefetch import AsyncWriter, Prefetcher
 
 __all__ = ["localize_stanford", "localize_omniscenes", "get_init_dict"]
 
@@ -393,138 +394,161 @@ def localize_stanford(cfg, writer=None, log_dir: str = "./log") -> float:
     main_dw = cfg_get(cfg, "main_downsample_w", 1)
     continue_on_error = cfg_get(cfg, "continue_on_error", False)
 
-    cache = {"pcd": None}
     failed, skipped = [], []
+    init_dict = get_init_dict(cfg)
+    fused = _use_fused(cfg, init_dict)
+    sharpen = cfg_get(cfg, "sharpen_color", False)
+    num_bins = cfg_get(cfg, "num_bins", 256)
+    # Host work for query k+1 (decode, resizes, color prep, cloud/grid load)
+    # runs on a prepare thread while the device computes query k; artifact
+    # encodes run on a writer thread.  Order-preserving — outputs identical
+    # to the sequential loop (see prefetch.py).  host_prefetch=False reverts.
+    prefetch_on = cfg_get(cfg, "host_prefetch", True)
+    prep_cache = {"pcd": None}
 
-    for trial, filename in enumerate(filenames):
+    def _prepare(filename):
         area = int(filename.split(os.sep)[-2].split("_")[-1])
         img_name = os.path.basename(filename)
         room_type = img_name.split("_")[2]
         room_no = img_name.split("_")[3]
-        if img_name in csv_out.done:
-            continue
+        pcd_name = data_mod.stanford_pcd_path(data_root, area, room_type, room_no)
+        if prep_cache["pcd"] != pcd_name:
+            xyz_np, rgb_np = data_mod.read_stanford(pcd_name, sample_rate)
+            xyz_np = xyz_np.astype(np.float32)
+            rgb_np = rgb_np.astype(np.float32)
+            xyz_d, rgb_d, mask_d = _pad_cloud(xyz_np, rgb_np)
+            lo, hi = _order_bounds(xyz_np, out_q)
+            room = dict(
+                pcd=pcd_name, xyz_np=xyz_np, rgb_np=rgb_np,
+                xyz=xyz_d, rgb=rgb_d, mask=mask_d, lo=lo, hi=hi,
+            )
+            if fused:
+                room["grids"] = _FusedGrids(xyz_np, init_dict)
+            prep_cache.clear()
+            prep_cache.update(pcd=pcd_name, room=room)
+        room = prep_cache["room"]
 
-        try:
-            pcd_name = data_mod.stanford_pcd_path(data_root, area, room_type, room_no)
-            if cache["pcd"] != pcd_name:
-                xyz_np, rgb_np = data_mod.read_stanford(pcd_name, sample_rate)
-                xyz_np = xyz_np.astype(np.float32)
-                rgb_np = rgb_np.astype(np.float32)
-                xyz_d, rgb_d, mask_d = _pad_cloud(xyz_np, rgb_np)
-                lo, hi = _order_bounds(xyz_np, out_q)
-                cache.clear()
-                cache.update(
-                    pcd=pcd_name, xyz_np=xyz_np, rgb_np=rgb_np,
-                    xyz=xyz_d, rgb=rgb_d, mask=mask_d, lo=lo, hi=hi,
+        orig = imread_rgb(filename)  # uint8 RGB
+        H0, W0 = orig.shape[:2]
+        img_init = resize(orig, (W0 // init_dw, H0 // init_dh)).astype(np.float32) / 255.0
+        rgb_used = room["rgb"]
+        if sharpen:
+            img_init, rgb_mod = color_mod(img_init, room["rgb_np"], num_bins)
+            rgb_used = _pad_rgb(rgb_mod, int(room["mask"].shape[0]))
+        img_main = resize(orig, (W0 // main_dw, H0 // main_dh)).astype(np.float32) / 255.0
+        gt_trans, gt_rot = data_mod.obtain_gt_stanford(data_root, area, img_name)
+        return dict(
+            area=area, img_name=img_name, room=room, orig=orig,
+            img_init=img_init, img_main=img_main, rgb_used=rgb_used,
+            gt_trans=gt_trans, gt_rot=gt_rot,
+        )
+
+    pending = [f for f in filenames if os.path.basename(f) not in csv_out.done]
+    with AsyncWriter(enabled=prefetch_on) as artifacts:
+        for trial, (filename, outcome) in enumerate(
+            Prefetcher(pending, _prepare, enabled=prefetch_on)
+        ):
+            try:
+                b = Prefetcher.unwrap(outcome)
+                area, img_name = b["area"], b["img_name"]
+                cache = b["room"]
+                gt_trans, gt_rot = b["gt_trans"], b["gt_rot"]
+                rgb_used = b["rgb_used"]
+                img_init, img_main = b["img_init"], b["img_main"]
+
+                if _outside_bounds(cache["lo"], cache["hi"], gt_trans) and not eval_full:
+                    print(f"corrupted file : {filename}, gt_trans is out of the room\n")
+                    skipped.append(filename)
+                    summaries.add_text("skipped rooms", filename)
+                    csv_out.write(
+                        [area, img_name, fmt_array(gt_trans), fmt_array(gt_rot), 1]
+                    )
+                    continue
+
+                start = time.time()
+                with maybe_trace(cfg_get(cfg, "profile_dir")):
+                    if fused:
+                        fres = _run_fused(
+                            img_init, img_main, cache, rgb_used, cfg, init_dict,
+                            cache["grids"], mesh,
+                        )
+                        k = int(fres.winner)
+                        t = np.asarray(fres.t)
+                        R = np.asarray(fres.rot)
+                        loss_k = float(fres.loss)
+                        traj = None
+                    else:
+                        trans0, rot0 = make_input(
+                            jnp.asarray(img_init), cache["xyz"], rgb_used,
+                            cfg_get(cfg, "num_input", 6), init_dict,
+                            cfg_get(cfg, "criterion", "loss_histogram"),
+                            cfg_get(cfg, "num_intermediate", 20),
+                            point_mask=cache["mask"],
+                        )
+                        res, traj = _solve_query(
+                            jnp.asarray(img_main), cache["xyz"], rgb_used,
+                            cache["mask"], cache["lo"], cache["hi"],
+                            trans0, rot0, cfg, want_traj=vis,
+                        )
+                        k = int(jnp.argmin(res.loss))
+                        t = np.asarray(res.t[k])
+                        R = np.asarray(res.rot[k])
+                        loss_k = float(res.loss[k])
+                elapsed = time.time() - start
+
+                t_err = translation_error(gt_trans, t)
+                r_err = rotation_error_deg(gt_rot, R)
+                ok = tracker.update(t_err, r_err)
+                if not ok:
+                    failed.append(filename)
+                    summaries.add_text("failed rooms", filename)
+
+                print(f"\n{img_name}")
+                print(f"min_index : {k}")
+                print(f"min loss : {loss_k}")
+                print(f"translation error : {t_err}")
+                print(f"rotation error : {r_err}\n")
+                print(
+                    f"current accuracy : {tracker.accuracy} "
+                    f"({tracker.well_posed}/{tracker.total})\n"
                 )
+                summaries.add("current_accuracy", tracker.accuracy)
 
-            orig = imread_rgb(filename)  # uint8 RGB
-            H0, W0 = orig.shape[:2]
-            img_init = resize(orig, (W0 // init_dw, H0 // init_dh)).astype(np.float32) / 255.0
-
-            rgb_used = cache["rgb"]
-            if cfg_get(cfg, "sharpen_color", False):
-                num_bins = cfg_get(cfg, "num_bins", 256)
-                img_init, rgb_mod = color_mod(img_init, cache["rgb_np"], num_bins)
-                rgb_used = _pad_rgb(rgb_mod, int(cache["mask"].shape[0]))
-
-            gt_trans, gt_rot = data_mod.obtain_gt_stanford(data_root, area, img_name)
-
-            if _outside_bounds(cache["lo"], cache["hi"], gt_trans) and not eval_full:
-                print(f"corrupted file : {filename}, gt_trans is out of the room\n")
-                skipped.append(filename)
-                summaries.add_text("skipped rooms", filename)
                 csv_out.write(
-                    [area, img_name, fmt_array(gt_trans), fmt_array(gt_rot), 1]
+                    [
+                        area, img_name, fmt_array(gt_trans), fmt_array(gt_rot), 0,
+                        fmt_array(t), fmt_array(R), t_err, r_err, elapsed,
+                    ]
                 )
-                continue
 
-            start = time.time()
-            init_dict = get_init_dict(cfg)
-            img_main = resize(orig, (W0 // main_dw, H0 // main_dh)).astype(np.float32) / 255.0
-            with maybe_trace(cfg_get(cfg, "profile_dir")):
-                if _use_fused(cfg, init_dict):
-                    if "grids" not in cache:
-                        cache["grids"] = _FusedGrids(cache["xyz_np"], init_dict)
-                    fres = _run_fused(
-                        img_init, img_main, cache, rgb_used, cfg, init_dict,
-                        cache["grids"], mesh,
+                half = (img_main.shape[0] // 2, img_main.shape[1] // 2)
+                # rendered with the color-processed cloud (rgb_used), matching the
+                # reference whose sharpen rebinds rgb before the result render
+                # (reference localize.py:179,266-279)
+                rendered = _result_render(t, R, cache["xyz"], rgb_used, cache["mask"], half)
+                artifacts.submit(
+                    save_result_image,
+                    os.path.join(log_dir, "results", f"area_{area}", img_name),
+                    b["orig"], rendered,
+                )
+                if vis and traj is not None:
+                    frames = _gif_frames(traj, k, cache["xyz"], rgb_used, cache["mask"], half)
+                    artifacts.submit(
+                        save_gif,
+                        os.path.join(
+                            log_dir, "gifs", f"area_{area}",
+                            img_name.split(".")[0] + ".gif",
+                        ),
+                        frames,
                     )
-                    k = int(fres.winner)
-                    t = np.asarray(fres.t)
-                    R = np.asarray(fres.rot)
-                    loss_k = float(fres.loss)
-                    traj = None
-                else:
-                    trans0, rot0 = make_input(
-                        jnp.asarray(img_init), cache["xyz"], rgb_used,
-                        cfg_get(cfg, "num_input", 6), init_dict,
-                        cfg_get(cfg, "criterion", "loss_histogram"),
-                        cfg_get(cfg, "num_intermediate", 20),
-                        point_mask=cache["mask"],
-                    )
-                    res, traj = _solve_query(
-                        jnp.asarray(img_main), cache["xyz"], rgb_used,
-                        cache["mask"], cache["lo"], cache["hi"],
-                        trans0, rot0, cfg, want_traj=vis,
-                    )
-                    k = int(jnp.argmin(res.loss))
-                    t = np.asarray(res.t[k])
-                    R = np.asarray(res.rot[k])
-                    loss_k = float(res.loss[k])
-            elapsed = time.time() - start
-
-            t_err = translation_error(gt_trans, t)
-            r_err = rotation_error_deg(gt_rot, R)
-            ok = tracker.update(t_err, r_err)
-            if not ok:
+                summaries.write(trial)
+            except Exception:
+                if not continue_on_error:
+                    csv_out.close()
+                    raise
                 failed.append(filename)
-                summaries.add_text("failed rooms", filename)
-
-            print(f"\n{img_name}")
-            print(f"min_index : {k}")
-            print(f"min loss : {loss_k}")
-            print(f"translation error : {t_err}")
-            print(f"rotation error : {r_err}\n")
-            print(
-                f"current accuracy : {tracker.accuracy} "
-                f"({tracker.well_posed}/{tracker.total})\n"
-            )
-            summaries.add("current_accuracy", tracker.accuracy)
-
-            csv_out.write(
-                [
-                    area, img_name, fmt_array(gt_trans), fmt_array(gt_rot), 0,
-                    fmt_array(t), fmt_array(R), t_err, r_err, elapsed,
-                ]
-            )
-
-            half = (img_main.shape[0] // 2, img_main.shape[1] // 2)
-            # rendered with the color-processed cloud (rgb_used), matching the
-            # reference whose sharpen rebinds rgb before the result render
-            # (reference localize.py:179,266-279)
-            rendered = _result_render(t, R, cache["xyz"], rgb_used, cache["mask"], half)
-            save_result_image(
-                os.path.join(log_dir, "results", f"area_{area}", img_name),
-                orig, rendered,
-            )
-            if vis and traj is not None:
-                frames = _gif_frames(traj, k, cache["xyz"], rgb_used, cache["mask"], half)
-                save_gif(
-                    os.path.join(
-                        log_dir, "gifs", f"area_{area}",
-                        img_name.split(".")[0] + ".gif",
-                    ),
-                    frames,
-                )
-            summaries.write(trial)
-        except Exception:
-            if not continue_on_error:
-                csv_out.close()
-                raise
-            failed.append(filename)
-            summaries.add_text("errored rooms", filename)
-            continue
+                summaries.add_text("errored rooms", filename)
+                continue
 
     csv_out.close()
     summaries.write_scalar("final accuracy", tracker.accuracy)
@@ -586,61 +610,90 @@ def localize_omniscenes(cfg, writer=None, log_dir: str = "./log") -> float:
     main_dw = cfg_get(cfg, "main_downsample_w", 1)
     continue_on_error = cfg_get(cfg, "continue_on_error", False)
 
-    cache = {"pcd": None}
     failed, skipped = [], []
+    init_dict = get_init_dict(cfg)
+    fused = _use_fused(cfg, init_dict)
+    prefetch_on = cfg_get(cfg, "host_prefetch", True)
+    prep_cache = {"pcd": None}
 
-    for trial, filename in enumerate(filenames):
+    def _prepare(filename):
         video_name = filename.split(os.sep)[-2]
         img_seq = os.path.basename(filename)
         img_name = f"{video_name}/{img_seq}"
         room_type = video_name.split("_")[1]
         room_no = video_name.split("_")[2]
-        if img_name in csv_out.done:
-            continue
+        pcd_name = data_mod.omniscenes_pcd_path(data_root, room_type, room_no)
+        if prep_cache["pcd"] != pcd_name:
+            xyz_np, rgb_np = data_mod.read_omniscenes(pcd_name, sample_rate)
+            xyz_np = xyz_np.astype(np.float32)
+            rgb_np = rgb_np.astype(np.float32)
+            xyz_d, rgb_d, mask_d = _pad_cloud(xyz_np, rgb_np)
+            lo, hi = _order_bounds(xyz_np, out_q)
+            room = dict(
+                pcd=pcd_name, xyz_np=xyz_np, rgb_np=rgb_np,
+                xyz=xyz_d, rgb=rgb_d, mask=mask_d, lo=lo, hi=hi,
+            )
+            if fused:
+                room["grids"] = _FusedGrids(xyz_np, init_dict)
+            prep_cache.clear()
+            prep_cache.update(pcd=pcd_name, room=room)
+        room = prep_cache["room"]
 
+        orig = resize(imread_rgb(filename), (2048, 1024))  # localize.py:381
+
+        # synthetic illumination ablations (localize.py:384-393)
+        if cfg_get(cfg, "synth_const") is not None:
+            orig = (orig // cfg.synth_const).astype(np.uint8)
+        if cfg_get(cfg, "synth_gamma") is not None:
+            orig = (((orig / 255.0) ** cfg.synth_gamma) * 255).astype(np.uint8)
+        if cfg_get(cfg, "synth_wb"):
+            scaled = orig.astype(np.float64)
+            scaled[..., 0] *= cfg.synth_r
+            scaled[..., 1] *= cfg.synth_g
+            scaled[..., 2] *= cfg.synth_b
+            orig = np.clip(scaled, 0, 255).astype(np.uint8)
+
+        rgb_used = room["rgb"]
+        mod_img = orig.astype(np.float32) / 255.0
+        if cfg_get(cfg, "match_color", False):
+            mod_img = color_match(mod_img, room["rgb_np"])
+            orig = (mod_img * 255).astype(np.uint8)
+        if cfg_get(cfg, "sharpen_color", False):
+            num_bins = cfg_get(cfg, "num_bins", 256)
+            mod_img, rgb_mod = color_mod(mod_img, room["rgb_np"], num_bins)
+            orig = (mod_img * 255).astype(np.uint8)
+            rgb_used = _pad_rgb(rgb_mod, int(room["mask"].shape[0]))
+
+        H0, W0 = orig.shape[:2]
+        img_init = resize(orig, (W0 // init_dw, H0 // init_dh)).astype(np.float32) / 255.0
+        img_main = resize(orig, (W0 // main_dw, H0 // main_dh)).astype(np.float32) / 255.0
+        gt_trans, gt_rot = data_mod.obtain_gt_omniscenes(filename)
+        return dict(
+            video_name=video_name, img_seq=img_seq, img_name=img_name,
+            room=room, orig=orig, img_init=img_init, img_main=img_main,
+            rgb_used=rgb_used, gt_trans=gt_trans, gt_rot=gt_rot,
+            shape=(H0, W0),
+        )
+
+    pending = [
+        f
+        for f in filenames
+        if f"{f.split(os.sep)[-2]}/{os.path.basename(f)}" not in csv_out.done
+    ]
+    artifacts = AsyncWriter(enabled=prefetch_on)
+    for trial, (filename, outcome) in enumerate(
+        Prefetcher(pending, _prepare, enabled=prefetch_on)
+    ):
         try:
-            pcd_name = data_mod.omniscenes_pcd_path(data_root, room_type, room_no)
-            if cache["pcd"] != pcd_name:
-                xyz_np, rgb_np = data_mod.read_omniscenes(pcd_name, sample_rate)
-                xyz_np = xyz_np.astype(np.float32)
-                rgb_np = rgb_np.astype(np.float32)
-                xyz_d, rgb_d, mask_d = _pad_cloud(xyz_np, rgb_np)
-                lo, hi = _order_bounds(xyz_np, out_q)
-                cache.clear()
-                cache.update(
-                    pcd=pcd_name, xyz_np=xyz_np, rgb_np=rgb_np,
-                    xyz=xyz_d, rgb=rgb_d, mask=mask_d, lo=lo, hi=hi,
-                )
-
-            orig = resize(imread_rgb(filename), (2048, 1024))  # localize.py:381
-
-            # synthetic illumination ablations (localize.py:384-393)
-            if cfg_get(cfg, "synth_const") is not None:
-                orig = (orig // cfg.synth_const).astype(np.uint8)
-            if cfg_get(cfg, "synth_gamma") is not None:
-                orig = (((orig / 255.0) ** cfg.synth_gamma) * 255).astype(np.uint8)
-            if cfg_get(cfg, "synth_wb"):
-                scaled = orig.astype(np.float64)
-                scaled[..., 0] *= cfg.synth_r
-                scaled[..., 1] *= cfg.synth_g
-                scaled[..., 2] *= cfg.synth_b
-                orig = np.clip(scaled, 0, 255).astype(np.uint8)
-
-            rgb_used = cache["rgb"]
-            mod_img = orig.astype(np.float32) / 255.0
-            if cfg_get(cfg, "match_color", False):
-                mod_img = color_match(mod_img, cache["rgb_np"])
-                orig = (mod_img * 255).astype(np.uint8)
-            if cfg_get(cfg, "sharpen_color", False):
-                num_bins = cfg_get(cfg, "num_bins", 256)
-                mod_img, rgb_mod = color_mod(mod_img, cache["rgb_np"], num_bins)
-                orig = (mod_img * 255).astype(np.uint8)
-                rgb_used = _pad_rgb(rgb_mod, int(cache["mask"].shape[0]))
-
-            H0, W0 = orig.shape[:2]
-            img_init = resize(orig, (W0 // init_dw, H0 // init_dh)).astype(np.float32) / 255.0
-
-            gt_trans, gt_rot = data_mod.obtain_gt_omniscenes(filename)
+            b = Prefetcher.unwrap(outcome)
+            video_name, img_seq = b["video_name"], b["img_seq"]
+            img_name = b["img_name"]
+            cache = b["room"]
+            gt_trans, gt_rot = b["gt_trans"], b["gt_rot"]
+            rgb_used = b["rgb_used"]
+            img_init, img_main = b["img_init"], b["img_main"]
+            orig = b["orig"]
+            H0, W0 = b["shape"]
 
             if _outside_bounds(cache["lo"], cache["hi"], gt_trans):
                 print(f"corrupted file : {filename}, gt_trans is out of the room\n")
@@ -650,12 +703,8 @@ def localize_omniscenes(cfg, writer=None, log_dir: str = "./log") -> float:
                 continue
 
             start = time.time()
-            init_dict = get_init_dict(cfg)
-            img_main = resize(orig, (W0 // main_dw, H0 // main_dh)).astype(np.float32) / 255.0
             with maybe_trace(cfg_get(cfg, "profile_dir")):
-                if _use_fused(cfg, init_dict):
-                    if "grids" not in cache:
-                        cache["grids"] = _FusedGrids(cache["xyz_np"], init_dict)
+                if fused:
                     fres = _run_fused(
                         img_init, img_main, cache, rgb_used, cfg, init_dict,
                         cache["grids"], mesh,
@@ -694,7 +743,8 @@ def localize_omniscenes(cfg, writer=None, log_dir: str = "./log") -> float:
                             trans0[idx], Rs, cache["xyz"], rgb_used,
                             cache["mask"], (H0 // 2, W0 // 2),
                         )
-                        save_result_image(
+                        artifacts.submit(
+                            save_result_image,
                             os.path.join(
                                 log_dir, "starting_points", video_name,
                                 f"{img_seq.split('.')[0]}_{idx}.png",
@@ -730,12 +780,14 @@ def localize_omniscenes(cfg, writer=None, log_dir: str = "./log") -> float:
         except Exception:
             if not continue_on_error:
                 csv_out.close()
+                artifacts.close()
                 raise
             failed.append(filename)
             summaries.add_text("errored rooms", filename)
             continue
 
     csv_out.close()
+    artifacts.close()
     summaries.write_scalar("final accuracy", tracker.accuracy)
     print(f"Final Accuracy : {tracker.accuracy}")
     print(f"failed {len(failed)} rooms\n")

@@ -22,7 +22,12 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["bilinear_sample", "pack_bilinear_blocks", "bilinear_sample_packed"]
+__all__ = [
+    "bilinear_sample",
+    "pack_bilinear_blocks",
+    "bilinear_sample_packed",
+    "packed_rows_and_weights",
+]
 
 
 def bilinear_sample(
