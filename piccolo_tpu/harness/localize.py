@@ -35,7 +35,6 @@ from ..color import color_match, color_mod
 from ..config import cfg_get
 from ..init import make_input
 from ..init.candidates import generate_rot_points, generate_trans_points
-from ..loss import Pose
 from ..ops.pano import render_pano
 from ..ops.quantile import cloud_bounds, outside_box
 from ..ops.rotation import rot_from_ypr
@@ -266,6 +265,7 @@ class _FusedGrids:
     def __init__(self, xyz_np: np.ndarray, init_dict: Dict):
         trans = generate_trans_points(xyz_np, init_dict)
         rot = generate_rot_points(init_dict)
+        self.n_trans = trans.shape[0]  # real rows (before shape padding)
         pad = (-trans.shape[0]) % self.PAD_MULTIPLE
         valid = np.ones(trans.shape[0] + pad, bool)
         if pad:
@@ -274,6 +274,62 @@ class _FusedGrids:
         self.trans = jnp.asarray(trans, jnp.float32)
         self.rot = jnp.asarray(rot, jnp.float32)
         self.valid = jnp.asarray(valid)
+
+
+def _maybe_slab_plan(cfg, cache, grids, img_init):
+    """Room-static sorted-slab plan for fused stage 1 (``slab_init`` key).
+
+    ``auto`` (default) enables the MXU kernel path on TPU and keeps the XLA
+    path on CPU (the interpret-mode kernel is test-only); True/False force.
+    ``auto`` also skips workloads whose sorted streams would crowd HBM
+    (``slab_bytes_cap``, default 6 GB — e.g. 1M-point clouds at full grids).
+    The plan is cached per (room, init-image size) and covers only the real
+    (non-padding) grid rows; building costs ~0.1 s per candidate group on
+    device (kernels/slab_sampling.py).
+    """
+    mode = cfg_get(cfg, "slab_init", "auto")
+    if mode is False:
+        return None
+    if mode == "auto" and jax.default_backend() == "cpu":
+        return None
+    from ..kernels.slab_sampling import (
+        build_grid_plan,
+        plan_bytes_estimate,
+        slab_worthwhile,
+    )
+
+    n_t = getattr(grids, "n_trans", int(grids.trans.shape[0]))
+    if mode == "auto":
+        n_pairs = n_t * int(grids.rot.shape[0])
+        n_points = int(cache["mask"].shape[0])
+        est = plan_bytes_estimate(n_pairs, n_points)
+        if est > cfg_get(cfg, "slab_bytes_cap", 6 * 10**9):
+            return None
+        # sharpen_color rebinds cloud colors per query, forcing a per-query
+        # target re-bake — only worth it when the XLA gather is slow enough
+        if not slab_worthwhile(
+            n_pairs, n_points, img_init.shape[0], img_init.shape[1],
+            refresh=bool(cfg_get(cfg, "sharpen_color", False)),
+        ):
+            return None
+    key = ("slab_plan", img_init.shape[0], img_init.shape[1])
+    if key not in cache:
+        cache[key] = build_grid_plan(
+            cache["xyz"], cache["rgb"], cache["mask"],
+            grids.trans[:n_t], grids.rot,
+            img_init.shape[0], img_init.shape[1],
+        )
+    return cache[key]
+
+
+def _drop_slab_plans(room) -> None:
+    """Free a finished room's sorted streams (GBs of HBM) promptly —
+    queries are room-contiguous, so once the loop moves on the plan is dead
+    even while prefetched bundles still reference the room dict."""
+    if room is None:
+        return
+    for k in [k for k in room if isinstance(k, tuple) and k[:1] == ("slab_plan",)]:
+        room.pop(k)
 
 
 def _run_fused(img_init, img_main, cache, rgb_used, cfg, init_dict, grids,
@@ -289,6 +345,8 @@ def _run_fused(img_init, img_main, cache, rgb_used, cfg, init_dict, grids,
         factor=cfg_get(cfg, "factor", 0.9),
     )
     if mesh is not None:
+        # the sharded program keeps the XLA stage-1 (each point shard scores
+        # its slice; the sorted-slab layout is a single-device optimization)
         from ..parallel import localize_query_sharded
 
         return localize_query_sharded(
@@ -296,11 +354,14 @@ def _run_fused(img_init, img_main, cache, rgb_used, cfg, init_dict, grids,
             cache["xyz"], rgb_used, grids.trans, grids.rot, grids.valid,
             cache["lo"], cache["hi"], cache["mask"], **kw,
         )
+    plan = _maybe_slab_plan(cfg, cache, grids, img_init)
     return localize_query(
         jnp.asarray(img_init), jnp.asarray(img_main),
         cache["xyz"], rgb_used, grids.trans, grids.rot, grids.valid,
         jnp.asarray(cache["lo"]), jnp.asarray(cache["hi"]), cache["mask"],
-        masked=True, **kw,
+        masked=True, plan=plan,
+        plan_refresh_rgb=plan is not None and rgb_used is not cache["rgb"],
+        **kw,
     )
 
 
@@ -444,6 +505,7 @@ def localize_stanford(cfg, writer=None, log_dir: str = "./log") -> float:
         )
 
     pending = [f for f in filenames if os.path.basename(f) not in csv_out.done]
+    prev_room = None
     with AsyncWriter(enabled=prefetch_on) as artifacts:
         for trial, (filename, outcome) in enumerate(
             Prefetcher(pending, _prepare, enabled=prefetch_on)
@@ -452,6 +514,9 @@ def localize_stanford(cfg, writer=None, log_dir: str = "./log") -> float:
                 b = Prefetcher.unwrap(outcome)
                 area, img_name = b["area"], b["img_name"]
                 cache = b["room"]
+                if prev_room is not None and prev_room is not cache:
+                    _drop_slab_plans(prev_room)
+                prev_room = cache
                 gt_trans, gt_rot = b["gt_trans"], b["gt_rot"]
                 rgb_used = b["rgb_used"]
                 img_init, img_main = b["img_init"], b["img_main"]
@@ -681,6 +746,7 @@ def localize_omniscenes(cfg, writer=None, log_dir: str = "./log") -> float:
         if f"{f.split(os.sep)[-2]}/{os.path.basename(f)}" not in csv_out.done
     ]
     artifacts = AsyncWriter(enabled=prefetch_on)
+    prev_room = None
     for trial, (filename, outcome) in enumerate(
         Prefetcher(pending, _prepare, enabled=prefetch_on)
     ):
@@ -689,6 +755,9 @@ def localize_omniscenes(cfg, writer=None, log_dir: str = "./log") -> float:
             video_name, img_seq = b["video_name"], b["img_seq"]
             img_name = b["img_name"]
             cache = b["room"]
+            if prev_room is not None and prev_room is not cache:
+                _drop_slab_plans(prev_room)
+            prev_room = cache
             gt_trans, gt_rot = b["gt_trans"], b["gt_rot"]
             rgb_used = b["rgb_used"]
             img_init, img_main = b["img_init"], b["img_main"]

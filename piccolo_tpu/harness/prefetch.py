@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Callable, Iterable, Iterator, Sequence, Tuple
+from typing import Callable, Iterator, Sequence, Tuple
 
 __all__ = ["Prefetcher", "AsyncWriter"]
 

@@ -1,0 +1,418 @@
+"""Sorted-slab MXU kernel for stage-1 candidate-grid scoring.
+
+The init loss table (reference ``trim_input_loss``, utils.py:462-507) is the
+hottest forward in the framework: |trans|x|rot| candidate poses each sample
+the init panorama at every cloud point.  As plain XLA this is a gather from
+the packed sampling table, and TPU gather throughput COLLAPSES with table
+size (measured: 2.7e8 rows/s at 6 MB -> 4.5e7 at 100 MB; docs/PERFORMANCE.md
+"gather rate vs table size") — at OmniScenes resolution stage 1 alone costs
+~2.2 s/query.
+
+Key observation: stage-1 sample locations are ROOM-STATIC.  The candidate
+grid and the cloud are fixed per room, so every (pose, point) -> (table row,
+bilinear fractions) pair is known before any query arrives; only the image
+CONTENT changes.  That admits a data layout XLA's gather can never reach:
+
+  * split candidate pairs into groups of 128 and sort each group's
+    (pair, point) samples by table row — group density (~128 x N / rows)
+    makes every run of ~1024 sorted samples span a tiny table window;
+  * pad sample runs so each block lies inside ONE 512-row aligned window
+    (scatter once per room);
+  * per block, the kernel DMAs the 512-row window into VMEM and gathers via
+    a one-hot MXU matmul (the TPU's cross-lane router), fuses the bilinear
+    lerp + color loss, and accumulates per-candidate loss/count with a
+    second one-hot matmul.
+
+Exactness: the table is pre-split into three bf16 parts whose f32 sum
+reconstructs every element exactly (24-bit mantissa = 3 x 8; verified in
+tests), and a one-hot times an exactly-representable operand is an exact
+selection, so the gathered texels are BIT-IDENTICAL to jnp.take.  The loss
+sum differs from the vmapped reduction only in f32 accumulation order
+(~1e-6 relative), which ranking is insensitive to.
+
+Measured on TPU v5e at OmniScenes scale: 749 M samples/s vs 46 M rows/s for
+the XLA gather path (16x); stage-1 2.2 s -> ~0.15 s.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..loss import Pose, transform_cloud
+from ..ops.projection import spherical_project
+from ..ops.sampling import pack_bilinear_blocks, packed_rows_and_weights
+
+__all__ = [
+    "GridPlan",
+    "make_pairs",
+    "build_grid_plan",
+    "slab_pair_scores",
+    "WINDOW",
+    "BLOCK",
+    "GROUP",
+]
+
+WINDOW = 512  # table rows per aligned slab window (VMEM-resident per block)
+BLOCK = 1024  # samples per kernel block (~half the typical window occupancy)
+GROUP = 128   # candidate pairs per group (one-hot accumulator width)
+
+# field order in the packed (8, BLOCK) sample block; _F_PID rides the spare
+# sublane as an exactly-representable small int (cloud sizes < 2^24)
+_F_LIDX, _F_WX1, _F_WY1, _F_TR, _F_TG, _F_TB, _F_CID, _F_PID = range(8)
+
+
+class GridPlan:
+    """Room-static sorted sample streams for :func:`slab_pair_scores`.
+
+    fields:  tuple of per-group (NB, 8, BLOCK) f32 — packed per-sample
+             fields (in-window row, x/y fractions, target rgb,
+             pair-in-group id, source point id); padding samples carry
+             lidx/cid sentinels and contribute nothing.  Kept per group
+             (not stacked) so plans never need one huge contiguous HBM
+             allocation and the kernel runs one pallas_call per group.
+    windows: tuple of per-group (NB,) int32 — aligned table-window index
+             per block.
+    n_pairs: static int — number of leading candidate pairs the plan covers
+             (callers slice grid padding off before planning; pairs beyond
+             n_pairs must be masked invalid by the consumer).
+
+    Registered as a pytree with ``n_pairs`` as static aux data so plans can
+    cross jit boundaries while score shapes stay static.
+    """
+
+    def __init__(self, fields, windows, n_pairs: int):
+        self.fields = tuple(fields)
+        self.windows = tuple(windows)
+        self.n_pairs = int(n_pairs)
+
+    def tree_flatten(self):
+        return (self.fields, self.windows), self.n_pairs
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        fields, windows = children
+        return cls(fields, windows, aux)
+
+    @property
+    def nbytes(self) -> int:
+        return sum(f.nbytes for f in self.fields) + sum(
+            w.nbytes for w in self.windows
+        )
+
+
+jax.tree_util.register_pytree_node(
+    GridPlan, GridPlan.tree_flatten, GridPlan.tree_unflatten
+)
+
+
+def plan_bytes_estimate(n_pairs: int, n_points: int) -> int:
+    """Approximate HBM footprint of a plan before building it (32 B/sample
+    plus ~25% block padding) — lets auto mode skip planning workloads whose
+    streams would crowd out the rest of the query (e.g. 1M-point clouds
+    with 1.4k pairs would need ~45 GB)."""
+    groups = (n_pairs + GROUP - 1) // GROUP
+    return int(groups * GROUP * n_points * 32 * 1.25)
+
+
+def slab_worthwhile(
+    n_pairs: int, n_points: int, height: int, width: int, refresh: bool
+) -> bool:
+    """Crude per-query cost model from the measured rates (PERFORMANCE.md):
+    XLA gather stage 1 vs kernel + (optionally) the per-query target re-bake
+    that sharpen_color forces.  The re-bake is three small-table gathers over
+    every padded sample slot, which swamps the kernel win at small images."""
+    table_mb = _table_rows(height, width) * 48 / 1e6
+    xla_rate = float(np.interp(table_mb, [6.0, 25.0, 100.0],
+                               [2.7e8, 1.1e8, 4.5e7]))
+    groups = (n_pairs + GROUP - 1) // GROUP
+    samples = groups * GROUP * n_points * 1.25
+    xla_cost = n_pairs * n_points / xla_rate
+    slab_cost = samples / 7.5e8 + (3 * samples / 2.7e8 if refresh else 0.0)
+    return slab_cost < 0.7 * xla_cost
+
+
+def make_pairs(trans_grid, rot_grid):
+    """Flattened trans-major (t, ypr) pairs — the stage-1 candidate order.
+
+    One definition shared by the XLA scoring path (pipeline._grid_scores)
+    and the plan builder so both score the same pair list in the same order
+    (parity anchor: reference utils.py:481-499 loop order).
+    """
+    T, R = trans_grid.shape[0], rot_grid.shape[0]
+    pair_t = jnp.repeat(trans_grid, R, axis=0)
+    pair_r = jnp.tile(rot_grid, (T, 1))
+    return pair_t, pair_r
+
+
+def _table_rows(height: int, width: int) -> int:
+    return (height + 1) * (width + 1)
+
+
+def _rpad(height: int, width: int) -> int:
+    rows = _table_rows(height, width)
+    return ((rows + WINDOW - 1) // WINDOW) * WINDOW
+
+
+def _nb_bucket(n: int) -> int:
+    """Geometric block-count buckets (shape reuse across rooms)."""
+    b = 256
+    while b < n:
+        if b * 3 // 2 >= n:
+            return b * 3 // 2
+        b *= 2
+    return b
+
+
+def _project_group(xyz, point_mask, t_g, ypr_g, height, width):
+    """Packed rows + fractions for one candidate group — the exact query-path
+    geometry ops, so floors and fractions match the XLA path bit-for-bit.
+    Masked-out points land on row 0 (the zero border) with zero fractions."""
+
+    def one(t, ypr):
+        pose = Pose(t=t, yaw=ypr[0], pitch=ypr[1], roll=ypr[2])
+        cam = transform_cloud(pose, xyz)
+        coords = spherical_project(cam)
+        return packed_rows_and_weights(coords, height, width)
+
+    row, wx1, wy1 = jax.vmap(one)(t_g, ypr_g)  # (GROUP, N) each
+    if point_mask is not None:
+        row = jnp.where(point_mask[None], row, 0)
+        wx1 = jnp.where(point_mask[None], wx1, 0.0)
+        wy1 = jnp.where(point_mask[None], wy1, 0.0)
+    return row, wx1, wy1
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width"))
+def _plan_size(xyz, point_mask, t_g, ypr_g, *, height, width):
+    """Padded block count for one group (no sort — a window histogram)."""
+    n_win = _rpad(height, width) // WINDOW
+    row, _, _ = _project_group(xyz, point_mask, t_g, ypr_g, height, width)
+    window = row.reshape(-1) // WINDOW
+    counts = jnp.zeros(n_win, jnp.int32).at[window].add(1)
+    return jnp.sum((counts + BLOCK - 1) // BLOCK)
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width", "nb"))
+def _plan_group(xyz, rgb, point_mask, t_g, ypr_g, *, height, width, nb):
+    """Sorted, window-padded sample blocks for one candidate group."""
+    n_win = _rpad(height, width) // WINDOW
+    N = xyz.shape[0]
+    row, wx1, wy1 = _project_group(xyz, point_mask, t_g, ypr_g, height, width)
+    cid = jnp.broadcast_to(
+        jnp.arange(GROUP, dtype=jnp.float32)[:, None], (GROUP, N)
+    )
+    pid = jnp.broadcast_to(
+        jnp.arange(N, dtype=jnp.float32)[None], (GROUP, N)
+    )
+    tgt = jnp.broadcast_to(rgb.T[:, None, :], (3, GROUP, N))
+
+    srt = jax.lax.sort(
+        (
+            row.reshape(-1),
+            wx1.reshape(-1), wy1.reshape(-1),
+            tgt[0].reshape(-1), tgt[1].reshape(-1), tgt[2].reshape(-1),
+            cid.reshape(-1), pid.reshape(-1),
+        ),
+        num_keys=1,
+    )
+    row_s = srt[0]
+
+    window = row_s // WINDOW
+    edges = jnp.arange(n_win + 1, dtype=row_s.dtype) * WINDOW
+    starts = jnp.searchsorted(row_s, edges, side="left")
+    counts = jnp.diff(starts)
+    blocks_w = (counts + BLOCK - 1) // BLOCK
+    block_off = jnp.concatenate(
+        [jnp.zeros(1, blocks_w.dtype), jnp.cumsum(blocks_w)[:-1]]
+    )
+
+    i = jnp.arange(row_s.shape[0], dtype=jnp.int32)
+    positions = i - starts[window] + block_off[window] * BLOCK
+    lidx = (row_s - window * WINDOW).astype(jnp.float32)
+
+    payload = jnp.stack((lidx,) + srt[1:], axis=-1)  # (M, 8)
+    # padding slots carry lidx=-1 / cid=-1 sentinels: both one-hots in the
+    # kernel then select nothing, so pads can never contribute (a pad inside
+    # a non-zero window would otherwise read that window's first row at
+    # full tap00 weight and pollute pair 0)
+    empty = jnp.array([-1, 0, 0, 0, 0, 0, -1, 0], jnp.float32)
+    flat = (
+        jnp.broadcast_to(empty, (nb * BLOCK, 8))
+        .at[positions].set(payload)
+    )
+    fields = flat.reshape(nb, BLOCK, 8).transpose(0, 2, 1)  # (nb, 8, BLOCK)
+    windows = jnp.zeros(nb, jnp.int32).at[positions // BLOCK].max(window)
+    return fields, windows
+
+
+def build_grid_plan(
+    xyz: jnp.ndarray,
+    rgb: jnp.ndarray,
+    point_mask: Optional[jnp.ndarray],
+    trans_grid: jnp.ndarray,
+    rot_grid: jnp.ndarray,
+    height: int,
+    width: int,
+) -> GridPlan:
+    """Build the room-static sorted sample streams (once per room+image size).
+
+    Callers should slice grid-shape padding off ``trans_grid`` first (dead
+    pairs cost plan memory and kernel time); the consumer masks any pairs
+    beyond ``plan.n_pairs`` itself.
+
+    Host driver around two jitted phases: a histogram-only sizing pass whose
+    scalar result (max padded block count, bucketed) fixes the static shapes,
+    then one sort+scatter program per candidate group — groups are built
+    sequentially so peak memory stays ~one group's intermediates above the
+    plan itself.
+    """
+    pair_t, pair_r = make_pairs(trans_grid, rot_grid)
+    P = pair_t.shape[0]
+    pad = (-P) % GROUP
+    if pad:
+        pair_t = jnp.concatenate([pair_t, jnp.broadcast_to(pair_t[:1], (pad, 3))])
+        pair_r = jnp.concatenate([pair_r, jnp.broadcast_to(pair_r[:1], (pad, 3))])
+    n_groups = pair_t.shape[0] // GROUP
+
+    def group_args(g):
+        return (
+            pair_t[g * GROUP:(g + 1) * GROUP],
+            pair_r[g * GROUP:(g + 1) * GROUP],
+        )
+
+    totals = jnp.stack([
+        _plan_size(xyz, point_mask, *group_args(g), height=height, width=width)
+        for g in range(n_groups)
+    ])
+    nb = _nb_bucket(int(np.max(np.asarray(totals))))
+
+    fields, windows = [], []
+    for g in range(n_groups):
+        f, w = _plan_group(
+            xyz, rgb, point_mask, *group_args(g),
+            height=height, width=width, nb=nb,
+        )
+        fields.append(f)
+        windows.append(w)
+    return GridPlan(fields=fields, windows=windows, n_pairs=P)
+
+
+def _kernel(w_ref, t1, t2, t3, f_ref, out_ref):
+    f = f_ref[0]                         # (8, BLOCK) f32
+    li = f[_F_LIDX:_F_LIDX + 1]
+    oh = (
+        jax.lax.broadcasted_iota(jnp.int32, (WINDOW, BLOCK), 0)
+        == li.astype(jnp.int32)
+    ).astype(jnp.bfloat16)
+    dn = (((1,), (0,)), ((), ()))
+    # exact f32 gather: 3-way bf16 table split, one-hot selection per part
+    v = (jax.lax.dot_general(t1[:], oh, dn, preferred_element_type=jnp.float32)
+         + jax.lax.dot_general(t2[:], oh, dn, preferred_element_type=jnp.float32)
+         + jax.lax.dot_general(t3[:], oh, dn, preferred_element_type=jnp.float32))
+    x1 = f[_F_WX1:_F_WX1 + 1]
+    y1 = f[_F_WY1:_F_WY1 + 1]
+    x0 = 1.0 - x1
+    y0 = 1.0 - y1
+    # same tap/term order as ops.sampling.bilinear_sample_packed
+    s = (v[0:3] * (x0 * y0) + v[3:6] * (x1 * y0)
+         + v[6:9] * (x0 * y1) + v[9:12] * (x1 * y1))       # (3, BLOCK)
+    valid = jnp.sum((s == 0.0).astype(jnp.int32), axis=0, keepdims=True) != 3
+    d = s - f[_F_TR:_F_TB + 1]
+    sq = jnp.sum(d * d, axis=0, keepdims=True)
+    pos = sq > 0
+    per = jnp.sqrt(jnp.where(pos, sq, 1.0)) * pos          # safe_norm
+    contrib = per * valid
+    ohc = (
+        jax.lax.broadcasted_iota(jnp.int32, (GROUP, BLOCK), 0)
+        == f[_F_CID:_F_CID + 1].astype(jnp.int32)
+    ).astype(jnp.bfloat16)
+    dnc = (((1,), (1,)), ((), ()))
+    # exact accumulation: 3-way bf16 split of the contributions
+    c1 = contrib.astype(jnp.bfloat16)
+    c2 = (contrib - c1.astype(jnp.float32)).astype(jnp.bfloat16)
+    c3 = (contrib - c1.astype(jnp.float32) - c2.astype(jnp.float32)).astype(jnp.bfloat16)
+    acc = (jax.lax.dot_general(c1, ohc, dnc, preferred_element_type=jnp.float32)
+           + jax.lax.dot_general(c2, ohc, dnc, preferred_element_type=jnp.float32)
+           + jax.lax.dot_general(c3, ohc, dnc, preferred_element_type=jnp.float32))
+    cnt = jax.lax.dot_general(
+        valid.astype(jnp.bfloat16), ohc, dnc, preferred_element_type=jnp.float32
+    )
+    out_ref[0] = jnp.concatenate(
+        [acc, cnt, jnp.zeros((6, GROUP), jnp.float32)], axis=0
+    )
+
+
+def _slab_tables(img: jnp.ndarray, height: int, width: int):
+    """Packed sampling table, transposed and exactly split into 3 bf16 parts."""
+    blocks = pack_bilinear_blocks(img)                      # (rows, 12)
+    rp = _rpad(height, width)
+    pad = rp - blocks.shape[0]
+    if pad:
+        blocks = jnp.concatenate([blocks, jnp.zeros((pad, 12), blocks.dtype)])
+    tT = blocks.T                                           # (12, rp)
+    t1 = tT.astype(jnp.bfloat16)
+    r = tT - t1.astype(jnp.float32)
+    t2 = r.astype(jnp.bfloat16)
+    t3 = (r - t2.astype(jnp.float32)).astype(jnp.bfloat16)
+    return t1, t2, t3
+
+
+def slab_pair_scores(
+    img: jnp.ndarray,
+    plan: GridPlan,
+    rgb: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Stage-1 sampling losses for all planned pairs (jittable).
+
+    Pass ``rgb`` when per-query color processing rebound the cloud colors
+    (sharpen_color): targets are re-baked from ``plan.pids`` with one
+    small-table gather.  Returns (n_groups*GROUP,) f32 with the
+    empty-candidate +inf convention of loss._masked_color_loss.
+    """
+    H, W, _ = img.shape
+    t1, t2, t3 = _slab_tables(img, H, W)
+
+    def group_scores(fields, windows):
+        if rgb is not None:
+            pids = fields[:, _F_PID, :].astype(jnp.int32)
+            # channel-at-a-time keeps BLOCK as the trailing (lane) dim — a
+            # (..., 3)-shaped gather would tile-pad 3 -> 128 lanes (42x)
+            tgt = jnp.stack(
+                [jnp.take(rgb[:, c], pids, axis=0) for c in range(3)], axis=1
+            )  # (NB, 3, BLOCK)
+            fields = fields.at[:, _F_TR:_F_TB + 1, :].set(tgt)
+        nb = fields.shape[0]
+        table_spec = lambda: pl.BlockSpec(
+            (12, WINDOW), lambda b, wr: (0, wr[b]), memory_space=pltpu.VMEM
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb,),
+            in_specs=[table_spec(), table_spec(), table_spec(),
+                      pl.BlockSpec((1, 8, BLOCK), lambda b, wr: (b, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, 8, GROUP), lambda b, wr: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        )
+        out = pl.pallas_call(
+            _kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((nb, 8, GROUP), jnp.float32),
+            interpret=jax.default_backend() == "cpu",
+        )(windows, t1, t2, t3, fields)
+        tot = jnp.sum(out[:, 0], axis=0)                    # (GROUP,)
+        cnt = jnp.sum(out[:, 1], axis=0)
+        mean = tot / jnp.maximum(cnt, 1.0)
+        return jnp.where(cnt > 0, mean, jnp.inf)
+
+    scores = jnp.concatenate([
+        group_scores(f, w) for f, w in zip(plan.fields, plan.windows)
+    ])
+    return scores[: plan.n_pairs]

@@ -108,6 +108,34 @@ def pack_bilinear_blocks(img: jnp.ndarray) -> jnp.ndarray:
     return blocks.reshape((H + 1) * (W + 1), 4 * C)
 
 
+def packed_rows_and_weights(
+    coords: jnp.ndarray,
+    height: int,
+    width: int,
+    clip: bool = True,
+):
+    """Packed-table row index and bilinear fractions for ``coords``.
+
+    The single source of the index/weight math shared by
+    :func:`bilinear_sample_packed` and the sorted-slab kernel planner
+    (kernels/slab_sampling.py) — both must floor to the same texel and lerp
+    with the same fractions to stay bit-compatible.
+
+    Returns ``(row, wx1, wy1)``: int32 row into pack_bilinear_blocks' table
+    and the x/y fractions of the (x1, y1) taps.
+    """
+    H, W = height, width
+    if clip:
+        coords = jnp.clip(coords, -0.99, 0.99)
+    x = ((coords[..., 0] + 1.0) * W - 1.0) / 2.0
+    y = ((coords[..., 1] + 1.0) * H - 1.0) / 2.0
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    # clipped coords guarantee x0 in [-1, W-1], y0 in [-1, H-1]
+    row = (y0f.astype(jnp.int32) + 1) * (W + 1) + (x0f.astype(jnp.int32) + 1)
+    return row, x - x0f, y - y0f
+
+
 def bilinear_sample_packed(
     blocks: jnp.ndarray,
     height: int,
@@ -120,18 +148,8 @@ def bilinear_sample_packed(
     Exactly equivalent to :func:`bilinear_sample` on the image that produced
     ``blocks`` (verified in tests/test_sampling.py), ~4x fewer gather ops.
     """
-    H, W = height, width
-    if clip:
-        coords = jnp.clip(coords, -0.99, 0.99)
-    x = ((coords[..., 0] + 1.0) * W - 1.0) / 2.0
-    y = ((coords[..., 1] + 1.0) * H - 1.0) / 2.0
-    x0f = jnp.floor(x)
-    y0f = jnp.floor(y)
-    # clipped coords guarantee x0 in [-1, W-1], y0 in [-1, H-1]
-    row = (y0f.astype(jnp.int32) + 1) * (W + 1) + (x0f.astype(jnp.int32) + 1)
-    wx1 = x - x0f
+    row, wx1, wy1 = packed_rows_and_weights(coords, height, width, clip)
     wx0 = 1.0 - wx1
-    wy1 = y - y0f
     wy0 = 1.0 - wy1
 
     g = jnp.take(blocks, row, axis=0)  # (..., 4C)

@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from .init.refine import hist_scores_core
+from .kernels.slab_sampling import GridPlan, make_pairs, slab_pair_scores
 from .loss import Pose, sampling_loss_packed
 from .ops.rotation import rot_from_ypr
 from .ops.sampling import pack_bilinear_blocks
@@ -103,7 +104,7 @@ def _descend(img, xyz, rgb, t0s, ypr0s, lo, hi, point_mask,
     static_argnames=(
         "num_intermediate", "num_input", "num_split_h", "num_split_w",
         "num_iter", "lr", "patience", "factor", "masked",
-        "grid_chunk", "hist_chunk",
+        "grid_chunk", "hist_chunk", "plan_refresh_rgb",
     ),
 )
 def localize_query(
@@ -129,28 +130,51 @@ def localize_query(
     masked: bool = False,
     grid_chunk: int = 16,
     hist_chunk: int = 4,
+    plan: Optional[GridPlan] = None,
+    plan_refresh_rgb: bool = False,
 ) -> LocalizeResult:
     """Localize one panorama end-to-end on device.
 
     The candidate grids come from init.candidates (host, data-dependent
     sizes) padded to static shapes by the caller; everything else never
     leaves the device.
+
+    ``plan`` (kernels.slab_sampling.build_grid_plan, room-static) routes
+    stage 1 through the sorted-slab MXU kernel instead of the XLA gather —
+    same scores up to f32 summation order, ~16x faster at large image
+    sizes.  Set ``plan_refresh_rgb=True`` when ``rgb`` differs from the
+    colors the plan was built with (per-query sharpen_color rebinds).
     """
     pm = point_mask if masked else None
     T, R = trans_grid.shape[0], rot_grid.shape[0]
 
     # ---- stage 1: brute-force loss table (reference utils.py:462-507)
-    pair_t = jnp.repeat(trans_grid, R, axis=0)
-    pair_r = jnp.tile(rot_grid, (T, 1))
+    pair_t, pair_r = make_pairs(trans_grid, rot_grid)
     pair_valid = jnp.repeat(trans_valid, R)
-    pad = (-pair_t.shape[0]) % grid_chunk
-    if pad:
-        pair_t = jnp.concatenate([pair_t, jnp.broadcast_to(pair_t[:1], (pad, 3))])
-        pair_r = jnp.concatenate([pair_r, jnp.broadcast_to(pair_r[:1], (pad, 3))])
-        pair_valid = jnp.concatenate([pair_valid, jnp.zeros(pad, bool)])
-    scores = _grid_scores(
-        img_init, xyz, rgb, pair_t, pair_r, pair_valid, pm, grid_chunk
-    )
+    if plan is not None:
+        # the plan covers the leading n_pairs (callers slice grid padding
+        # before planning); anything beyond is padding and scores +inf
+        s_all = slab_pair_scores(
+            img_init, plan, rgb if plan_refresh_rgb else None
+        )[: T * R]
+        if plan.n_pairs < T * R:
+            s_all = jnp.concatenate([
+                s_all, jnp.full(T * R - plan.n_pairs, jnp.inf, s_all.dtype)
+            ])
+        scores = jnp.where(pair_valid, s_all, jnp.inf)
+    else:
+        pad = (-pair_t.shape[0]) % grid_chunk
+        if pad:
+            pair_t = jnp.concatenate(
+                [pair_t, jnp.broadcast_to(pair_t[:1], (pad, 3))]
+            )
+            pair_r = jnp.concatenate(
+                [pair_r, jnp.broadcast_to(pair_r[:1], (pad, 3))]
+            )
+            pair_valid = jnp.concatenate([pair_valid, jnp.zeros(pad, bool)])
+        scores = _grid_scores(
+            img_init, xyz, rgb, pair_t, pair_r, pair_valid, pm, grid_chunk
+        )
     k1 = min(num_intermediate, T * R)
     # smallest-k via top_k on negated scores (stable, same order as argsort)
     neg_top, idx1 = jax.lax.top_k(-scores, k1)

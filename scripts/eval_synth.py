@@ -71,6 +71,9 @@ def main(argv=None) -> dict:
     ap.add_argument("--points", type=int, default=60000)
     ap.add_argument("--height", type=int, default=512)
     ap.add_argument("--seed", type=int, default=11)
+    ap.add_argument("--no-slab", action="store_true",
+                    help="score stage 1 with the XLA gather path instead "
+                         "of the sorted-slab kernel")
     args = ap.parse_args(argv)
 
     enable_compilation_cache()
@@ -109,6 +112,17 @@ def main(argv=None) -> dict:
                 [trans_grid, np.zeros((pad, 3), np.float32)]
             )
 
+        plan = None
+        if not args.no_slab:
+            from piccolo_tpu.kernels.slab_sampling import build_grid_plan
+
+            n_trans = trans_grid.shape[0] - pad
+            plan = build_grid_plan(
+                xyz_d, rgb_d, mask_d,
+                jnp.asarray(trans_grid[:n_trans]), jnp.asarray(rot_grid),
+                args.height // 2, args.height,
+            )
+
         for qi in range(args.queries):
             gt_t, gt_ypr = pose_outside_occluders(rng, occ, size)
             img_main = render_at(
@@ -122,7 +136,7 @@ def main(argv=None) -> dict:
                 jnp.asarray(trans_grid), jnp.asarray(rot_grid),
                 jnp.asarray(trans_valid), jnp.asarray(lo), jnp.asarray(hi),
                 mask_d, num_intermediate=20, num_input=6, num_iter=100,
-                lr=0.1, patience=5, factor=0.8, masked=True,
+                lr=0.1, patience=5, factor=0.8, masked=True, plan=plan,
             )
             t = np.asarray(res.t)
             elapsed = time.time() - t0

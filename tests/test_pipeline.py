@@ -138,3 +138,61 @@ def test_fused_padding_rows_never_win(rng):
     # none of the selected starts may be a padding row
     for s in np.asarray(res.start_t):
         assert not np.allclose(s, gt_t, atol=1e-6)
+
+
+def test_fused_with_slab_plan_matches_plain(rng):
+    """Slab-kernel stage 1 selects the same starts and winner as XLA stage 1."""
+    from piccolo_tpu.kernels.slab_sampling import build_grid_plan
+
+    xyz, rgb, img, trans, rot, lo, hi, gt_t = _setup(rng)
+    kw = dict(
+        num_intermediate=10, num_input=4,
+        num_iter=30, lr=0.1, patience=5, factor=0.8,
+    )
+    args = (
+        jnp.asarray(img), jnp.asarray(img), jnp.asarray(xyz), jnp.asarray(rgb),
+        jnp.asarray(trans), jnp.asarray(rot),
+        jnp.ones(trans.shape[0], bool), jnp.asarray(lo), jnp.asarray(hi),
+    )
+    plain = localize_query(*args, **kw)
+    plan = build_grid_plan(
+        jnp.asarray(xyz), jnp.asarray(rgb), None,
+        jnp.asarray(trans), jnp.asarray(rot), img.shape[0], img.shape[1],
+    )
+    slab = localize_query(*args, plan=plan, **kw)
+
+    plain_starts = {tuple(np.round(r, 5)) for r in np.asarray(plain.start_t)}
+    slab_starts = {tuple(np.round(r, 5)) for r in np.asarray(slab.start_t)}
+    assert plain_starts == slab_starts
+    np.testing.assert_allclose(np.asarray(slab.t), np.asarray(plain.t), atol=1e-4)
+    np.testing.assert_allclose(float(slab.loss), float(plain.loss), atol=1e-5)
+
+
+def test_fused_slab_plan_rgb_refresh_matches_plain(rng):
+    """sharpen_color rebinds: plan targets re-baked from the query rgb."""
+    from piccolo_tpu.kernels.slab_sampling import build_grid_plan
+
+    xyz, rgb, img, trans, rot, lo, hi, gt_t = _setup(rng)
+    rgb2 = jnp.asarray(
+        np.clip(np.asarray(rgb) * 0.8 + 0.1, 0.0, 1.0).astype(np.float32)
+    )
+    kw = dict(
+        num_intermediate=10, num_input=4,
+        num_iter=20, lr=0.1, patience=5, factor=0.8,
+    )
+    args = (
+        jnp.asarray(img), jnp.asarray(img), jnp.asarray(xyz), rgb2,
+        jnp.asarray(trans), jnp.asarray(rot),
+        jnp.ones(trans.shape[0], bool), jnp.asarray(lo), jnp.asarray(hi),
+    )
+    plain = localize_query(*args, **kw)
+    # plan built with the ORIGINAL colors; refresh re-bakes rgb2 targets
+    plan = build_grid_plan(
+        jnp.asarray(xyz), jnp.asarray(rgb), None,
+        jnp.asarray(trans), jnp.asarray(rot), img.shape[0], img.shape[1],
+    )
+    slab = localize_query(*args, plan=plan, plan_refresh_rgb=True, **kw)
+    plain_starts = {tuple(np.round(r, 5)) for r in np.asarray(plain.start_t)}
+    slab_starts = {tuple(np.round(r, 5)) for r in np.asarray(slab.start_t)}
+    assert plain_starts == slab_starts
+    np.testing.assert_allclose(np.asarray(slab.t), np.asarray(plain.t), atol=1e-4)

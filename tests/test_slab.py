@@ -1,0 +1,103 @@
+"""Sorted-slab stage-1 kernel: parity with the XLA scoring path.
+
+Runs in Pallas interpret mode on the CPU test mesh (validated on real TPU —
+see docs/PERFORMANCE.md for measured rates).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from piccolo_tpu.init.refine import score_pose_grid
+from piccolo_tpu.kernels.slab_sampling import (
+    build_grid_plan,
+    make_pairs,
+    slab_pair_scores,
+    _slab_tables,
+)
+from piccolo_tpu.ops.sampling import pack_bilinear_blocks
+from piccolo_tpu.testing import make_room, render_at
+
+
+@pytest.fixture(scope="module")
+def scene():
+    rng = np.random.default_rng(3)
+    xyz, rgb = make_room(rng, n_per_wall=128, size=(4.0, 3.0, 2.5))
+    n = xyz.shape[0]
+    m = 1024
+    xyz_p = np.concatenate([xyz, rng.normal(size=(m - n, 3)).astype(np.float32)])
+    rgb_p = np.concatenate([rgb, rng.random((m - n, 3)).astype(np.float32)])
+    mask = np.arange(m) < n
+    img = np.asarray(
+        render_at(xyz, rgb, np.zeros(3, np.float32),
+                  np.array([0.4, 0.1, 0.0], np.float32), (32, 64))
+    )
+    trans = rng.uniform(-1.0, 1.0, (4, 3)).astype(np.float32)
+    rot = np.stack(
+        [np.linspace(0, 2 * np.pi, 8, endpoint=False).astype(np.float32),
+         np.zeros(8, np.float32), np.zeros(8, np.float32)], axis=1,
+    )
+    return dict(
+        xyz=jnp.asarray(xyz_p), rgb=jnp.asarray(rgb_p), mask=jnp.asarray(mask),
+        img=jnp.asarray(img), trans=jnp.asarray(trans), rot=jnp.asarray(rot),
+    )
+
+
+def test_slab_tables_split_is_exact(scene):
+    H, W, _ = scene["img"].shape
+    t1, t2, t3 = _slab_tables(scene["img"], H, W)
+    rec = (t1.astype(jnp.float32) + t2.astype(jnp.float32)
+           + t3.astype(jnp.float32))
+    blocks = pack_bilinear_blocks(scene["img"])
+    assert np.array_equal(np.asarray(rec)[:, : blocks.shape[0]],
+                          np.asarray(blocks).T)
+
+
+def test_slab_scores_match_xla_path(scene):
+    H, W, _ = scene["img"].shape
+    plan = build_grid_plan(
+        scene["xyz"], scene["rgb"], scene["mask"],
+        scene["trans"], scene["rot"], H, W,
+    )
+    got = np.asarray(slab_pair_scores(scene["img"], plan))
+
+    want = np.asarray(score_pose_grid(
+        scene["img"], scene["xyz"], scene["rgb"],
+        scene["trans"], scene["rot"], scene["mask"],
+    ))
+    P = want.shape[0]
+    np.testing.assert_allclose(got[:P], want, rtol=2e-5, atol=1e-6)
+    # identical stage-1 selection
+    k = 6
+    assert list(np.argsort(got[:P])[:k]) == list(np.argsort(want)[:k])
+    # group-padding clones of pair 0 score exactly like pair 0
+    np.testing.assert_allclose(got[P:], got[0], rtol=2e-5, atol=1e-6)
+
+
+def test_slab_scores_rgb_refresh(scene):
+    """Per-query color rebinds (sharpen_color) re-bake the targets."""
+    H, W, _ = scene["img"].shape
+    plan = build_grid_plan(
+        scene["xyz"], scene["rgb"], scene["mask"],
+        scene["trans"], scene["rot"], H, W,
+    )
+    rng = np.random.default_rng(11)
+    rgb2 = jnp.asarray(rng.random(scene["rgb"].shape, dtype=np.float32))
+    got = np.asarray(slab_pair_scores(scene["img"], plan, rgb=rgb2))
+    want = np.asarray(score_pose_grid(
+        scene["img"], scene["xyz"], rgb2,
+        scene["trans"], scene["rot"], scene["mask"],
+    ))
+    P = want.shape[0]
+    np.testing.assert_allclose(got[:P], want, rtol=2e-5, atol=1e-6)
+
+
+def test_make_pairs_order_matches_grid_score_layout(scene):
+    """Pair order = trans-major flattening (reference utils.py:481-499)."""
+    pair_t, pair_r = make_pairs(scene["trans"], scene["rot"])
+    T, R = scene["trans"].shape[0], scene["rot"].shape[0]
+    assert pair_t.shape == (T * R, 3)
+    np.testing.assert_array_equal(
+        np.asarray(pair_t[:R]), np.tile(np.asarray(scene["trans"][0]), (R, 1))
+    )
+    np.testing.assert_array_equal(np.asarray(pair_r[:R]), np.asarray(scene["rot"]))
