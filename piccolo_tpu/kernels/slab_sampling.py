@@ -190,13 +190,20 @@ def _project_group(xyz, point_mask, t_g, ypr_g, height, width):
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width"))
-def _plan_size(xyz, point_mask, t_g, ypr_g, *, height, width):
-    """Padded block count for one group (no sort — a window histogram)."""
+def _plan_sizes(xyz, point_mask, pair_t, pair_ypr, *, height, width):
+    """Padded block count per group (no sort — window histograms).
+
+    ``pair_t``/``pair_ypr`` are (n_groups, GROUP, 3); one program sizes every
+    group (the projection's unused fractions dead-code-eliminate)."""
     n_win = _rpad(height, width) // WINDOW
-    row, _, _ = _project_group(xyz, point_mask, t_g, ypr_g, height, width)
-    window = row.reshape(-1) // WINDOW
-    counts = jnp.zeros(n_win, jnp.int32).at[window].add(1)
-    return jnp.sum((counts + BLOCK - 1) // BLOCK)
+
+    def one(t_g, ypr_g):
+        row, _, _ = _project_group(xyz, point_mask, t_g, ypr_g, height, width)
+        window = row.reshape(-1) // WINDOW
+        counts = jnp.zeros(n_win, jnp.int32).at[window].add(1)
+        return jnp.sum((counts + BLOCK - 1) // BLOCK)
+
+    return jax.vmap(one)(pair_t, pair_ypr)
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width", "nb"))
@@ -287,10 +294,11 @@ def build_grid_plan(
             pair_r[g * GROUP:(g + 1) * GROUP],
         )
 
-    totals = jnp.stack([
-        _plan_size(xyz, point_mask, *group_args(g), height=height, width=width)
-        for g in range(n_groups)
-    ])
+    totals = _plan_sizes(
+        xyz, point_mask,
+        pair_t.reshape(n_groups, GROUP, 3), pair_r.reshape(n_groups, GROUP, 3),
+        height=height, width=width,
+    )
     nb = _nb_bucket(int(np.max(np.asarray(totals))))
 
     fields, windows = [], []
