@@ -173,6 +173,7 @@ def _solve_query(img_main, xyz, rgb, mask, lo, hi, trans0, ypr0, cfg,
         factor=cfg_get(cfg, "factor", 0.9),
         masked=True,
         trajectory=want_traj,
+        table_dtype=cfg_get(cfg, "descent_table", "float32"),
     )
     out = descend(
         img_main, xyz, rgb,
@@ -344,6 +345,7 @@ def _run_fused(img_init, img_main, cache, rgb_used, cfg, init_dict, grids,
         patience=cfg_get(cfg, "patience", 5),
         factor=cfg_get(cfg, "factor", 0.9),
     )
+    descent_table = cfg_get(cfg, "descent_table", "float32")
     if mesh is not None:
         # the sharded program keeps the XLA stage-1 (each point shard scores
         # its slice; the sorted-slab layout is a single-device optimization)
@@ -361,6 +363,7 @@ def _run_fused(img_init, img_main, cache, rgb_used, cfg, init_dict, grids,
         jnp.asarray(cache["lo"]), jnp.asarray(cache["hi"]), cache["mask"],
         masked=True, plan=plan,
         plan_refresh_rgb=plan is not None and rgb_used is not cache["rgb"],
+        descent_table=descent_table,
         **kw,
     )
 

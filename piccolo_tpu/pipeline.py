@@ -71,9 +71,13 @@ def _grid_scores(img, xyz, rgb, pair_t, pair_ypr, pair_valid, point_mask, chunk)
 
 
 def _descend(img, xyz, rgb, t0s, ypr0s, lo, hi, point_mask,
-             num_iter, lr, patience, factor):
+             num_iter, lr, patience, factor, table_dtype=jnp.float32):
     H, W, _ = img.shape
-    blocks = pack_bilinear_blocks(img)
+    # bf16 tables halve the descent's gather table (the dominant query cost
+    # at large panoramas — docs/PERFORMANCE.md "gather rate vs table size");
+    # texels quantize to 8-bit mantissa, lerp/loss stay f32.  Opt-in: the
+    # default f32 path is trajectory-exact vs the torch reference.
+    blocks = pack_bilinear_blocks(img).astype(table_dtype)
 
     def one(t0, y0):
         params = Pose(t=t0, yaw=y0[0], pitch=y0[1], roll=y0[2])
@@ -104,7 +108,7 @@ def _descend(img, xyz, rgb, t0s, ypr0s, lo, hi, point_mask,
     static_argnames=(
         "num_intermediate", "num_input", "num_split_h", "num_split_w",
         "num_iter", "lr", "patience", "factor", "masked",
-        "grid_chunk", "hist_chunk", "plan_refresh_rgb",
+        "grid_chunk", "hist_chunk", "plan_refresh_rgb", "descent_table",
     ),
 )
 def localize_query(
@@ -132,6 +136,7 @@ def localize_query(
     hist_chunk: int = 4,
     plan: Optional[GridPlan] = None,
     plan_refresh_rgb: bool = False,
+    descent_table: str = "float32",
 ) -> LocalizeResult:
     """Localize one panorama end-to-end on device.
 
@@ -199,7 +204,8 @@ def localize_query(
 
     # ---- stage 3: multi-start descent (reference omniloc.py)
     params, losses = _descend(
-        img_main, xyz, rgb, t2, r2, lo, hi, pm, num_iter, lr, patience, factor
+        img_main, xyz, rgb, t2, r2, lo, hi, pm, num_iter, lr, patience,
+        factor, table_dtype=jnp.dtype(descent_table),
     )
     ypr = jnp.stack([params.yaw, params.pitch, params.roll], axis=-1)
     w = jnp.argmin(losses)

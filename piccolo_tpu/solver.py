@@ -90,7 +90,10 @@ def _descend_single(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_iter", "lr", "patience", "factor", "masked", "trajectory"),
+    static_argnames=(
+        "num_iter", "lr", "patience", "factor", "masked", "trajectory",
+        "table_dtype",
+    ),
 )
 def descend(
     img: jnp.ndarray,
@@ -108,6 +111,7 @@ def descend(
     factor: float = 0.9,
     masked: bool = False,
     trajectory: bool = False,
+    table_dtype: str = "float32",
 ):
     """Descend all candidates in parallel.
 
@@ -126,7 +130,10 @@ def descend(
     """
     pm = point_mask if masked else None
     H, W, _ = img.shape
-    blocks = pack_bilinear_blocks(img)
+    # table_dtype="bfloat16" halves the gather table (the dominant cost at
+    # large panoramas); texels quantize to 8-bit mantissa, lerp/loss stay
+    # f32.  Default f32 is trajectory-exact vs the torch reference.
+    blocks = pack_bilinear_blocks(img).astype(jnp.dtype(table_dtype))
 
     def one(t0, y0):
         return _descend_single(

@@ -71,6 +71,8 @@ def main(argv=None) -> dict:
     ap.add_argument("--points", type=int, default=60000)
     ap.add_argument("--height", type=int, default=512)
     ap.add_argument("--seed", type=int, default=11)
+    ap.add_argument("--descent-table", default="float32",
+                    choices=["float32", "bfloat16"])
     ap.add_argument("--no-slab", action="store_true",
                     help="score stage 1 with the XLA gather path instead "
                          "of the sorted-slab kernel")
@@ -137,6 +139,7 @@ def main(argv=None) -> dict:
                 jnp.asarray(trans_valid), jnp.asarray(lo), jnp.asarray(hi),
                 mask_d, num_intermediate=20, num_input=6, num_iter=100,
                 lr=0.1, patience=5, factor=0.8, masked=True, plan=plan,
+                descent_table=args.descent_table,
             )
             t = np.asarray(res.t)
             elapsed = time.time() - t0

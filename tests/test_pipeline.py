@@ -196,3 +196,16 @@ def test_fused_slab_plan_rgb_refresh_matches_plain(rng):
     slab_starts = {tuple(np.round(r, 5)) for r in np.asarray(slab.start_t)}
     assert plain_starts == slab_starts
     np.testing.assert_allclose(np.asarray(slab.t), np.asarray(plain.t), atol=1e-4)
+
+
+def test_fused_bf16_descent_table_recovers_pose(rng):
+    """Opt-in bf16 descent table: quantized texels, f32 math, same winner."""
+    xyz, rgb, img, trans, rot, lo, hi, gt_t = _setup(rng)
+    res = localize_query(
+        jnp.asarray(img), jnp.asarray(img), jnp.asarray(xyz), jnp.asarray(rgb),
+        jnp.asarray(trans), jnp.asarray(rot),
+        jnp.ones(trans.shape[0], bool), jnp.asarray(lo), jnp.asarray(hi),
+        num_intermediate=10, num_input=4, num_iter=80,
+        descent_table="bfloat16",
+    )
+    assert float(jnp.linalg.norm(res.t - jnp.asarray(gt_t))) < 0.2
