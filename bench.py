@@ -144,7 +144,9 @@ def main() -> None:
                 num_intermediate=num_intermediate, num_input=6, num_iter=100,
                 lr=0.1, patience=5, factor=0.8, masked=True, plan=plan,
                 descent_table=(
-                    "bfloat16" if "--bf16-descent" in sys.argv else "float32"
+                    "uint8" if "--u8-descent" in sys.argv
+                    else "bfloat16" if "--bf16-descent" in sys.argv
+                    else "float32"
                 ),
             )
             t = np.asarray(res.t)

@@ -354,7 +354,8 @@ def _run_fused(img_init, img_main, cache, rgb_used, cfg, init_dict, grids,
         return localize_query_sharded(
             mesh, img_init, img_main,
             cache["xyz"], rgb_used, grids.trans, grids.rot, grids.valid,
-            cache["lo"], cache["hi"], cache["mask"], **kw,
+            cache["lo"], cache["hi"], cache["mask"],
+            descent_table=descent_table, **kw,
         )
     plan = _maybe_slab_plan(cfg, cache, grids, img_init)
     return localize_query(

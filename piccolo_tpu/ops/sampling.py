@@ -27,6 +27,7 @@ __all__ = [
     "pack_bilinear_blocks",
     "bilinear_sample_packed",
     "packed_rows_and_weights",
+    "cast_packed_table",
 ]
 
 
@@ -108,6 +109,28 @@ def pack_bilinear_blocks(img: jnp.ndarray) -> jnp.ndarray:
     return blocks.reshape((H + 1) * (W + 1), 4 * C)
 
 
+def cast_packed_table(blocks: jnp.ndarray, dtype) -> jnp.ndarray:
+    """Shrink a packed sampling table to a narrower texel dtype.
+
+    XLA's TPU gather rate falls with table FOOTPRINT at OmniScenes-scale
+    tables (docs/PERFORMANCE.md "gather rate vs table size"), so halving or
+    quartering the texel bytes speeds the descent's gathers; the lerp/loss
+    math stays f32 (``bilinear_sample_packed`` upcasts after the gather).
+
+      float32   exact (trajectory parity vs the torch reference)
+      bfloat16  8-bit mantissa texels
+      uint8     fixed-point x/255 texels, exact for raw [0, 1] uint8-sourced
+                images; values are clipped to [0, 1] first
+
+    The zero border (grid_sample zeros padding + the loss's pure-black
+    sample mask) survives every cast: 0.0 -> 0 exactly.
+    """
+    dtype = jnp.dtype(dtype)
+    if dtype == jnp.uint8:
+        return jnp.round(jnp.clip(blocks, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+    return blocks.astype(dtype)
+
+
 def packed_rows_and_weights(
     coords: jnp.ndarray,
     height: int,
@@ -153,6 +176,11 @@ def bilinear_sample_packed(
     wy0 = 1.0 - wy1
 
     g = jnp.take(blocks, row, axis=0)  # (..., 4C)
+    if g.dtype == jnp.uint8:
+        # fixed-point texels (cast_packed_table): dequantize post-gather;
+        # texels are constants w.r.t. pose, so gradients (which flow only
+        # through the lerp weights) are exact for the quantized values
+        g = g.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
     C = blocks.shape[-1] // 4
     return (
         g[..., 0:C] * (wx0 * wy0)[..., None]

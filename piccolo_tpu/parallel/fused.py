@@ -56,6 +56,7 @@ def _pad_clone_rows(a: jnp.ndarray, multiple: int) -> jnp.ndarray:
     static_argnames=(
         "mesh", "num_intermediate", "num_input", "num_split_h", "num_split_w",
         "num_iter", "lr", "patience", "factor", "grid_chunk", "hist_chunk",
+        "descent_table",
     ),
 )
 def _localize_query_sharded_jit(
@@ -63,6 +64,7 @@ def _localize_query_sharded_jit(
     lo, hi, point_mask,
     *, mesh, num_intermediate, num_input, num_split_h, num_split_w,
     num_iter, lr, patience, factor, grid_chunk, hist_chunk,
+    descent_table="float32",
 ):
     n_cand = mesh.shape["cand"]
     cloud_specs = (P(), P("point", None), P("point", None), P("point"))
@@ -141,6 +143,7 @@ def _localize_query_sharded_jit(
         functools.partial(
             descent_local,
             num_iter=num_iter, lr=lr, patience=patience, factor=factor,
+            table_dtype=descent_table,
         ),
         mesh=mesh,
         in_specs=cloud_specs + (P("cand", None), P("cand", None), P(), P()),
@@ -180,6 +183,7 @@ def localize_query_sharded(
     factor: float = 0.8,
     grid_chunk: int = 16,
     hist_chunk: int = 4,
+    descent_table: str = "float32",
 ) -> LocalizeResult:
     """Localize one panorama end-to-end over a ('cand', 'point') device mesh.
 
@@ -222,4 +226,5 @@ def localize_query_sharded(
         num_split_h=num_split_h, num_split_w=num_split_w, num_iter=num_iter,
         lr=lr, patience=patience, factor=factor,
         grid_chunk=grid_chunk, hist_chunk=hist_chunk,
+        descent_table=descent_table,
     )

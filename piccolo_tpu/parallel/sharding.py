@@ -33,7 +33,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..loss import Pose, pose_rotation
 from ..ops.projection import safe_norm, spherical_project
-from ..ops.sampling import bilinear_sample_packed, pack_bilinear_blocks
+from ..ops.sampling import (
+    bilinear_sample_packed,
+    cast_packed_table,
+    pack_bilinear_blocks,
+)
 from ..optim import adam_plateau_step, init_adam_plateau
 from ..solver import SolveResult
 
@@ -128,7 +132,7 @@ def _point_sharded_loss(pose: Pose, xyz, rgb, blocks, height, width, point_mask)
 
 def descent_local(
     img_l, xyz_l, rgb_l, mask_l, t0_l, ypr0_l, lo_l, hi_l,
-    *, num_iter, lr, patience, factor,
+    *, num_iter, lr, patience, factor, table_dtype="float32",
 ):
     """Per-shard multi-start descent body (runs INSIDE shard_map).
 
@@ -139,7 +143,7 @@ def descent_local(
     (parallel/fused.py).
     """
     H, W, _ = img_l.shape
-    blocks_l = pack_bilinear_blocks(img_l)
+    blocks_l = cast_packed_table(pack_bilinear_blocks(img_l), table_dtype)
 
     def one(t0, y0):
         params = Pose(t=t0, yaw=y0[0], pitch=y0[1], roll=y0[2])
@@ -179,16 +183,18 @@ def descent_local(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "num_iter", "lr", "patience", "factor"),
+    static_argnames=("mesh", "num_iter", "lr", "patience", "factor",
+                     "table_dtype"),
 )
 def _solve_sharded_jit(
     img, xyz, rgb, trans0, ypr0, lo, hi, point_mask,
-    *, mesh, num_iter, lr, patience, factor,
+    *, mesh, num_iter, lr, patience, factor, table_dtype="float32",
 ):
     t, ypr, losses, lrs = shard_map(
         functools.partial(
             descent_local,
             num_iter=num_iter, lr=lr, patience=patience, factor=factor,
+            table_dtype=table_dtype,
         ),
         mesh=mesh,
         in_specs=(
@@ -233,6 +239,7 @@ def solve_sharded(
     lr: float = 0.1,
     patience: int = 5,
     factor: float = 0.9,
+    table_dtype: str = "float32",
 ):
     """Multi-chip multi-start descent; same contract as solver.solve.
 
@@ -276,6 +283,7 @@ def solve_sharded(
     res = _solve_sharded_jit(
         img, xyz, rgb, trans0, ypr0, lo, hi, point_mask,
         mesh=mesh, num_iter=num_iter, lr=lr, patience=patience, factor=factor,
+        table_dtype=table_dtype,
     )
     res = SolveResult(
         t=res.t[:b], ypr=res.ypr[:b], rot=res.rot[:b],

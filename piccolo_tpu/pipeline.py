@@ -32,7 +32,7 @@ from .init.refine import hist_scores_core
 from .kernels.slab_sampling import GridPlan, make_pairs, slab_pair_scores
 from .loss import Pose, sampling_loss_packed
 from .ops.rotation import rot_from_ypr
-from .ops.sampling import pack_bilinear_blocks
+from .ops.sampling import cast_packed_table, pack_bilinear_blocks
 from .optim import adam_plateau_step, init_adam_plateau
 
 __all__ = ["LocalizeResult", "localize_query", "localize_query_batch"]
@@ -73,11 +73,12 @@ def _grid_scores(img, xyz, rgb, pair_t, pair_ypr, pair_valid, point_mask, chunk)
 def _descend(img, xyz, rgb, t0s, ypr0s, lo, hi, point_mask,
              num_iter, lr, patience, factor, table_dtype=jnp.float32):
     H, W, _ = img.shape
-    # bf16 tables halve the descent's gather table (the dominant query cost
-    # at large panoramas — docs/PERFORMANCE.md "gather rate vs table size");
-    # texels quantize to 8-bit mantissa, lerp/loss stay f32.  Opt-in: the
-    # default f32 path is trajectory-exact vs the torch reference.
-    blocks = pack_bilinear_blocks(img).astype(table_dtype)
+    # bf16/u8 tables shrink the descent's gather table 2x/4x (the dominant
+    # query cost at large panoramas — docs/PERFORMANCE.md "gather rate vs
+    # table size"); lerp/loss stay f32 (ops.sampling.cast_packed_table).
+    # Opt-in: the default f32 path is trajectory-exact vs the torch
+    # reference.
+    blocks = cast_packed_table(pack_bilinear_blocks(img), table_dtype)
 
     def one(t0, y0):
         params = Pose(t=t0, yaw=y0[0], pitch=y0[1], roll=y0[2])

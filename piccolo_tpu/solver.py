@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from .loss import Pose, pose_rotation, sampling_loss, sampling_loss_packed
-from .ops.sampling import pack_bilinear_blocks
+from .ops.sampling import cast_packed_table, pack_bilinear_blocks
 from .optim import adam_plateau_step, init_adam_plateau
 
 __all__ = ["SolveResult", "solve", "descend", "evaluate_poses"]
@@ -130,10 +130,11 @@ def descend(
     """
     pm = point_mask if masked else None
     H, W, _ = img.shape
-    # table_dtype="bfloat16" halves the gather table (the dominant cost at
-    # large panoramas); texels quantize to 8-bit mantissa, lerp/loss stay
-    # f32.  Default f32 is trajectory-exact vs the torch reference.
-    blocks = pack_bilinear_blocks(img).astype(jnp.dtype(table_dtype))
+    # table_dtype="bfloat16"/"uint8" shrinks the gather table (the dominant
+    # cost at large panoramas) 2x/4x; lerp/loss stay f32 (see
+    # ops.sampling.cast_packed_table).  Default f32 is trajectory-exact vs
+    # the torch reference.
+    blocks = cast_packed_table(pack_bilinear_blocks(img), table_dtype)
 
     def one(t0, y0):
         return _descend_single(

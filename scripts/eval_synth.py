@@ -72,7 +72,7 @@ def main(argv=None) -> dict:
     ap.add_argument("--height", type=int, default=512)
     ap.add_argument("--seed", type=int, default=11)
     ap.add_argument("--descent-table", default="float32",
-                    choices=["float32", "bfloat16"])
+                    choices=["float32", "bfloat16", "uint8"])
     ap.add_argument("--no-slab", action="store_true",
                     help="score stage 1 with the XLA gather path instead "
                          "of the sorted-slab kernel")

@@ -238,3 +238,23 @@ def test_sharded_many_candidates_per_shard(scene):
     assert int(np.argmin(np.asarray(res.loss))) == int(
         np.argmin(np.asarray(ref.loss))
     )
+
+
+def test_sharded_narrow_table_matches_single_device(scene):
+    """descent_table plumbs through shard_map: per-shard u8 tables must
+    reproduce the single-device u8 descent (same cast, psum'd loss)."""
+    xyz, rgb, img, lo, hi, t0, ypr0, gt_t = scene
+    mesh = make_mesh(2, 4)
+    ref = descend(
+        jnp.asarray(img), jnp.asarray(xyz), jnp.asarray(rgb),
+        jnp.asarray(t0), jnp.asarray(ypr0), jnp.asarray(lo), jnp.asarray(hi),
+        num_iter=3, lr=0.1, patience=5, factor=0.8, table_dtype="uint8",
+    )
+    _, _, _, res = solve_sharded(
+        mesh, img, xyz, rgb, t0, ypr0, lo, hi,
+        num_iter=3, lr=0.1, patience=5, factor=0.8, table_dtype="uint8",
+    )
+    np.testing.assert_allclose(np.asarray(res.t), np.asarray(ref.t), atol=2e-2)
+    np.testing.assert_allclose(
+        np.asarray(res.loss), np.asarray(ref.loss), atol=1e-3
+    )

@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from piccolo_tpu.init import default_init_dict
 from piccolo_tpu.init.candidates import generate_rot_points, generate_trans_points
@@ -198,14 +199,16 @@ def test_fused_slab_plan_rgb_refresh_matches_plain(rng):
     np.testing.assert_allclose(np.asarray(slab.t), np.asarray(plain.t), atol=1e-4)
 
 
-def test_fused_bf16_descent_table_recovers_pose(rng):
-    """Opt-in bf16 descent table: quantized texels, f32 math, same winner."""
+@pytest.mark.parametrize("table", ["bfloat16", "uint8"])
+def test_fused_narrow_descent_table_recovers_pose(rng, table):
+    """Opt-in narrow descent tables: quantized texels, f32 math, same
+    winner basin."""
     xyz, rgb, img, trans, rot, lo, hi, gt_t = _setup(rng)
     res = localize_query(
         jnp.asarray(img), jnp.asarray(img), jnp.asarray(xyz), jnp.asarray(rgb),
         jnp.asarray(trans), jnp.asarray(rot),
         jnp.ones(trans.shape[0], bool), jnp.asarray(lo), jnp.asarray(hi),
         num_intermediate=10, num_input=4, num_iter=80,
-        descent_table="bfloat16",
+        descent_table=table,
     )
     assert float(jnp.linalg.norm(res.t - jnp.asarray(gt_t))) < 0.2

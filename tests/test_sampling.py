@@ -100,3 +100,44 @@ def test_vmap_batched_matches_loop(rng):
     np.testing.assert_allclose(
         np.asarray(batched).reshape(-1, 3), np.asarray(flat), atol=1e-7
     )
+
+
+def test_cast_packed_table_u8(rng):
+    """uint8 tables: exact for uint8-sourced images, <=1/510-bounded else,
+    zero border (the loss's pure-black mask) preserved exactly."""
+    from piccolo_tpu.ops.sampling import (
+        bilinear_sample_packed,
+        cast_packed_table,
+        pack_bilinear_blocks,
+    )
+
+    # uint8-sourced image (the real data path: panos decode to uint8/255)
+    img = (rng.integers(0, 256, (37, 53, 3)) / 255.0).astype(np.float32)
+    coords = (rng.random((4000, 2)).astype(np.float32) * 2.4) - 1.2
+    blocks = pack_bilinear_blocks(jnp.asarray(img))
+    ref = np.asarray(
+        bilinear_sample_packed(blocks, 37, 53, jnp.asarray(coords))
+    )
+    u8 = cast_packed_table(blocks, "uint8")
+    assert u8.dtype == jnp.uint8
+    out = np.asarray(bilinear_sample_packed(u8, 37, 53, jnp.asarray(coords)))
+    np.testing.assert_allclose(out, ref, atol=3e-7)
+
+    # arbitrary float image: per-texel error <= 1/510, lerp can't exceed it
+    img2 = rng.random((37, 53, 3)).astype(np.float32)
+    blocks2 = pack_bilinear_blocks(jnp.asarray(img2))
+    ref2 = np.asarray(
+        bilinear_sample_packed(blocks2, 37, 53, jnp.asarray(coords))
+    )
+    out2 = np.asarray(
+        bilinear_sample_packed(
+            cast_packed_table(blocks2, "uint8"), 37, 53, jnp.asarray(coords)
+        )
+    )
+    assert np.max(np.abs(out2 - ref2)) <= 1.0 / 510 + 1e-6
+
+    # zero border survives the cast: fully out-of-image sample stays 0
+    far = jnp.asarray(np.full((5, 2), 0.999, np.float32))
+    # (x, y) = (+0.99, +0.99) clips inside; use the padded border row instead
+    border = np.asarray(cast_packed_table(blocks, "uint8"))[0]
+    assert (border[:3] == 0).all()  # row 0 = (y0, x0) = (-1, -1) border taps
