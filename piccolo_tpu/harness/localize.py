@@ -227,6 +227,24 @@ def _maybe_mesh(cfg):
     )
 
 
+def _check_mesh_usable(mesh, fused: bool):
+    """Surface (loudly) that multi-chip needs the fused path.
+
+    ``n_devices`` routes queries through the sharded fused program; configs
+    that force the staged path (visualize, sample_rate_for_init, non-default
+    criterion — see _use_fused) have no sharded equivalent, and silently
+    running single-device would betray an explicit multi-chip request.
+    """
+    if mesh is not None and not fused:
+        print(
+            "WARNING: n_devices requested but this config requires the "
+            "staged path (visualize / sample_rate_for_init / non-default "
+            "criterion have no sharded program); running single-device.\n"
+        )
+        return None
+    return mesh
+
+
 def _setup_debug(cfg) -> None:
     """``debug_nans = True`` raises on NaNs inside jitted code — the parity
     knob for the reference's always-on anomaly detection
@@ -350,11 +368,21 @@ def _run_fused(img_init, img_main, cache, rgb_used, cfg, init_dict, grids,
         # the sharded program keeps the XLA stage-1 (each point shard scores
         # its slice; the sorted-slab layout is a single-device optimization)
         from ..parallel import localize_query_sharded
+        from ..parallel.fused import shard_cloud
 
+        # lay the room-static cloud out on the mesh once per room; only a
+        # sharpen_color per-query rgb rebind re-places the color shard
+        key = ("sharded_cloud",)
+        if key not in cache:
+            cache[key] = shard_cloud(
+                mesh, cache["xyz"], cache["rgb"], cache["mask"]
+            )
+        xyz_s, rgb_s, mask_s = cache[key]
         return localize_query_sharded(
-            mesh, img_init, img_main,
-            cache["xyz"], rgb_used, grids.trans, grids.rot, grids.valid,
-            cache["lo"], cache["hi"], cache["mask"],
+            mesh, img_init, img_main, xyz_s,
+            rgb_s if rgb_used is cache["rgb"] else rgb_used,
+            grids.trans, grids.rot, grids.valid,
+            cache["lo"], cache["hi"], mask_s,
             descent_table=descent_table, **kw,
         )
     plan = _maybe_slab_plan(cfg, cache, grids, img_init)
@@ -462,6 +490,7 @@ def localize_stanford(cfg, writer=None, log_dir: str = "./log") -> float:
     failed, skipped = [], []
     init_dict = get_init_dict(cfg)
     fused = _use_fused(cfg, init_dict)
+    mesh = _check_mesh_usable(mesh, fused)
     sharpen = cfg_get(cfg, "sharpen_color", False)
     num_bins = cfg_get(cfg, "num_bins", 256)
     # Host work for query k+1 (decode, resizes, color prep, cloud/grid load)
@@ -500,19 +529,31 @@ def localize_stanford(cfg, writer=None, log_dir: str = "./log") -> float:
         if sharpen:
             img_init, rgb_mod = color_mod(img_init, room["rgb_np"], num_bins)
             rgb_used = _pad_rgb(rgb_mod, int(room["mask"].shape[0]))
+        # The main resize is INSIDE the reference's per-query timer
+        # (localize.py:208-223: start -> make_input -> main resize ->
+        # solve -> end) — it runs here on the prepare thread, so its wall
+        # time is carried into the query's CSV time for window parity.
+        rt0 = time.time()
         img_main = resize(orig, (W0 // main_dw, H0 // main_dh)).astype(np.float32) / 255.0
+        prep_timed = time.time() - rt0
         gt_trans, gt_rot = data_mod.obtain_gt_stanford(data_root, area, img_name)
         return dict(
             area=area, img_name=img_name, room=room, orig=orig,
             img_init=img_init, img_main=img_main, rgb_used=rgb_used,
-            gt_trans=gt_trans, gt_rot=gt_rot,
+            gt_trans=gt_trans, gt_rot=gt_rot, prep_timed=prep_timed,
         )
 
-    pending = [f for f in filenames if os.path.basename(f) not in csv_out.done]
+    # keep each query's ORIGINAL index as its TensorBoard step so resumed
+    # runs continue the first run's step axis instead of restarting at 0
+    pending_idx = [
+        i for i, f in enumerate(filenames)
+        if os.path.basename(f) not in csv_out.done
+    ]
+    pending = [filenames[i] for i in pending_idx]
     prev_room = None
     with AsyncWriter(enabled=prefetch_on) as artifacts:
-        for trial, (filename, outcome) in enumerate(
-            Prefetcher(pending, _prepare, enabled=prefetch_on)
+        for trial, (filename, outcome) in zip(
+            pending_idx, Prefetcher(pending, _prepare, enabled=prefetch_on)
         ):
             try:
                 b = Prefetcher.unwrap(outcome)
@@ -563,7 +604,7 @@ def localize_stanford(cfg, writer=None, log_dir: str = "./log") -> float:
                         t = np.asarray(res.t[k])
                         R = np.asarray(res.rot[k])
                         loss_k = float(res.loss[k])
-                elapsed = time.time() - start
+                elapsed = time.time() - start + b["prep_timed"]
 
                 t_err = translation_error(gt_trans, t)
                 r_err = rotation_error_deg(gt_rot, R)
@@ -682,6 +723,7 @@ def localize_omniscenes(cfg, writer=None, log_dir: str = "./log") -> float:
     failed, skipped = [], []
     init_dict = get_init_dict(cfg)
     fused = _use_fused(cfg, init_dict)
+    mesh = _check_mesh_usable(mesh, fused)
     prefetch_on = cfg_get(cfg, "host_prefetch", True)
     prep_cache = {"pcd": None}
 
@@ -735,24 +777,29 @@ def localize_omniscenes(cfg, writer=None, log_dir: str = "./log") -> float:
 
         H0, W0 = orig.shape[:2]
         img_init = resize(orig, (W0 // init_dw, H0 // init_dh)).astype(np.float32) / 255.0
+        # main resize is inside the reference's timer (localize.py:436-486);
+        # its wall time carries into the query's CSV time (window parity)
+        rt0 = time.time()
         img_main = resize(orig, (W0 // main_dw, H0 // main_dh)).astype(np.float32) / 255.0
+        prep_timed = time.time() - rt0
         gt_trans, gt_rot = data_mod.obtain_gt_omniscenes(filename)
         return dict(
             video_name=video_name, img_seq=img_seq, img_name=img_name,
             room=room, orig=orig, img_init=img_init, img_main=img_main,
             rgb_used=rgb_used, gt_trans=gt_trans, gt_rot=gt_rot,
-            shape=(H0, W0),
+            shape=(H0, W0), prep_timed=prep_timed,
         )
 
-    pending = [
-        f
-        for f in filenames
+    # original indices as TB steps so resume continues the step axis
+    pending_idx = [
+        i for i, f in enumerate(filenames)
         if f"{f.split(os.sep)[-2]}/{os.path.basename(f)}" not in csv_out.done
     ]
+    pending = [filenames[i] for i in pending_idx]
     artifacts = AsyncWriter(enabled=prefetch_on)
     prev_room = None
-    for trial, (filename, outcome) in enumerate(
-        Prefetcher(pending, _prepare, enabled=prefetch_on)
+    for trial, (filename, outcome) in zip(
+        pending_idx, Prefetcher(pending, _prepare, enabled=prefetch_on)
     ):
         try:
             b = Prefetcher.unwrap(outcome)
@@ -824,7 +871,7 @@ def localize_omniscenes(cfg, writer=None, log_dir: str = "./log") -> float:
                             ),
                             orig, rendered,
                         )
-            elapsed = time.time() - start
+            elapsed = time.time() - start + b["prep_timed"]
 
             t_err = translation_error(gt_trans, t)
             r_err = rotation_error_deg(gt_rot, R)

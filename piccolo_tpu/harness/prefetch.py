@@ -63,15 +63,48 @@ class Prefetcher:
         self._enabled = enabled and len(self._items) > 1
         self._q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
         self._thread = None
+        self._stop = threading.Event()
+
+    def _put(self, value) -> bool:
+        """Bounded put that gives up once the consumer is gone."""
+        while not self._stop.is_set():
+            try:
+                self._q.put(value, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def _run(self) -> None:
         for item in self._items:
+            if self._stop.is_set():
+                return
             try:
                 out = self._prepare(item)
             except BaseException as exc:  # delivered at the item's turn
                 out = _Failure(exc)
-            self._q.put((item, out))
-        self._q.put(_SENTINEL)
+            if not self._put((item, out)):
+                return
+        self._put(_SENTINEL)
+
+    def close(self) -> None:
+        """Release the prepare thread and any staged bundles.
+
+        Called automatically when iteration ends — including when the
+        consumer abandons the loop mid-iteration (an uncaught per-query
+        exception with ``continue_on_error=False``); without it the prepare
+        thread would block forever on the bounded queue, pinning decoded
+        panoramas and padded clouds for the life of the process.
+        """
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        if self._thread is not None:
+            self._thread.join(timeout=5.0)
+            self._thread = None
 
     @staticmethod
     def unwrap(outcome):
@@ -93,12 +126,14 @@ class Prefetcher:
             target=self._run, name="piccolo-prefetch", daemon=True
         )
         self._thread.start()
-        while True:
-            got = self._q.get()
-            if got is _SENTINEL:
-                break
-            yield got
-        self._thread.join()
+        try:
+            while True:
+                got = self._q.get()
+                if got is _SENTINEL:
+                    break
+                yield got
+        finally:
+            self.close()
 
 
 class AsyncWriter:

@@ -40,7 +40,46 @@ from ..ops.sampling import pack_bilinear_blocks
 from ..pipeline import LocalizeResult
 from .sharding import _point_sharded_loss, descent_local, shard_map
 
-__all__ = ["localize_query_sharded"]
+__all__ = ["localize_query_sharded", "shard_cloud"]
+
+
+def shard_cloud(mesh: Mesh, xyz, rgb, point_mask=None):
+    """Pad the cloud to the 'point' axis and lay it out on the mesh ONCE.
+
+    The cloud (and its validity mask) is room-static; callers evaluating
+    many queries of one room should shard it once and pass the results to
+    :func:`localize_query_sharded`, which recognises correctly-sharded
+    device arrays and skips the per-query host round-trip + re-layout
+    (tens of MB per query at OmniScenes scale otherwise).
+    """
+    n_point = mesh.shape["point"]
+    xyz = np.asarray(xyz, np.float32)
+    rgb = np.asarray(rgb, np.float32)
+    n = xyz.shape[0]
+    if point_mask is None:
+        point_mask = np.ones(n, bool)
+    else:
+        point_mask = np.asarray(point_mask, bool)
+    pad = (-n) % n_point
+    if pad:
+        xyz = np.concatenate([xyz, np.zeros((pad, 3), np.float32)])
+        rgb = np.concatenate([rgb, np.zeros((pad, 3), np.float32)])
+        point_mask = np.concatenate([point_mask, np.zeros(pad, bool)])
+    dev = lambda spec: NamedSharding(mesh, spec)
+    return (
+        jax.device_put(xyz, dev(P("point", None))),
+        jax.device_put(rgb, dev(P("point", None))),
+        jax.device_put(point_mask, dev(P("point"))),
+    )
+
+
+def _arr_sharded(mesh: Mesh, a, spec) -> bool:
+    """True when ``a`` already carries shard_cloud's layout for ``spec``."""
+    return (
+        isinstance(a, jax.Array)
+        and a.shape[0] % mesh.shape["point"] == 0
+        and a.sharding == NamedSharding(mesh, spec)
+    )
 
 
 def _pad_clone_rows(a: jnp.ndarray, multiple: int) -> jnp.ndarray:
@@ -70,11 +109,13 @@ def _localize_query_sharded_jit(
     cloud_specs = (P(), P("point", None), P("point", None), P("point"))
 
     # ---- stage 1: loss table over (trans, rot) pairs, 'cand'-sharded
+    # (pair order from the shared parity anchor, kernels.slab_sampling)
+    from ..kernels.slab_sampling import make_pairs
+
     T, R = trans_grid.shape[0], rot_grid.shape[0]
-    pair_t = _pad_clone_rows(
-        jnp.repeat(trans_grid, R, axis=0), n_cand * grid_chunk
-    )
-    pair_r = _pad_clone_rows(jnp.tile(rot_grid, (T, 1)), n_cand * grid_chunk)
+    pt, pr = make_pairs(trans_grid, rot_grid)
+    pair_t = _pad_clone_rows(pt, n_cand * grid_chunk)
+    pair_r = _pad_clone_rows(pr, n_cand * grid_chunk)
     pair_valid = jnp.concatenate([
         jnp.repeat(trans_valid, R),
         jnp.zeros(pair_t.shape[0] - T * R, bool),
@@ -192,27 +233,27 @@ def localize_query_sharded(
     cloud padded here to a 'point'-axis multiple (mask=False padding) and all
     three stages executed SPMD across the mesh.
     """
-    n_point = mesh.shape["point"]
-
-    xyz = np.asarray(xyz, np.float32)
-    rgb = np.asarray(rgb, np.float32)
-    n = xyz.shape[0]
-    if point_mask is None:
-        point_mask = np.ones(n, bool)
-    else:
-        point_mask = np.asarray(point_mask, bool)
-    pad = (-n) % n_point
-    if pad:
-        xyz = np.concatenate([xyz, np.zeros((pad, 3), np.float32)])
-        rgb = np.concatenate([rgb, np.zeros((pad, 3), np.float32)])
-        point_mask = np.concatenate([point_mask, np.zeros(pad, bool)])
-
     dev = lambda spec: NamedSharding(mesh, spec)
+    if (
+        _arr_sharded(mesh, xyz, P("point", None))
+        and point_mask is not None
+        and _arr_sharded(mesh, point_mask, P("point"))
+    ):
+        # room-static cloud already laid out by shard_cloud; only re-place
+        # the colors when a per-query rebind (sharpen_color) replaced them
+        if not (
+            _arr_sharded(mesh, rgb, P("point", None))
+            and rgb.shape[0] == xyz.shape[0]
+        ):
+            rgb = np.asarray(rgb, np.float32)
+            pad = xyz.shape[0] - rgb.shape[0]
+            if pad:
+                rgb = np.concatenate([rgb, np.zeros((pad, 3), np.float32)])
+            rgb = jax.device_put(rgb, dev(P("point", None)))
+    else:
+        xyz, rgb, point_mask = shard_cloud(mesh, xyz, rgb, point_mask)
     img_init = jax.device_put(jnp.asarray(img_init, jnp.float32), dev(P()))
     img_main = jax.device_put(jnp.asarray(img_main, jnp.float32), dev(P()))
-    xyz = jax.device_put(xyz, dev(P("point", None)))
-    rgb = jax.device_put(rgb, dev(P("point", None)))
-    point_mask = jax.device_put(point_mask, dev(P("point")))
     trans_grid = jax.device_put(jnp.asarray(trans_grid, jnp.float32), dev(P()))
     rot_grid = jax.device_put(jnp.asarray(rot_grid, jnp.float32), dev(P()))
     trans_valid = jax.device_put(jnp.asarray(trans_valid, bool), dev(P()))

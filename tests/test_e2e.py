@@ -220,3 +220,28 @@ def test_cli_mesh_rejects_oversubscription(synth_root, tmp_path):
             "--config", cfg, "--log", str(tmp_path / "log_over"),
             "--no-tensorboard", "--override", "n_devices=16",
         ])
+
+
+def test_cli_multichip_sharpen_rgb_rebind(synth_root, tmp_path):
+    """sharpen_color under n_devices: the per-query color rebind re-places
+    only the rgb shard against the room's pre-sharded cloud (shard_cloud
+    fast path) and matches the single-device sharpened run."""
+    from piccolo_tpu.main import main
+
+    cfg = _write_cfg(
+        str(tmp_path / "cfg.ini"), "Stanford2D-3D-S", synth_root,
+        extra="sharpen_color = True\n",
+    )
+    log1 = str(tmp_path / "log_single")
+    acc1 = main(["--config", cfg, "--log", log1, "--no-tensorboard"])
+    log8 = str(tmp_path / "log_mesh")
+    acc8 = main([
+        "--config", cfg, "--log", log8, "--no-tensorboard",
+        "--override", "n_devices=8",
+    ])
+    _, rows1 = _read_results(os.path.join(log1, "stanford_results.csv"))
+    _, rows8 = _read_results(os.path.join(log8, "stanford_results.csv"))
+    assert acc8 == acc1 == 1.0
+    for r1, r8 in zip(rows1, rows8):
+        assert r1[1] == r8[1]
+        assert abs(float(r1[7]) - float(r8[7])) < 5e-2

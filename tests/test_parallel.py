@@ -258,3 +258,37 @@ def test_sharded_narrow_table_matches_single_device(scene):
     np.testing.assert_allclose(
         np.asarray(res.loss), np.asarray(ref.loss), atol=1e-3
     )
+
+
+def test_fused_sharded_preshard_cloud_matches_raw(fused_scene):
+    """shard_cloud + pass-through must be bit-identical to raw-input
+    resharding (the harness shards the room-static cloud once per room)."""
+    from piccolo_tpu.parallel import localize_query_sharded
+    from piccolo_tpu.parallel.fused import shard_cloud
+
+    xyz, rgb, img, lo, hi, trans, rot, valid, gt_t = fused_scene
+    mesh = make_mesh(2, 4)
+    kw = dict(
+        num_intermediate=12, num_input=4, num_split_h=4, num_split_w=4,
+        num_iter=5, lr=0.1, patience=5, factor=0.8,
+        grid_chunk=8, hist_chunk=4,
+    )
+    raw = localize_query_sharded(
+        mesh, img, img, xyz, rgb, trans, rot, valid, lo, hi, **kw,
+    )
+    xyz_s, rgb_s, mask_s = shard_cloud(mesh, xyz, rgb)
+    pre = localize_query_sharded(
+        mesh, img, img, xyz_s, rgb_s, trans, rot, valid, lo, hi, mask_s, **kw,
+    )
+    np.testing.assert_array_equal(np.asarray(pre.start_t), np.asarray(raw.start_t))
+    np.testing.assert_array_equal(np.asarray(pre.t), np.asarray(raw.t))
+    np.testing.assert_array_equal(
+        np.asarray(pre.cand_loss), np.asarray(raw.cand_loss)
+    )
+
+    # a per-query rgb rebind (shorter, unsharded array) against the
+    # pre-sharded xyz/mask also matches
+    rgb2 = localize_query_sharded(
+        mesh, img, img, xyz_s, rgb, trans, rot, valid, lo, hi, mask_s, **kw,
+    )
+    np.testing.assert_array_equal(np.asarray(rgb2.t), np.asarray(raw.t))

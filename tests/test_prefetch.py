@@ -81,3 +81,46 @@ def test_async_writer_context_manager_drains():
         for i in range(3):
             w.submit(done.append, i)
     assert done == [0, 1, 2]
+
+
+def test_prefetcher_abandoned_mid_iteration_releases_thread():
+    """Breaking out of the loop (uncaught query error with
+    continue_on_error=False) must stop the prepare thread instead of
+    leaving it blocked on the bounded queue holding staged bundles."""
+    import threading
+
+    items = list(range(50))
+    prepared = []
+
+    def prepare(i):
+        prepared.append(i)
+        time.sleep(0.005)
+        return i
+
+    pf = Prefetcher(items, prepare, enabled=True, depth=2)
+    for item, out in pf:
+        if item == 3:
+            break
+    pf.close()  # explicit close is idempotent with the generator's finally
+    deadline = time.time() + 5
+    while time.time() < deadline:
+        if not any(
+            t.name == "piccolo-prefetch" and t.is_alive()
+            for t in threading.enumerate()
+        ):
+            break
+        time.sleep(0.05)
+    else:
+        raise AssertionError("prepare thread still alive after abandonment")
+    # and it stopped preparing almost immediately (not all 50 items)
+    assert len(prepared) < 30
+
+
+def test_prefetcher_close_then_fresh_iteration_unaffected():
+    """close() on one instance must not poison a new one."""
+    a = Prefetcher([1, 2, 3], lambda i: i, enabled=True)
+    it = iter(a)
+    next(it)
+    a.close()
+    b = Prefetcher([1, 2, 3], lambda i: i * 2, enabled=True)
+    assert [Prefetcher.unwrap(o) for _, o in b] == [2, 4, 6]
