@@ -119,6 +119,11 @@ def main() -> None:
     # kernel stage 1); --staged runs the three-stage path instead and
     # --no-slab keeps the fused program on the XLA gather stage 1.
     use_fused = "--staged" not in sys.argv
+    descent_table = (
+        "uint8" if "--u8-descent" in sys.argv
+        else "bfloat16" if "--bf16-descent" in sys.argv
+        else "float32"
+    )
     plan = None
     if use_fused and "--no-slab" not in sys.argv:
         from piccolo_tpu.kernels.slab_sampling import build_grid_plan
@@ -143,11 +148,7 @@ def main() -> None:
                 trans_valid, lo_d, hi_d, mask_d,
                 num_intermediate=num_intermediate, num_input=6, num_iter=100,
                 lr=0.1, patience=5, factor=0.8, masked=True, plan=plan,
-                descent_table=(
-                    "uint8" if "--u8-descent" in sys.argv
-                    else "bfloat16" if "--bf16-descent" in sys.argv
-                    else "float32"
-                ),
+                descent_table=descent_table,
             )
             t = np.asarray(res.t)
         else:
@@ -162,6 +163,7 @@ def main() -> None:
             res = descend(
                 img_main, xyz_d, rgb_d, t2, r2, lo_d, hi_d, mask_d,
                 num_iter=100, lr=0.1, patience=5, factor=0.8, masked=True,
+                table_dtype=descent_table,
             )
             k = int(jnp.argmin(res.loss))
             t = np.asarray(res.t[k])

@@ -300,8 +300,11 @@ def _maybe_slab_plan(cfg, cache, grids, img_init):
 
     ``auto`` (default) enables the MXU kernel path on TPU and keeps the XLA
     path on CPU (the interpret-mode kernel is test-only); True/False force.
-    ``auto`` also skips workloads whose sorted streams would crowd HBM
-    (``slab_bytes_cap``, default 6 GB — e.g. 1M-point clouds at full grids).
+    ``auto`` also bounds HBM: workloads whose f32 sorted streams exceed
+    ``slab_bytes_cap`` (default 9 GB — e.g. dense clouds at OmniScenes
+    grids) fall back to the 16 B/sample COMPACT plan (targets within 1 ulp,
+    selection-equivalent; kernels/slab_sampling.py), and only if even that
+    exceeds the cap does stage 1 revert to the XLA gather path.
     The plan is cached per (room, init-image size) and covers only the real
     (non-padding) grid rows; building costs ~0.1 s per candidate group on
     device (kernels/slab_sampling.py).
@@ -317,26 +320,31 @@ def _maybe_slab_plan(cfg, cache, grids, img_init):
         slab_worthwhile,
     )
 
+    sharpen = bool(cfg_get(cfg, "sharpen_color", False))
     n_t = getattr(grids, "n_trans", int(grids.trans.shape[0]))
+    compact = bool(cfg_get(cfg, "slab_compact", False))
     if mode == "auto":
         n_pairs = n_t * int(grids.rot.shape[0])
         n_points = int(cache["mask"].shape[0])
-        est = plan_bytes_estimate(n_pairs, n_points)
-        if est > cfg_get(cfg, "slab_bytes_cap", 6 * 10**9):
+        cap = cfg_get(cfg, "slab_bytes_cap", 9 * 10**9)
+        if not compact and plan_bytes_estimate(n_pairs, n_points) > cap:
+            compact = True
+        if plan_bytes_estimate(n_pairs, n_points, compact=True) > cap:
             return None
         # sharpen_color rebinds cloud colors per query, forcing a per-query
         # target re-bake — only worth it when the XLA gather is slow enough
         if not slab_worthwhile(
             n_pairs, n_points, img_init.shape[0], img_init.shape[1],
-            refresh=bool(cfg_get(cfg, "sharpen_color", False)),
+            refresh=sharpen,
         ):
             return None
-    key = ("slab_plan", img_init.shape[0], img_init.shape[1])
+    key = ("slab_plan", img_init.shape[0], img_init.shape[1], compact)
     if key not in cache:
         cache[key] = build_grid_plan(
             cache["xyz"], cache["rgb"], cache["mask"],
             grids.trans[:n_t], grids.rot,
             img_init.shape[0], img_init.shape[1],
+            compact=compact, tp_is_pid=compact and sharpen,
         )
     return cache[key]
 

@@ -77,28 +77,40 @@ class GridPlan:
              lidx/cid sentinels and contribute nothing.  Kept per group
              (not stacked) so plans never need one huge contiguous HBM
              allocation and the kernel runs one pallas_call per group.
+             COMPACT plans store (NB, 4, BLOCK): [lidx*128+cid, wx1, wy1,
+             tp] — 16 B/sample instead of 32 — where ``tp`` is the target
+             rgb packed as a 24-bit integer r<<16|g<<8|b (lossless for
+             uint8-sourced cloud colors, the loaders' output) or, for
+             refresh-capable plans (``tp_is_pid``), the source point id.
     windows: tuple of per-group (NB,) int32 — aligned table-window index
              per block.
     n_pairs: static int — number of leading candidate pairs the plan covers
              (callers slice grid padding off before planning; pairs beyond
              n_pairs must be masked invalid by the consumer).
 
-    Registered as a pytree with ``n_pairs`` as static aux data so plans can
-    cross jit boundaries while score shapes stay static.
+    Registered as a pytree with ``n_pairs``/``compact``/``tp_is_pid`` as
+    static aux data so plans can cross jit boundaries while score shapes
+    stay static.
     """
 
-    def __init__(self, fields, windows, n_pairs: int):
+    def __init__(self, fields, windows, n_pairs: int,
+                 compact: bool = False, tp_is_pid: bool = False):
         self.fields = tuple(fields)
         self.windows = tuple(windows)
         self.n_pairs = int(n_pairs)
+        self.compact = bool(compact)
+        self.tp_is_pid = bool(tp_is_pid)
 
     def tree_flatten(self):
-        return (self.fields, self.windows), self.n_pairs
+        return (
+            (self.fields, self.windows),
+            (self.n_pairs, self.compact, self.tp_is_pid),
+        )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         fields, windows = children
-        return cls(fields, windows, aux)
+        return cls(fields, windows, *aux)
 
     @property
     def nbytes(self) -> int:
@@ -112,13 +124,16 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def plan_bytes_estimate(n_pairs: int, n_points: int) -> int:
+def plan_bytes_estimate(
+    n_pairs: int, n_points: int, compact: bool = False
+) -> int:
     """Approximate HBM footprint of a plan before building it (32 B/sample
-    plus ~25% block padding) — lets auto mode skip planning workloads whose
-    streams would crowd out the rest of the query (e.g. 1M-point clouds
-    with 1.4k pairs would need ~45 GB)."""
+    f32, 16 B compact, plus ~25% block padding) — lets auto mode skip
+    planning workloads whose streams would crowd out the rest of the query
+    (e.g. 1M-point clouds with 1.4k pairs would need ~45 GB even compact)."""
     groups = (n_pairs + GROUP - 1) // GROUP
-    return int(groups * GROUP * n_points * 32 * 1.25)
+    per = 16 if compact else 32
+    return int(groups * GROUP * n_points * per * 1.25)
 
 
 def slab_worthwhile(
@@ -206,8 +221,21 @@ def _plan_sizes(xyz, point_mask, pair_t, pair_ypr, *, height, width):
     return jax.vmap(one)(pair_t, pair_ypr)
 
 
-@functools.partial(jax.jit, static_argnames=("height", "width", "nb"))
-def _plan_group(xyz, rgb, point_mask, t_g, ypr_g, *, height, width, nb):
+def pack_rgb24(rgb: jnp.ndarray) -> jnp.ndarray:
+    """(N, 3) colors in [0, 1] -> (N,) f32 of exact 24-bit ints r<<16|g<<8|b.
+
+    Lossless round-trip for uint8-sourced colors (the data loaders emit
+    i/255): r*255 rounds back to i exactly, and ints < 2^24 are exact in
+    f32.  Arbitrary float colors quantize to 1/255 steps (clipped)."""
+    q = jnp.round(jnp.clip(rgb, 0.0, 1.0) * 255.0)
+    return q[:, 0] * 65536.0 + q[:, 1] * 256.0 + q[:, 2]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("height", "width", "nb", "compact", "tp_is_pid")
+)
+def _plan_group(xyz, rgb, point_mask, t_g, ypr_g, *, height, width, nb,
+                compact=False, tp_is_pid=False):
     """Sorted, window-padded sample blocks for one candidate group."""
     n_win = _rpad(height, width) // WINDOW
     N = xyz.shape[0]
@@ -218,17 +246,22 @@ def _plan_group(xyz, rgb, point_mask, t_g, ypr_g, *, height, width, nb):
     pid = jnp.broadcast_to(
         jnp.arange(N, dtype=jnp.float32)[None], (GROUP, N)
     )
-    tgt = jnp.broadcast_to(rgb.T[:, None, :], (3, GROUP, N))
-
-    srt = jax.lax.sort(
-        (
-            row.reshape(-1),
+    if compact:
+        # one payload slot: point id (refresh-capable) or packed target
+        tp1 = pid if tp_is_pid else jnp.broadcast_to(
+            pack_rgb24(rgb)[None], (GROUP, N)
+        )
+        vals = (wx1.reshape(-1), wy1.reshape(-1), cid.reshape(-1),
+                tp1.reshape(-1))
+    else:
+        tgt = jnp.broadcast_to(rgb.T[:, None, :], (3, GROUP, N))
+        vals = (
             wx1.reshape(-1), wy1.reshape(-1),
             tgt[0].reshape(-1), tgt[1].reshape(-1), tgt[2].reshape(-1),
             cid.reshape(-1), pid.reshape(-1),
-        ),
-        num_keys=1,
-    )
+        )
+
+    srt = jax.lax.sort((row.reshape(-1),) + vals, num_keys=1)
     row_s = srt[0]
 
     window = row_s // WINDOW
@@ -244,17 +277,30 @@ def _plan_group(xyz, rgb, point_mask, t_g, ypr_g, *, height, width, nb):
     positions = i - starts[window] + block_off[window] * BLOCK
     lidx = (row_s - window * WINDOW).astype(jnp.float32)
 
-    payload = jnp.stack((lidx,) + srt[1:], axis=-1)  # (M, 8)
-    # padding slots carry lidx=-1 / cid=-1 sentinels: both one-hots in the
-    # kernel then select nothing, so pads can never contribute (a pad inside
-    # a non-zero window would otherwise read that window's first row at
-    # full tap00 weight and pollute pair 0)
-    empty = jnp.array([-1, 0, 0, 0, 0, 0, -1, 0], jnp.float32)
+    if compact:
+        _, wx_s, wy_s, cid_s, tp_s = srt
+        # lc = lidx*128 + cid: both exact small ints in f32; the kernel
+        # decodes with power-of-two scalings (exact). Pad sentinel lc=-1
+        # floors to lidx=-1 (selects no table row -> s=0 -> valid=0, so the
+        # decoded cid can never contribute loss OR count).
+        payload = jnp.stack(
+            (lidx * float(GROUP) + cid_s, wx_s, wy_s, tp_s), axis=-1
+        )
+        empty = jnp.array([-1, 0, 0, 0], jnp.float32)
+        width_f = 4
+    else:
+        payload = jnp.stack((lidx,) + srt[1:], axis=-1)  # (M, 8)
+        # padding slots carry lidx=-1 / cid=-1 sentinels: both one-hots in
+        # the kernel then select nothing, so pads can never contribute (a
+        # pad inside a non-zero window would otherwise read that window's
+        # first row at full tap00 weight and pollute pair 0)
+        empty = jnp.array([-1, 0, 0, 0, 0, 0, -1, 0], jnp.float32)
+        width_f = 8
     flat = (
-        jnp.broadcast_to(empty, (nb * BLOCK, 8))
+        jnp.broadcast_to(empty, (nb * BLOCK, width_f))
         .at[positions].set(payload)
     )
-    fields = flat.reshape(nb, BLOCK, 8).transpose(0, 2, 1)  # (nb, 8, BLOCK)
+    fields = flat.reshape(nb, BLOCK, width_f).transpose(0, 2, 1)
     windows = jnp.zeros(nb, jnp.int32).at[positions // BLOCK].max(window)
     return fields, windows
 
@@ -267,6 +313,8 @@ def build_grid_plan(
     rot_grid: jnp.ndarray,
     height: int,
     width: int,
+    compact: bool = False,
+    tp_is_pid: bool = False,
 ) -> GridPlan:
     """Build the room-static sorted sample streams (once per room+image size).
 
@@ -306,10 +354,12 @@ def build_grid_plan(
         f, w = _plan_group(
             xyz, rgb, point_mask, *group_args(g),
             height=height, width=width, nb=nb,
+            compact=compact, tp_is_pid=tp_is_pid,
         )
         fields.append(f)
         windows.append(w)
-    return GridPlan(fields=fields, windows=windows, n_pairs=P)
+    return GridPlan(fields=fields, windows=windows, n_pairs=P,
+                    compact=compact, tp_is_pid=tp_is_pid)
 
 
 def _kernel(w_ref, t1, t2, t3, f_ref, out_ref):
@@ -357,6 +407,63 @@ def _kernel(w_ref, t1, t2, t3, f_ref, out_ref):
     )
 
 
+def _kernel_compact(w_ref, t1, t2, t3, f_ref, out_ref):
+    """Compact-plan variant: decode [lc, wx1, wy1, tp] then the same core.
+
+    All decodes are EXACT f32 arithmetic: lc/tp are ints < 2^24, the
+    scalings are powers of two, and the final /255 divisions round the same
+    way the loaders' i/255 did, so unpacked targets equal the f32-plan
+    targets bit-for-bit for uint8-sourced colors.
+    """
+    f = f_ref[0]                         # (4, BLOCK) f32
+    lc = f[0:1]
+    li = jnp.floor(lc * (1.0 / GROUP))
+    cidf = lc - li * float(GROUP)
+    oh = (
+        jax.lax.broadcasted_iota(jnp.int32, (WINDOW, BLOCK), 0)
+        == li.astype(jnp.int32)
+    ).astype(jnp.bfloat16)
+    dn = (((1,), (0,)), ((), ()))
+    v = (jax.lax.dot_general(t1[:], oh, dn, preferred_element_type=jnp.float32)
+         + jax.lax.dot_general(t2[:], oh, dn, preferred_element_type=jnp.float32)
+         + jax.lax.dot_general(t3[:], oh, dn, preferred_element_type=jnp.float32))
+    x1 = f[1:2]
+    y1 = f[2:3]
+    x0 = 1.0 - x1
+    y0 = 1.0 - y1
+    s = (v[0:3] * (x0 * y0) + v[3:6] * (x1 * y0)
+         + v[6:9] * (x0 * y1) + v[9:12] * (x1 * y1))       # (3, BLOCK)
+    valid = jnp.sum((s == 0.0).astype(jnp.int32), axis=0, keepdims=True) != 3
+    tp = f[3:4]
+    tr = jnp.floor(tp * (1.0 / 65536.0))
+    rem = tp - tr * 65536.0
+    tg = jnp.floor(rem * (1.0 / 256.0))
+    tb = rem - tg * 256.0
+    tgt = jnp.concatenate([tr, tg, tb], axis=0) / 255.0    # (3, BLOCK)
+    d = s - tgt
+    sq = jnp.sum(d * d, axis=0, keepdims=True)
+    pos = sq > 0
+    per = jnp.sqrt(jnp.where(pos, sq, 1.0)) * pos          # safe_norm
+    contrib = per * valid
+    ohc = (
+        jax.lax.broadcasted_iota(jnp.int32, (GROUP, BLOCK), 0)
+        == cidf.astype(jnp.int32)
+    ).astype(jnp.bfloat16)
+    dnc = (((1,), (1,)), ((), ()))
+    c1 = contrib.astype(jnp.bfloat16)
+    c2 = (contrib - c1.astype(jnp.float32)).astype(jnp.bfloat16)
+    c3 = (contrib - c1.astype(jnp.float32) - c2.astype(jnp.float32)).astype(jnp.bfloat16)
+    acc = (jax.lax.dot_general(c1, ohc, dnc, preferred_element_type=jnp.float32)
+           + jax.lax.dot_general(c2, ohc, dnc, preferred_element_type=jnp.float32)
+           + jax.lax.dot_general(c3, ohc, dnc, preferred_element_type=jnp.float32))
+    cnt = jax.lax.dot_general(
+        valid.astype(jnp.bfloat16), ohc, dnc, preferred_element_type=jnp.float32
+    )
+    out_ref[0] = jnp.concatenate(
+        [acc, cnt, jnp.zeros((6, GROUP), jnp.float32)], axis=0
+    )
+
+
 def _slab_tables(img: jnp.ndarray, height: int, width: int):
     """Packed sampling table, transposed and exactly split into 3 bf16 parts."""
     blocks = pack_bilinear_blocks(img)                      # (rows, 12)
@@ -386,16 +493,36 @@ def slab_pair_scores(
     """
     H, W, _ = img.shape
     t1, t2, t3 = _slab_tables(img, H, W)
+    compact = plan.compact
+    if compact and plan.tp_is_pid and rgb is None:
+        raise ValueError(
+            "compact plan was built refresh-capable (tp_is_pid=True); "
+            "pass the cloud colors so targets can be baked"
+        )
+    if compact and rgb is not None and not plan.tp_is_pid:
+        raise ValueError(
+            "per-query color refresh needs a compact plan built with "
+            "tp_is_pid=True (this one stores packed targets, not point ids)"
+        )
+    nf = 4 if compact else 8
 
     def group_scores(fields, windows):
         if rgb is not None:
-            pids = fields[:, _F_PID, :].astype(jnp.int32)
-            # channel-at-a-time keeps BLOCK as the trailing (lane) dim — a
-            # (..., 3)-shaped gather would tile-pad 3 -> 128 lanes (42x)
-            tgt = jnp.stack(
-                [jnp.take(rgb[:, c], pids, axis=0) for c in range(3)], axis=1
-            )  # (NB, 3, BLOCK)
-            fields = fields.at[:, _F_TR:_F_TB + 1, :].set(tgt)
+            if compact:
+                # one packed gather replaces the three channel gathers
+                pids = fields[:, 3, :].astype(jnp.int32)
+                fields = fields.at[:, 3, :].set(
+                    jnp.take(pack_rgb24(rgb), pids, axis=0)
+                )
+            else:
+                pids = fields[:, _F_PID, :].astype(jnp.int32)
+                # channel-at-a-time keeps BLOCK as the trailing (lane) dim —
+                # a (..., 3)-shaped gather would tile-pad 3 -> 128 lanes (42x)
+                tgt = jnp.stack(
+                    [jnp.take(rgb[:, c], pids, axis=0) for c in range(3)],
+                    axis=1,
+                )  # (NB, 3, BLOCK)
+                fields = fields.at[:, _F_TR:_F_TB + 1, :].set(tgt)
         nb = fields.shape[0]
         table_spec = lambda: pl.BlockSpec(
             (12, WINDOW), lambda b, wr: (0, wr[b]), memory_space=pltpu.VMEM
@@ -404,13 +531,13 @@ def slab_pair_scores(
             num_scalar_prefetch=1,
             grid=(nb,),
             in_specs=[table_spec(), table_spec(), table_spec(),
-                      pl.BlockSpec((1, 8, BLOCK), lambda b, wr: (b, 0, 0),
+                      pl.BlockSpec((1, nf, BLOCK), lambda b, wr: (b, 0, 0),
                                    memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec((1, 8, GROUP), lambda b, wr: (b, 0, 0),
                                    memory_space=pltpu.VMEM),
         )
         out = pl.pallas_call(
-            _kernel,
+            _kernel_compact if compact else _kernel,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((nb, 8, GROUP), jnp.float32),
             interpret=jax.default_backend() == "cpu",

@@ -68,15 +68,34 @@ def main(argv=None) -> dict:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rooms", type=int, default=6)
     ap.add_argument("--queries", type=int, default=4)
-    ap.add_argument("--points", type=int, default=60000)
+    ap.add_argument("--points", type=int, default=None,
+                    help="cloud size (default 60k; 240k for the omniscenes "
+                         "profile so GT-render density per pixel matches — "
+                         "real panoramas are dense, the synthetic oracle "
+                         "renders the cloud)")
     ap.add_argument("--height", type=int, default=512)
     ap.add_argument("--seed", type=int, default=11)
+    ap.add_argument("--profile", default="stanford",
+                    choices=["stanford", "omniscenes"],
+                    help="omniscenes = 2048x1024 panos, 150-trans init at "
+                         "full resolution, top-50 (reference "
+                         "configs/omniscenes.ini budget)")
     ap.add_argument("--descent-table", default="float32",
                     choices=["float32", "bfloat16", "uint8"])
+    ap.add_argument("--slab-cap", type=float, default=9e9,
+                    help="HBM budget for slab-plan sorted streams "
+                         "(harness slab_bytes_cap equivalent)")
     ap.add_argument("--no-slab", action="store_true",
                     help="score stage 1 with the XLA gather path instead "
                          "of the sorted-slab kernel")
     args = ap.parse_args(argv)
+    if args.profile == "omniscenes":
+        args.height = 1024
+        num_trans, num_intermediate, init_step = 150, 50, 1
+        args.points = args.points or 240000
+    else:
+        num_trans, num_intermediate, init_step = 50, 20, 2
+        args.points = args.points or 60000
 
     enable_compilation_cache()
     rng = np.random.default_rng(args.seed)
@@ -101,7 +120,7 @@ def main(argv=None) -> dict:
         )
         lo, hi = _order_bounds(xyz, 0.05)
         init_dict = default_init_dict(
-            xy_only=True, num_trans=50, yaw_only=True, num_yaw=8,
+            xy_only=True, num_trans=num_trans, yaw_only=True, num_yaw=8,
             z_prior=None, num_split_h=4, num_split_w=4,
         )
         trans_grid = generate_trans_points(xyz, init_dict)
@@ -116,28 +135,45 @@ def main(argv=None) -> dict:
 
         plan = None
         if not args.no_slab:
-            from piccolo_tpu.kernels.slab_sampling import build_grid_plan
+            from piccolo_tpu.kernels.slab_sampling import (
+                build_grid_plan,
+                plan_bytes_estimate,
+            )
 
             n_trans = trans_grid.shape[0] - pad
-            plan = build_grid_plan(
-                xyz_d, rgb_d, mask_d,
-                jnp.asarray(trans_grid[:n_trans]), jnp.asarray(rot_grid),
-                args.height // 2, args.height,
-            )
+            n_pairs = n_trans * rot_grid.shape[0]
+            cap = args.slab_cap
+            compact = plan_bytes_estimate(n_pairs, int(mask_d.shape[0])) > cap
+            if plan_bytes_estimate(n_pairs, int(mask_d.shape[0]),
+                                   compact=True) > cap:
+                if ri == 0:
+                    print("slab plan skipped: sorted streams would crowd "
+                          "HBM even compact (XLA stage 1 instead)",
+                          flush=True)
+            else:
+                if compact and ri == 0:
+                    print("using COMPACT slab plan (16 B/sample)", flush=True)
+                plan = build_grid_plan(
+                    xyz_d, rgb_d, mask_d,
+                    jnp.asarray(trans_grid[:n_trans]), jnp.asarray(rot_grid),
+                    args.height // init_step, 2 * args.height // init_step,
+                    compact=compact,
+                )
 
         for qi in range(args.queries):
             gt_t, gt_ypr = pose_outside_occluders(rng, occ, size)
             img_main = render_at(
                 xyz, rgb, gt_t, gt_ypr, (args.height, 2 * args.height)
             )
-            img_init = img_main[::2, ::2]
+            img_init = img_main[::init_step, ::init_step]
             np.asarray(img_init[0, 0])
             t0 = time.time()
             res = localize_query(
                 img_init, img_main, xyz_d, rgb_d,
                 jnp.asarray(trans_grid), jnp.asarray(rot_grid),
                 jnp.asarray(trans_valid), jnp.asarray(lo), jnp.asarray(hi),
-                mask_d, num_intermediate=20, num_input=6, num_iter=100,
+                mask_d, num_intermediate=num_intermediate, num_input=6,
+                num_iter=100,
                 lr=0.1, patience=5, factor=0.8, masked=True, plan=plan,
                 descent_table=args.descent_table,
             )
@@ -180,6 +216,8 @@ def main(argv=None) -> dict:
                 median_t_err=float(np.median(ke)),
             )
     summary = dict(
+        profile=args.profile,
+        descent_table=args.descent_table,
         queries=n,
         stanford_accuracy=float(stanford_ok / n),
         omniscenes_accuracy=float(omni_ok / n),

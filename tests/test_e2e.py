@@ -245,3 +245,22 @@ def test_cli_multichip_sharpen_rgb_rebind(synth_root, tmp_path):
     for r1, r8 in zip(rows1, rows8):
         assert r1[1] == r8[1]
         assert abs(float(r1[7]) - float(r8[7])) < 5e-2
+
+
+def test_cli_mesh_with_staged_config_warns_and_falls_back(
+    synth_root, tmp_path, capsys
+):
+    """n_devices with a staged-only config (visualize) must not run silently
+    single-device: a warning is printed and the run still completes."""
+    from piccolo_tpu.main import main
+
+    cfg = _write_cfg(str(tmp_path / "cfg.ini"), "Stanford2D-3D-S", synth_root)
+    log = str(tmp_path / "log_fallback")
+    main([
+        "--config", cfg, "--log", log, "--no-tensorboard",
+        "--override", "n_devices=8,visualize=True,num_iter=12",
+    ])
+    out = capsys.readouterr().out
+    assert "staged path" in out and "single-device" in out
+    _, rows = _read_results(os.path.join(log, "stanford_results.csv"))
+    assert len(rows) == 2

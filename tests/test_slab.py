@@ -101,3 +101,70 @@ def test_make_pairs_order_matches_grid_score_layout(scene):
         np.asarray(pair_t[:R]), np.tile(np.asarray(scene["trans"][0]), (R, 1))
     )
     np.testing.assert_array_equal(np.asarray(pair_r[:R]), np.asarray(scene["rot"]))
+
+
+def test_compact_plan_matches_f32_plan(scene):
+    """16 B/sample compact plan: same scores as the f32 plan to <=1 ulp of
+    the target decode (u8-sourced colors round-trip losslessly; the only
+    deviation is double-rounding in the /255)."""
+    H, W, _ = scene["img"].shape
+    # u8-source the colors like the data loaders do
+    rgb_u8 = jnp.asarray(
+        np.round(np.clip(np.asarray(scene["rgb"]), 0, 1) * 255) / 255.0,
+        jnp.float32,
+    )
+    base = build_grid_plan(
+        scene["xyz"], rgb_u8, scene["mask"],
+        scene["trans"], scene["rot"], H, W,
+    )
+    comp = build_grid_plan(
+        scene["xyz"], rgb_u8, scene["mask"],
+        scene["trans"], scene["rot"], H, W, compact=True,
+    )
+    assert comp.nbytes * 2 <= base.nbytes + 1024
+    s0 = np.asarray(slab_pair_scores(scene["img"], base))
+    s1 = np.asarray(slab_pair_scores(scene["img"], comp))
+    np.testing.assert_allclose(s1, s0, rtol=0, atol=2e-6)
+    assert list(np.argsort(s1)) == list(np.argsort(s0))
+
+
+def test_compact_plan_rgb_refresh(scene):
+    """Refresh-capable compact plan (tp_is_pid): one packed gather re-bakes
+    the targets; scores match the XLA path at u8 target quantization."""
+    H, W, _ = scene["img"].shape
+    plan = build_grid_plan(
+        scene["xyz"], scene["rgb"], scene["mask"],
+        scene["trans"], scene["rot"], H, W, compact=True, tp_is_pid=True,
+    )
+    rng = np.random.default_rng(11)
+    # u8-quantized rebind (color_mod outputs arbitrary floats; compact
+    # quantizes targets to 1/255 steps)
+    rgb2 = jnp.asarray(
+        np.round(rng.random(scene["rgb"].shape) * 255) / 255.0, jnp.float32
+    )
+    got = np.asarray(slab_pair_scores(scene["img"], plan, rgb=rgb2))
+    from piccolo_tpu.init.refine import score_pose_grid
+
+    want = np.asarray(score_pose_grid(
+        scene["img"], scene["xyz"], rgb2,
+        scene["trans"], scene["rot"], scene["mask"],
+    ))
+    P = want.shape[0]
+    np.testing.assert_allclose(got[:P], want, rtol=2e-5, atol=2e-6)
+
+
+def test_compact_plan_usage_guards(scene):
+    """Mismatched compact plan/usage combinations fail loudly."""
+    H, W, _ = scene["img"].shape
+    packed = build_grid_plan(
+        scene["xyz"], scene["rgb"], scene["mask"],
+        scene["trans"], scene["rot"], H, W, compact=True,
+    )
+    pid = build_grid_plan(
+        scene["xyz"], scene["rgb"], scene["mask"],
+        scene["trans"], scene["rot"], H, W, compact=True, tp_is_pid=True,
+    )
+    with pytest.raises(ValueError, match="tp_is_pid"):
+        slab_pair_scores(scene["img"], packed, rgb=scene["rgb"])
+    with pytest.raises(ValueError, match="refresh-capable"):
+        slab_pair_scores(scene["img"], pid)
