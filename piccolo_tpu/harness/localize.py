@@ -302,9 +302,13 @@ def _maybe_slab_plan(cfg, cache, grids, img_init):
     path on CPU (the interpret-mode kernel is test-only); True/False force.
     ``auto`` also bounds HBM: workloads whose f32 sorted streams exceed
     ``slab_bytes_cap`` (default 9 GB — e.g. dense clouds at OmniScenes
-    grids) fall back to the 16 B/sample COMPACT plan (targets within 1 ulp,
-    selection-equivalent; kernels/slab_sampling.py), and only if even that
-    exceeds the cap does stage 1 revert to the XLA gather path.
+    grids) fall back to the 16 B/sample COMPACT plan, and only if even
+    that exceeds the cap does stage 1 revert to the XLA gather path.
+    Compact targets are within 1 ulp of the f32 plan for loader (uint8-
+    sourced) colors; under ``sharpen_color`` the per-query rebound colors
+    quantize to 1/255 steps (README "Parity notes") — near-tied stage-1
+    candidates could in principle rank differently from the staged path
+    there, which only arises for sharpen runs too large for the f32 plan.
     The plan is cached per (room, init-image size) and covers only the real
     (non-padding) grid rows; building costs ~0.1 s per candidate group on
     device (kernels/slab_sampling.py).
@@ -315,6 +319,7 @@ def _maybe_slab_plan(cfg, cache, grids, img_init):
     if mode == "auto" and jax.default_backend() == "cpu":
         return None
     from ..kernels.slab_sampling import (
+        DEFAULT_PLAN_BYTES_CAP,
         build_grid_plan,
         plan_bytes_estimate,
         slab_worthwhile,
@@ -326,7 +331,7 @@ def _maybe_slab_plan(cfg, cache, grids, img_init):
     if mode == "auto":
         n_pairs = n_t * int(grids.rot.shape[0])
         n_points = int(cache["mask"].shape[0])
-        cap = cfg_get(cfg, "slab_bytes_cap", 9 * 10**9)
+        cap = cfg_get(cfg, "slab_bytes_cap", DEFAULT_PLAN_BYTES_CAP)
         if not compact and plan_bytes_estimate(n_pairs, n_points) > cap:
             compact = True
         if plan_bytes_estimate(n_pairs, n_points, compact=True) > cap:
@@ -335,10 +340,11 @@ def _maybe_slab_plan(cfg, cache, grids, img_init):
         # target re-bake — only worth it when the XLA gather is slow enough
         if not slab_worthwhile(
             n_pairs, n_points, img_init.shape[0], img_init.shape[1],
-            refresh=sharpen,
+            refresh=sharpen, compact=compact,
         ):
             return None
-    key = ("slab_plan", img_init.shape[0], img_init.shape[1], compact)
+    key = ("slab_plan", img_init.shape[0], img_init.shape[1], compact,
+           compact and sharpen)
     if key not in cache:
         cache[key] = build_grid_plan(
             cache["xyz"], cache["rgb"], cache["mask"],

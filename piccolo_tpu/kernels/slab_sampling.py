@@ -63,6 +63,13 @@ WINDOW = 512  # table rows per aligned slab window (VMEM-resident per block)
 BLOCK = 1024  # samples per kernel block (~half the typical window occupancy)
 GROUP = 128   # candidate pairs per group (one-hot accumulator width)
 
+# Default HBM budget for a plan's sorted streams — the harness's
+# ``slab_bytes_cap`` default and eval_synth's ``--slab-cap`` default both
+# import this so the auto policies can't drift apart.  Sized for a 16 GB
+# chip: a ~9 GB plan leaves room for the sampling tables (<=400 MB at 4K),
+# stage-2 render buffers (~2 GB at 4K x 56 candidates) and workspace.
+DEFAULT_PLAN_BYTES_CAP = 9 * 10**9
+
 # field order in the packed (8, BLOCK) sample block; _F_PID rides the spare
 # sublane as an exactly-representable small int (cloud sizes < 2^24)
 _F_LIDX, _F_WX1, _F_WY1, _F_TR, _F_TG, _F_TB, _F_CID, _F_PID = range(8)
@@ -137,19 +144,22 @@ def plan_bytes_estimate(
 
 
 def slab_worthwhile(
-    n_pairs: int, n_points: int, height: int, width: int, refresh: bool
+    n_pairs: int, n_points: int, height: int, width: int, refresh: bool,
+    compact: bool = False,
 ) -> bool:
-    """Crude per-query cost model from the measured rates (PERFORMANCE.md):
+    """Crude per-query cost model from the measured rates (PERFORMANCE.MD):
     XLA gather stage 1 vs kernel + (optionally) the per-query target re-bake
-    that sharpen_color forces.  The re-bake is three small-table gathers over
-    every padded sample slot, which swamps the kernel win at small images."""
+    that sharpen_color forces.  The re-bake is three small-table gathers
+    over every padded sample slot for f32 plans — which swamps the kernel
+    win at small images — but only ONE packed gather for compact plans."""
     table_mb = _table_rows(height, width) * 48 / 1e6
     xla_rate = float(np.interp(table_mb, [6.0, 25.0, 100.0],
                                [2.7e8, 1.1e8, 4.5e7]))
     groups = (n_pairs + GROUP - 1) // GROUP
     samples = groups * GROUP * n_points * 1.25
     xla_cost = n_pairs * n_points / xla_rate
-    slab_cost = samples / 7.5e8 + (3 * samples / 2.7e8 if refresh else 0.0)
+    refresh_gathers = (1 if compact else 3) if refresh else 0
+    slab_cost = samples / 7.5e8 + refresh_gathers * samples / 2.7e8
     return slab_cost < 0.7 * xla_cost
 
 
@@ -362,9 +372,12 @@ def build_grid_plan(
                     compact=compact, tp_is_pid=tp_is_pid)
 
 
-def _kernel(w_ref, t1, t2, t3, f_ref, out_ref):
-    f = f_ref[0]                         # (8, BLOCK) f32
-    li = f[_F_LIDX:_F_LIDX + 1]
+def _score_core(t1, t2, t3, li, x1, y1, tgt, cidf):
+    """Shared scoring core of both kernel variants (exactness-critical).
+
+    (li, x1, y1, tgt, cidf) are (1|3, BLOCK) f32 rows; returns the (8, GROUP)
+    output block: per-pair loss sum + valid count (+ zero padding rows).
+    """
     oh = (
         jax.lax.broadcasted_iota(jnp.int32, (WINDOW, BLOCK), 0)
         == li.astype(jnp.int32)
@@ -374,22 +387,20 @@ def _kernel(w_ref, t1, t2, t3, f_ref, out_ref):
     v = (jax.lax.dot_general(t1[:], oh, dn, preferred_element_type=jnp.float32)
          + jax.lax.dot_general(t2[:], oh, dn, preferred_element_type=jnp.float32)
          + jax.lax.dot_general(t3[:], oh, dn, preferred_element_type=jnp.float32))
-    x1 = f[_F_WX1:_F_WX1 + 1]
-    y1 = f[_F_WY1:_F_WY1 + 1]
     x0 = 1.0 - x1
     y0 = 1.0 - y1
     # same tap/term order as ops.sampling.bilinear_sample_packed
     s = (v[0:3] * (x0 * y0) + v[3:6] * (x1 * y0)
          + v[6:9] * (x0 * y1) + v[9:12] * (x1 * y1))       # (3, BLOCK)
     valid = jnp.sum((s == 0.0).astype(jnp.int32), axis=0, keepdims=True) != 3
-    d = s - f[_F_TR:_F_TB + 1]
+    d = s - tgt
     sq = jnp.sum(d * d, axis=0, keepdims=True)
     pos = sq > 0
     per = jnp.sqrt(jnp.where(pos, sq, 1.0)) * pos          # safe_norm
     contrib = per * valid
     ohc = (
         jax.lax.broadcasted_iota(jnp.int32, (GROUP, BLOCK), 0)
-        == f[_F_CID:_F_CID + 1].astype(jnp.int32)
+        == cidf.astype(jnp.int32)
     ).astype(jnp.bfloat16)
     dnc = (((1,), (1,)), ((), ()))
     # exact accumulation: 3-way bf16 split of the contributions
@@ -402,8 +413,19 @@ def _kernel(w_ref, t1, t2, t3, f_ref, out_ref):
     cnt = jax.lax.dot_general(
         valid.astype(jnp.bfloat16), ohc, dnc, preferred_element_type=jnp.float32
     )
-    out_ref[0] = jnp.concatenate(
+    return jnp.concatenate(
         [acc, cnt, jnp.zeros((6, GROUP), jnp.float32)], axis=0
+    )
+
+
+def _kernel(w_ref, t1, t2, t3, f_ref, out_ref):
+    f = f_ref[0]                         # (8, BLOCK) f32
+    out_ref[0] = _score_core(
+        t1, t2, t3,
+        f[_F_LIDX:_F_LIDX + 1],
+        f[_F_WX1:_F_WX1 + 1], f[_F_WY1:_F_WY1 + 1],
+        f[_F_TR:_F_TB + 1],
+        f[_F_CID:_F_CID + 1],
     )
 
 
@@ -419,49 +441,13 @@ def _kernel_compact(w_ref, t1, t2, t3, f_ref, out_ref):
     lc = f[0:1]
     li = jnp.floor(lc * (1.0 / GROUP))
     cidf = lc - li * float(GROUP)
-    oh = (
-        jax.lax.broadcasted_iota(jnp.int32, (WINDOW, BLOCK), 0)
-        == li.astype(jnp.int32)
-    ).astype(jnp.bfloat16)
-    dn = (((1,), (0,)), ((), ()))
-    v = (jax.lax.dot_general(t1[:], oh, dn, preferred_element_type=jnp.float32)
-         + jax.lax.dot_general(t2[:], oh, dn, preferred_element_type=jnp.float32)
-         + jax.lax.dot_general(t3[:], oh, dn, preferred_element_type=jnp.float32))
-    x1 = f[1:2]
-    y1 = f[2:3]
-    x0 = 1.0 - x1
-    y0 = 1.0 - y1
-    s = (v[0:3] * (x0 * y0) + v[3:6] * (x1 * y0)
-         + v[6:9] * (x0 * y1) + v[9:12] * (x1 * y1))       # (3, BLOCK)
-    valid = jnp.sum((s == 0.0).astype(jnp.int32), axis=0, keepdims=True) != 3
     tp = f[3:4]
     tr = jnp.floor(tp * (1.0 / 65536.0))
     rem = tp - tr * 65536.0
     tg = jnp.floor(rem * (1.0 / 256.0))
     tb = rem - tg * 256.0
     tgt = jnp.concatenate([tr, tg, tb], axis=0) / 255.0    # (3, BLOCK)
-    d = s - tgt
-    sq = jnp.sum(d * d, axis=0, keepdims=True)
-    pos = sq > 0
-    per = jnp.sqrt(jnp.where(pos, sq, 1.0)) * pos          # safe_norm
-    contrib = per * valid
-    ohc = (
-        jax.lax.broadcasted_iota(jnp.int32, (GROUP, BLOCK), 0)
-        == cidf.astype(jnp.int32)
-    ).astype(jnp.bfloat16)
-    dnc = (((1,), (1,)), ((), ()))
-    c1 = contrib.astype(jnp.bfloat16)
-    c2 = (contrib - c1.astype(jnp.float32)).astype(jnp.bfloat16)
-    c3 = (contrib - c1.astype(jnp.float32) - c2.astype(jnp.float32)).astype(jnp.bfloat16)
-    acc = (jax.lax.dot_general(c1, ohc, dnc, preferred_element_type=jnp.float32)
-           + jax.lax.dot_general(c2, ohc, dnc, preferred_element_type=jnp.float32)
-           + jax.lax.dot_general(c3, ohc, dnc, preferred_element_type=jnp.float32))
-    cnt = jax.lax.dot_general(
-        valid.astype(jnp.bfloat16), ohc, dnc, preferred_element_type=jnp.float32
-    )
-    out_ref[0] = jnp.concatenate(
-        [acc, cnt, jnp.zeros((6, GROUP), jnp.float32)], axis=0
-    )
+    out_ref[0] = _score_core(t1, t2, t3, li, f[1:2], f[2:3], tgt, cidf)
 
 
 def _slab_tables(img: jnp.ndarray, height: int, width: int):

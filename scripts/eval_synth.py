@@ -73,7 +73,9 @@ def main(argv=None) -> dict:
                          "profile so GT-render density per pixel matches — "
                          "real panoramas are dense, the synthetic oracle "
                          "renders the cloud)")
-    ap.add_argument("--height", type=int, default=512)
+    ap.add_argument("--height", type=int, default=None,
+                    help="pano height (default 512; 1024 for the "
+                         "omniscenes profile)")
     ap.add_argument("--seed", type=int, default=11)
     ap.add_argument("--profile", default="stanford",
                     choices=["stanford", "omniscenes"],
@@ -82,18 +84,19 @@ def main(argv=None) -> dict:
                          "configs/omniscenes.ini budget)")
     ap.add_argument("--descent-table", default="float32",
                     choices=["float32", "bfloat16", "uint8"])
-    ap.add_argument("--slab-cap", type=float, default=9e9,
+    ap.add_argument("--slab-cap", type=float, default=None,
                     help="HBM budget for slab-plan sorted streams "
-                         "(harness slab_bytes_cap equivalent)")
+                         "(default: the harness slab_bytes_cap default)")
     ap.add_argument("--no-slab", action="store_true",
                     help="score stage 1 with the XLA gather path instead "
                          "of the sorted-slab kernel")
     args = ap.parse_args(argv)
     if args.profile == "omniscenes":
-        args.height = 1024
+        args.height = args.height or 1024
         num_trans, num_intermediate, init_step = 150, 50, 1
         args.points = args.points or 240000
     else:
+        args.height = args.height or 512
         num_trans, num_intermediate, init_step = 50, 20, 2
         args.points = args.points or 60000
 
@@ -136,13 +139,14 @@ def main(argv=None) -> dict:
         plan = None
         if not args.no_slab:
             from piccolo_tpu.kernels.slab_sampling import (
+                DEFAULT_PLAN_BYTES_CAP,
                 build_grid_plan,
                 plan_bytes_estimate,
             )
 
             n_trans = trans_grid.shape[0] - pad
             n_pairs = n_trans * rot_grid.shape[0]
-            cap = args.slab_cap
+            cap = args.slab_cap or DEFAULT_PLAN_BYTES_CAP
             compact = plan_bytes_estimate(n_pairs, int(mask_d.shape[0])) > cap
             if plan_bytes_estimate(n_pairs, int(mask_d.shape[0]),
                                    compact=True) > cap:
