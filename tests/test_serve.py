@@ -1,0 +1,96 @@
+"""Serving surface: warm-room LocalizeService + the HTTP JSON API."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from piccolo_tpu.serve import LocalizeService, serve_forever
+from piccolo_tpu.testing import make_room, render_at
+
+_CFG = dict(
+    xy_only=True, num_trans=16, yaw_only=True, num_yaw=4, z_prior=None,
+    num_split_h=4, num_split_w=4, num_intermediate=8, num_input=4,
+    num_iter=60, lr=0.1, patience=5, factor=0.8,
+)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    rng = np.random.default_rng(5)
+    xyz, rgb = make_room(rng, n_per_wall=1500, texture="checker")
+    gt_t = np.array([0.4, -0.2, 0.15], np.float32)
+    gt_ypr = np.array([0.9, 0.0, 0.0], np.float32)
+    img = np.asarray(render_at(xyz, rgb, gt_t, gt_ypr, (128, 256)))
+    return xyz, rgb, img, gt_t
+
+
+def test_service_localizes_and_reuses_room(scene):
+    xyz, rgb, img, gt_t = scene
+    svc = LocalizeService(**_CFG)
+    with pytest.raises(RuntimeError, match="no room"):
+        svc.localize(img)
+    svc.load_room(xyz, rgb, name="box")
+    out = svc.localize(img)
+    assert np.linalg.norm(out["t"] - gt_t) < 0.2
+    assert out["room"] == "box"
+    assert out["time_s"] > 0
+    # second query against the warm room (uint8 input path)
+    out2 = svc.localize((img * 255).astype(np.uint8))
+    assert np.linalg.norm(out2["t"] - gt_t) < 0.2
+
+
+def test_service_rejects_bad_image(scene):
+    xyz, rgb, img, _ = scene
+    svc = LocalizeService(**_CFG)
+    svc.load_room(xyz, rgb)
+    with pytest.raises(ValueError, match="RGB"):
+        svc.localize(np.zeros((4, 4), np.float32))
+
+
+def test_http_roundtrip(scene, tmp_path):
+    xyz, rgb, img, gt_t = scene
+    svc = LocalizeService(**_CFG)
+    svc.load_room(xyz, rgb, name="box")
+
+    import cv2
+
+    img_path = str(tmp_path / "query.png")
+    cv2.imwrite(img_path, (img[..., ::-1] * 255).astype(np.uint8))
+
+    ready = threading.Event()
+    t = threading.Thread(
+        target=serve_forever, args=(svc, "127.0.0.1", 0, ready), daemon=True
+    )
+    t.start()
+    assert ready.wait(10)
+    server = ready.server
+    port = server.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    try:
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            health = json.loads(r.read())
+        assert health == {"ok": True, "room": "box"}
+
+        req = urllib.request.Request(
+            f"{base}/localize",
+            data=json.dumps({"image_path": img_path}).encode(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            out = json.loads(r.read())
+        assert np.linalg.norm(np.array(out["t"]) - gt_t) < 0.2
+        assert np.array(out["rot"]).shape == (3, 3)
+
+        # served errors are JSON 400s, not dropped connections
+        bad = urllib.request.Request(
+            f"{base}/localize", data=b"{}", method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(bad, timeout=30)
+        assert ei.value.code == 400
+        assert "error" in json.loads(ei.value.read())
+    finally:
+        server.shutdown()
