@@ -40,8 +40,11 @@ from typing import Dict, Optional
 
 import numpy as np
 
+from collections import OrderedDict
+
 from .config import cfg_get, make_config, parse_ini
 from .harness.localize import (
+    _drop_slab_plans,
     _FusedGrids,
     _maybe_mesh,
     _order_bounds,
@@ -68,7 +71,7 @@ class LocalizeService:
     (init budget, descent_table, slab_init, n_devices, ...).
     """
 
-    def __init__(self, cfg=None, **cfg_kwargs):
+    def __init__(self, cfg=None, max_rooms: int = 1, **cfg_kwargs):
         if cfg is None:
             cfg = make_config(**{**_CFG_DEFAULTS, **cfg_kwargs})
         elif cfg_kwargs:
@@ -77,8 +80,10 @@ class LocalizeService:
         self.init_dict = get_init_dict(cfg)
         self.mesh = _maybe_mesh(cfg)
         self._lock = threading.Lock()  # one in-flight compute (chip-serial)
-        self._cache: Optional[Dict] = None
-        self._room_name: Optional[str] = None
+        # LRU of resident rooms; slab plans are GBs of HBM, so eviction
+        # drops them promptly (harness._drop_slab_plans)
+        self._rooms: "OrderedDict[str, Dict]" = OrderedDict()
+        self._max_rooms = max(1, int(max_rooms))
 
     # -- room management ---------------------------------------------------
 
@@ -91,12 +96,16 @@ class LocalizeService:
         lo, hi = _order_bounds(
             xyz, cfg_get(self.cfg, "out_of_room_quantile", 0.05)
         )
+        cache = dict(
+            xyz_np=xyz, rgb_np=rgb, xyz=xyz_d, rgb=rgb_d, mask=mask_d,
+            lo=lo, hi=hi, grids=_FusedGrids(xyz, self.init_dict),
+        )
         with self._lock:
-            self._cache = dict(
-                xyz_np=xyz, rgb_np=rgb, xyz=xyz_d, rgb=rgb_d, mask=mask_d,
-                lo=lo, hi=hi, grids=_FusedGrids(xyz, self.init_dict),
-            )
-            self._room_name = name
+            self._rooms.pop(name, None)
+            self._rooms[name] = cache
+            while len(self._rooms) > self._max_rooms:
+                _, evicted = self._rooms.popitem(last=False)
+                _drop_slab_plans(evicted)
 
     def load_room_pcd(self, path: str, dataset: Optional[str] = None) -> None:
         """Load a room from an ``x y z r g b`` text cloud (either dataset's
@@ -112,21 +121,28 @@ class LocalizeService:
 
     @property
     def room(self) -> Optional[str]:
-        return self._room_name
+        """Most recently used room name (None before any load)."""
+        return next(reversed(self._rooms)) if self._rooms else None
+
+    @property
+    def rooms(self):
+        """Resident room names, least- to most-recently used."""
+        return list(self._rooms)
 
     # -- query -------------------------------------------------------------
 
-    def localize(self, image: np.ndarray) -> Dict:
-        """Localize one panorama against the loaded room.
+    def localize(self, image: np.ndarray, room: Optional[str] = None) -> Dict:
+        """Localize one panorama against a loaded room.
 
-        ``image``: (H, W, 3) RGB, uint8 or float in [0, 1].  Preprocessing
-        follows the harness: optional ``sharpen_color`` / ``match_color``,
-        then the init/main downsample keys.  Returns a dict with the winner
-        pose (``t`` (3,), ``rot`` (3, 3)), its ``loss``, all candidate
-        losses, and wall ``time_s`` (the reference's timed window:
-        init + solve).
+        ``image``: (H, W, 3) RGB, uint8 or float in [0, 1].  ``room``
+        selects among resident rooms (default: most recently used).
+        Preprocessing follows the harness: optional ``sharpen_color`` /
+        ``match_color``, then the init/main downsample keys.  Returns a
+        dict with the winner pose (``t`` (3,), ``rot`` (3, 3)), its
+        ``loss``, all candidate losses, and wall ``time_s`` (the
+        reference's timed window: init + solve).
         """
-        if self._cache is None:
+        if not self._rooms:
             raise RuntimeError("no room loaded — call load_room[_pcd] first")
         img = np.asarray(image)
         if img.dtype == np.uint8:
@@ -137,7 +153,14 @@ class LocalizeService:
 
         cfg = self.cfg
         with self._lock:
-            cache = self._cache
+            if room is None:
+                room = next(reversed(self._rooms))
+            if room not in self._rooms:
+                raise KeyError(
+                    f"room {room!r} not resident (have: {list(self._rooms)})"
+                )
+            self._rooms.move_to_end(room)
+            cache = self._rooms[room]
             t0 = time.time()
             rgb_used = cache["rgb"]
             if cfg_get(cfg, "match_color", False):
@@ -174,7 +197,7 @@ class LocalizeService:
             elapsed = time.time() - t0
         return dict(
             t=t, rot=rot, loss=loss, cand_loss=cand_loss,
-            winner=int(winner), time_s=elapsed, room=self._room_name,
+            winner=int(winner), time_s=elapsed, room=room,
         )
 
 
@@ -226,7 +249,11 @@ def serve_forever(service: LocalizeService, host: str = "127.0.0.1",
 
         def do_GET(self):  # noqa: N802 (stdlib API)
             if self.path == "/healthz":
-                self._reply(200, {"ok": True, "room": service.room})
+                self._reply(
+                    200,
+                    {"ok": True, "room": service.room,
+                     "rooms": service.rooms},
+                )
             else:
                 self._reply(404, {"error": "unknown path"})
 
@@ -235,7 +262,9 @@ def serve_forever(service: LocalizeService, host: str = "127.0.0.1",
                 n = int(self.headers.get("Content-Length", 0))
                 payload = json.loads(self.rfile.read(n) or b"{}")
                 if self.path == "/localize":
-                    out = service.localize(_decode_image(payload))
+                    out = service.localize(
+                        _decode_image(payload), room=payload.get("room")
+                    )
                     self._reply(200, {
                         "t": out["t"].tolist(),
                         "rot": out["rot"].tolist(),
@@ -267,7 +296,10 @@ def serve_forever(service: LocalizeService, host: str = "127.0.0.1",
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--config", required=True, help="ini config (harness keys)")
-    ap.add_argument("--pcd", help="room point cloud to preload")
+    ap.add_argument("--pcd", action="append", default=[],
+                    help="room point cloud(s) to preload (repeatable)")
+    ap.add_argument("--max-rooms", type=int, default=4,
+                    help="resident-room LRU size (plans are GBs of HBM)")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8321)
     args = ap.parse_args(argv)
@@ -275,9 +307,9 @@ def main(argv=None) -> None:
     from .utils import enable_compilation_cache
 
     enable_compilation_cache()
-    svc = LocalizeService(parse_ini(args.config))
-    if args.pcd:
-        svc.load_room_pcd(args.pcd)
+    svc = LocalizeService(parse_ini(args.config), max_rooms=args.max_rooms)
+    for pcd in args.pcd:
+        svc.load_room_pcd(pcd)
     print(f"serving on {args.host}:{args.port} (room: {svc.room})", flush=True)
     serve_forever(svc, args.host, args.port)
 

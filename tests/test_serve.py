@@ -72,7 +72,7 @@ def test_http_roundtrip(scene, tmp_path):
     try:
         with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
             health = json.loads(r.read())
-        assert health == {"ok": True, "room": "box"}
+        assert health == {"ok": True, "room": "box", "rooms": ["box"]}
 
         req = urllib.request.Request(
             f"{base}/localize",
@@ -94,3 +94,28 @@ def test_http_roundtrip(scene, tmp_path):
         assert "error" in json.loads(ei.value.read())
     finally:
         server.shutdown()
+
+
+def test_multi_room_lru_and_selection(scene):
+    xyz, rgb, img, gt_t = scene
+    rng = np.random.default_rng(9)
+    xyz2, rgb2 = make_room(rng, n_per_wall=1200, size=(5.0, 5.0, 2.8))
+    svc = LocalizeService(max_rooms=2, **_CFG)
+    svc.load_room(xyz, rgb, name="a")
+    svc.load_room(xyz2, rgb2, name="b")
+    assert svc.rooms == ["a", "b"] and svc.room == "b"
+
+    # explicit selection against the non-MRU room still localizes
+    out = svc.localize(img, room="a")
+    assert out["room"] == "a"
+    assert np.linalg.norm(out["t"] - gt_t) < 0.2
+    assert svc.room == "a"  # selection bumps LRU
+
+    with pytest.raises(KeyError, match="not resident"):
+        svc.localize(img, room="missing")
+
+    # eviction: capacity 2, loading a third drops the LRU room ("b")
+    svc.load_room(xyz, rgb, name="c")
+    assert svc.rooms == ["a", "c"]
+    with pytest.raises(KeyError):
+        svc.localize(img, room="b")
