@@ -186,14 +186,24 @@ class LocalizeService:
                 img_init, img_main, cache, rgb_used, cfg, self.init_dict,
                 cache["grids"], self.mesh,
             )
-            # one batched fetch: per-array fetches cost a ~25 ms round trip
-            # EACH on remote-frontend deployments (axon)
-            import jax
+            # ONE device fetch: each array fetched separately costs a full
+            # round trip on remote-frontend deployments (axon; measured
+            # ~75 ms for five arrays vs ~25 ms for one), so the scalar-ish
+            # results are packed into a single device vector first
+            import jax.numpy as jnp
 
-            t, rot, loss, cand_loss, winner = jax.device_get(
-                (res.t, res.rot, res.loss, res.cand_loss, res.winner)
-            )
-            loss = float(loss)
+            packed = np.asarray(jnp.concatenate([
+                res.t,
+                res.rot.reshape(-1),
+                res.loss.reshape(1),
+                res.winner.reshape(1).astype(jnp.float32),
+                res.cand_loss,
+            ]))
+            t = packed[:3]
+            rot = packed[3:12].reshape(3, 3)
+            loss = float(packed[12])
+            winner = int(packed[13])
+            cand_loss = packed[14:]
             elapsed = time.time() - t0
         return dict(
             t=t, rot=rot, loss=loss, cand_loss=cand_loss,
