@@ -198,6 +198,92 @@ def _gif_frames(traj, k, xyz, rgb, mask, resolution) -> list:
     return frames
 
 
+def prepare_stanford_images(cfg, orig: np.ndarray, room: Dict):
+    """Per-query Stanford image preprocessing (reference localize.py:167-179).
+
+    Shared by the batch harness loop and the serving surface (serve.py) so
+    CLI/serving parity is structural, not duplicated: init-resolution
+    resize, ``sharpen_color`` applied to the INIT image only (the descent
+    runs on the unmodified main image, matching the reference), main
+    resize.  ``orig`` is the decoded (H, W, 3) uint8 RGB panorama.
+
+    Returns ``(img_init, img_main, rgb_used, prep_timed)`` — ``prep_timed``
+    is the main-resize wall time, the only prep the reference's per-query
+    timer covers (localize.py:208-223).
+    """
+    init_dh = cfg_get(cfg, "init_downsample_h", 1)
+    init_dw = cfg_get(cfg, "init_downsample_w", 1)
+    main_dh = cfg_get(cfg, "main_downsample_h", 1)
+    main_dw = cfg_get(cfg, "main_downsample_w", 1)
+    H0, W0 = orig.shape[:2]
+    img_init = resize(orig, (W0 // init_dw, H0 // init_dh)).astype(np.float32) / 255.0
+    rgb_used = room["rgb"]
+    if cfg_get(cfg, "sharpen_color", False):
+        img_init, rgb_mod = color_mod(
+            img_init, room["rgb_np"], cfg_get(cfg, "num_bins", 256)
+        )
+        rgb_used = _pad_rgb(rgb_mod, int(room["mask"].shape[0]))
+    rt0 = time.time()
+    img_main = resize(orig, (W0 // main_dw, H0 // main_dh)).astype(np.float32) / 255.0
+    prep_timed = time.time() - rt0
+    return img_init, img_main, rgb_used, prep_timed
+
+
+def prepare_omniscenes_images(cfg, raw: np.ndarray, room: Dict):
+    """Per-query OmniScenes image preprocessing (reference localize.py:
+    380-410) — shared by the batch harness loop and serve.py.
+
+    ``raw`` is the decoded (H, W, 3) uint8 RGB panorama at native
+    resolution.  Applies the 2048x1024 resize, the synthetic illumination
+    ablations, ``match_color``/``sharpen_color`` with the reference's
+    uint8 requantization, the reference's init-downsample halving
+    (localize.py:349-350), and the init/main resizes.
+
+    Returns ``(orig, img_init, img_main, rgb_used, prep_timed)`` where
+    ``orig`` is the color-processed uint8 image (starting-point dumps
+    render against it).
+    """
+    orig = resize(raw, (2048, 1024))  # localize.py:381
+
+    # synthetic illumination ablations (localize.py:384-393)
+    if cfg_get(cfg, "synth_const") is not None:
+        orig = (orig // cfg.synth_const).astype(np.uint8)
+    if cfg_get(cfg, "synth_gamma") is not None:
+        orig = (((orig / 255.0) ** cfg.synth_gamma) * 255).astype(np.uint8)
+    if cfg_get(cfg, "synth_wb"):
+        scaled = orig.astype(np.float64)
+        scaled[..., 0] *= cfg.synth_r
+        scaled[..., 1] *= cfg.synth_g
+        scaled[..., 2] *= cfg.synth_b
+        orig = np.clip(scaled, 0, 255).astype(np.uint8)
+
+    rgb_used = room["rgb"]
+    mod_img = orig.astype(np.float32) / 255.0
+    if cfg_get(cfg, "match_color", False):
+        mod_img = color_match(mod_img, room["rgb_np"])
+        orig = (mod_img * 255).astype(np.uint8)
+    if cfg_get(cfg, "sharpen_color", False):
+        num_bins = cfg_get(cfg, "num_bins", 256)
+        mod_img, rgb_mod = color_mod(mod_img, room["rgb_np"], num_bins)
+        orig = (mod_img * 255).astype(np.uint8)
+        rgb_used = _pad_rgb(rgb_mod, int(room["mask"].shape[0]))
+
+    # Reference halves the init downsample "to match resolution with
+    # stanford" (localize.py:349-350).
+    init_dh = max(cfg_get(cfg, "init_downsample_h", 1) // 2, 1)
+    init_dw = max(cfg_get(cfg, "init_downsample_w", 1) // 2, 1)
+    main_dh = cfg_get(cfg, "main_downsample_h", 1)
+    main_dw = cfg_get(cfg, "main_downsample_w", 1)
+    H0, W0 = orig.shape[:2]
+    img_init = resize(orig, (W0 // init_dw, H0 // init_dh)).astype(np.float32) / 255.0
+    # main resize is inside the reference's timer (localize.py:436-486);
+    # its wall time carries into the query's CSV time (window parity)
+    rt0 = time.time()
+    img_main = resize(orig, (W0 // main_dw, H0 // main_dh)).astype(np.float32) / 255.0
+    prep_timed = time.time() - rt0
+    return orig, img_init, img_main, rgb_used, prep_timed
+
+
 def _maybe_mesh(cfg):
     """Build the multi-chip ('cand', 'point') mesh when configured.
 
@@ -495,18 +581,12 @@ def localize_stanford(cfg, writer=None, log_dir: str = "./log") -> float:
         resume=cfg_get(cfg, "resume", False),
     )
 
-    init_dh = cfg_get(cfg, "init_downsample_h", 1)
-    init_dw = cfg_get(cfg, "init_downsample_w", 1)
-    main_dh = cfg_get(cfg, "main_downsample_h", 1)
-    main_dw = cfg_get(cfg, "main_downsample_w", 1)
     continue_on_error = cfg_get(cfg, "continue_on_error", False)
 
     failed, skipped = [], []
     init_dict = get_init_dict(cfg)
     fused = _use_fused(cfg, init_dict)
     mesh = _check_mesh_usable(mesh, fused)
-    sharpen = cfg_get(cfg, "sharpen_color", False)
-    num_bins = cfg_get(cfg, "num_bins", 256)
     # Host work for query k+1 (decode, resizes, color prep, cloud/grid load)
     # runs on a prepare thread while the device computes query k; artifact
     # encodes run on a writer thread.  Order-preserving — outputs identical
@@ -537,19 +617,9 @@ def localize_stanford(cfg, writer=None, log_dir: str = "./log") -> float:
         room = prep_cache["room"]
 
         orig = imread_rgb(filename)  # uint8 RGB
-        H0, W0 = orig.shape[:2]
-        img_init = resize(orig, (W0 // init_dw, H0 // init_dh)).astype(np.float32) / 255.0
-        rgb_used = room["rgb"]
-        if sharpen:
-            img_init, rgb_mod = color_mod(img_init, room["rgb_np"], num_bins)
-            rgb_used = _pad_rgb(rgb_mod, int(room["mask"].shape[0]))
-        # The main resize is INSIDE the reference's per-query timer
-        # (localize.py:208-223: start -> make_input -> main resize ->
-        # solve -> end) — it runs here on the prepare thread, so its wall
-        # time is carried into the query's CSV time for window parity.
-        rt0 = time.time()
-        img_main = resize(orig, (W0 // main_dw, H0 // main_dh)).astype(np.float32) / 255.0
-        prep_timed = time.time() - rt0
+        img_init, img_main, rgb_used, prep_timed = prepare_stanford_images(
+            cfg, orig, room
+        )
         gt_trans, gt_rot = data_mod.obtain_gt_stanford(data_root, area, img_name)
         return dict(
             area=area, img_name=img_name, room=room, orig=orig,
@@ -726,12 +796,6 @@ def localize_omniscenes(cfg, writer=None, log_dir: str = "./log") -> float:
         resume=cfg_get(cfg, "resume", False),
     )
 
-    # Reference halves the init downsample "to match resolution with
-    # stanford" (localize.py:349-350).
-    init_dh = max(cfg_get(cfg, "init_downsample_h", 1) // 2, 1)
-    init_dw = max(cfg_get(cfg, "init_downsample_w", 1) // 2, 1)
-    main_dh = cfg_get(cfg, "main_downsample_h", 1)
-    main_dw = cfg_get(cfg, "main_downsample_w", 1)
     continue_on_error = cfg_get(cfg, "continue_on_error", False)
 
     failed, skipped = [], []
@@ -764,44 +828,15 @@ def localize_omniscenes(cfg, writer=None, log_dir: str = "./log") -> float:
             prep_cache.update(pcd=pcd_name, room=room)
         room = prep_cache["room"]
 
-        orig = resize(imread_rgb(filename), (2048, 1024))  # localize.py:381
-
-        # synthetic illumination ablations (localize.py:384-393)
-        if cfg_get(cfg, "synth_const") is not None:
-            orig = (orig // cfg.synth_const).astype(np.uint8)
-        if cfg_get(cfg, "synth_gamma") is not None:
-            orig = (((orig / 255.0) ** cfg.synth_gamma) * 255).astype(np.uint8)
-        if cfg_get(cfg, "synth_wb"):
-            scaled = orig.astype(np.float64)
-            scaled[..., 0] *= cfg.synth_r
-            scaled[..., 1] *= cfg.synth_g
-            scaled[..., 2] *= cfg.synth_b
-            orig = np.clip(scaled, 0, 255).astype(np.uint8)
-
-        rgb_used = room["rgb"]
-        mod_img = orig.astype(np.float32) / 255.0
-        if cfg_get(cfg, "match_color", False):
-            mod_img = color_match(mod_img, room["rgb_np"])
-            orig = (mod_img * 255).astype(np.uint8)
-        if cfg_get(cfg, "sharpen_color", False):
-            num_bins = cfg_get(cfg, "num_bins", 256)
-            mod_img, rgb_mod = color_mod(mod_img, room["rgb_np"], num_bins)
-            orig = (mod_img * 255).astype(np.uint8)
-            rgb_used = _pad_rgb(rgb_mod, int(room["mask"].shape[0]))
-
-        H0, W0 = orig.shape[:2]
-        img_init = resize(orig, (W0 // init_dw, H0 // init_dh)).astype(np.float32) / 255.0
-        # main resize is inside the reference's timer (localize.py:436-486);
-        # its wall time carries into the query's CSV time (window parity)
-        rt0 = time.time()
-        img_main = resize(orig, (W0 // main_dw, H0 // main_dh)).astype(np.float32) / 255.0
-        prep_timed = time.time() - rt0
+        orig, img_init, img_main, rgb_used, prep_timed = (
+            prepare_omniscenes_images(cfg, imread_rgb(filename), room)
+        )
         gt_trans, gt_rot = data_mod.obtain_gt_omniscenes(filename)
         return dict(
             video_name=video_name, img_seq=img_seq, img_name=img_name,
             room=room, orig=orig, img_init=img_init, img_main=img_main,
             rgb_used=rgb_used, gt_trans=gt_trans, gt_rot=gt_rot,
-            shape=(H0, W0), prep_timed=prep_timed,
+            shape=orig.shape[:2], prep_timed=prep_timed,
         )
 
     # original indices as TB steps so resume continues the step axis

@@ -49,9 +49,11 @@ from .harness.localize import (
     _maybe_mesh,
     _order_bounds,
     _pad_cloud,
-    _pad_rgb,
     _run_fused,
+    _use_fused,
     get_init_dict,
+    prepare_omniscenes_images,
+    prepare_stanford_images,
 )
 
 __all__ = ["LocalizeService", "serve_forever", "main"]
@@ -78,10 +80,24 @@ class LocalizeService:
             raise ValueError("pass cfg or keyword config values, not both")
         self.cfg = cfg
         self.init_dict = get_init_dict(cfg)
+        if not _use_fused(cfg, self.init_dict):
+            # loud instead of silently diverging from the CLI: the staged
+            # path's extras (visualize trajectories, init-only subsample,
+            # non-default criterion) have no serving counterpart
+            raise ValueError(
+                "serving runs the fused pipeline only; drop visualize / "
+                "sample_rate_for_init / non-default criterion (or fused="
+                "False) from the config"
+            )
         self.mesh = _maybe_mesh(cfg)
-        self._lock = threading.Lock()  # one in-flight compute (chip-serial)
+        # two locks: device compute is chip-serial; the room registry must
+        # stay consistent for health checks / loads WITHOUT waiting out a
+        # ~0.4 s in-flight query
+        self._compute_lock = threading.Lock()
+        self._rooms_lock = threading.Lock()
         # LRU of resident rooms; slab plans are GBs of HBM, so eviction
-        # drops them promptly (harness._drop_slab_plans)
+        # drops them promptly (harness._drop_slab_plans).  A room evicted
+        # mid-query stays alive through the query's own references.
         self._rooms: "OrderedDict[str, Dict]" = OrderedDict()
         self._max_rooms = max(1, int(max_rooms))
 
@@ -100,7 +116,7 @@ class LocalizeService:
             xyz_np=xyz, rgb_np=rgb, xyz=xyz_d, rgb=rgb_d, mask=mask_d,
             lo=lo, hi=hi, grids=_FusedGrids(xyz, self.init_dict),
         )
-        with self._lock:
+        with self._rooms_lock:
             self._rooms.pop(name, None)
             self._rooms[name] = cache
             while len(self._rooms) > self._max_rooms:
@@ -122,37 +138,47 @@ class LocalizeService:
     @property
     def room(self) -> Optional[str]:
         """Most recently used room name (None before any load)."""
-        return next(reversed(self._rooms)) if self._rooms else None
+        with self._rooms_lock:
+            return next(reversed(self._rooms)) if self._rooms else None
 
     @property
     def rooms(self):
         """Resident room names, least- to most-recently used."""
-        return list(self._rooms)
+        with self._rooms_lock:
+            return list(self._rooms)
 
     # -- query -------------------------------------------------------------
 
     def localize(self, image: np.ndarray, room: Optional[str] = None) -> Dict:
         """Localize one panorama against a loaded room.
 
-        ``image``: (H, W, 3) RGB, uint8 or float in [0, 1].  ``room``
-        selects among resident rooms (default: most recently used).
-        Preprocessing follows the harness: optional ``sharpen_color`` /
-        ``match_color``, then the init/main downsample keys.  Returns a
-        dict with the winner pose (``t`` (3,), ``rot`` (3, 3)), its
-        ``loss``, all candidate losses, and wall ``time_s`` (the
-        reference's timed window: init + solve).
+        ``image``: (H, W, 3) RGB, uint8 or float in [0, 1] (floats are
+        requantized to uint8 — the CLI's decode path — so served results
+        match the batch harness exactly).  ``room`` selects among resident
+        rooms (default: most recently used).  Preprocessing is the
+        harness's own per-query prep (harness.localize.prepare_*_images):
+        resize/downsample semantics, color match/sharpen, synth ablations.
+        Returns a dict with the winner pose (``t`` (3,), ``rot`` (3, 3)),
+        its ``loss``, all candidate losses, ``time_s`` (the reference's
+        CSV-parity timed window: main resize + solve) and ``total_s``
+        (full in-service latency incl. all preprocessing and the result
+        fetch).
         """
         if not self._rooms:
             raise RuntimeError("no room loaded — call load_room[_pcd] first")
         img = np.asarray(image)
-        if img.dtype == np.uint8:
-            img = img.astype(np.float32) / 255.0
-        img = np.asarray(img, np.float32)
         if img.ndim != 3 or img.shape[2] != 3:
             raise ValueError(f"expected (H, W, 3) RGB image, got {img.shape}")
+        if img.dtype != np.uint8:
+            img = np.clip(np.round(np.asarray(img, np.float32) * 255.0),
+                          0, 255).astype(np.uint8)
 
         cfg = self.cfg
-        with self._lock:
+        t_start = time.time()
+        # room resolution under the registry lock; the (host-side,
+        # possibly hundreds-of-ms) image prep runs outside BOTH locks so
+        # it can overlap another request's device compute
+        with self._rooms_lock:
             if room is None:
                 room = next(reversed(self._rooms))
             if room not in self._rooms:
@@ -161,27 +187,18 @@ class LocalizeService:
                 )
             self._rooms.move_to_end(room)
             cache = self._rooms[room]
+
+        if "mni" in cfg_get(cfg, "dataset", "Stanford2D-3D-S"):
+            _, img_init, img_main, rgb_used, prep_timed = (
+                prepare_omniscenes_images(cfg, img, cache)
+            )
+        else:
+            img_init, img_main, rgb_used, prep_timed = (
+                prepare_stanford_images(cfg, img, cache)
+            )
+
+        with self._compute_lock:
             t0 = time.time()
-            rgb_used = cache["rgb"]
-            if cfg_get(cfg, "match_color", False):
-                from .color import color_match
-
-                img = color_match(img, cache["rgb_np"])
-            if cfg_get(cfg, "sharpen_color", False):
-                from .color import color_mod
-
-                img, rgb_mod = color_mod(
-                    img, cache["rgb_np"], cfg_get(cfg, "num_bins", 256)
-                )
-                rgb_used = _pad_rgb(rgb_mod, int(cache["mask"].shape[0]))
-
-            idh = cfg_get(cfg, "init_downsample_h", 1)
-            idw = cfg_get(cfg, "init_downsample_w", 1)
-            mdh = cfg_get(cfg, "main_downsample_h", 1)
-            mdw = cfg_get(cfg, "main_downsample_w", 1)
-            img_init = img[::idh, ::idw]
-            img_main = img[::mdh, ::mdw]
-
             res = _run_fused(
                 img_init, img_main, cache, rgb_used, cfg, self.init_dict,
                 cache["grids"], self.mesh,
@@ -204,10 +221,11 @@ class LocalizeService:
             loss = float(packed[12])
             winner = int(packed[13])
             cand_loss = packed[14:]
-            elapsed = time.time() - t0
+            elapsed = time.time() - t0 + prep_timed
         return dict(
             t=t, rot=rot, loss=loss, cand_loss=cand_loss,
-            winner=int(winner), time_s=elapsed, room=room,
+            winner=int(winner), time_s=elapsed,
+            total_s=time.time() - t_start, room=room,
         )
 
 
@@ -258,14 +276,17 @@ def serve_forever(service: LocalizeService, host: str = "127.0.0.1",
             self.wfile.write(body)
 
         def do_GET(self):  # noqa: N802 (stdlib API)
-            if self.path == "/healthz":
-                self._reply(
-                    200,
-                    {"ok": True, "room": service.room,
-                     "rooms": service.rooms},
-                )
-            else:
-                self._reply(404, {"error": "unknown path"})
+            try:
+                if self.path == "/healthz":
+                    self._reply(
+                        200,
+                        {"ok": True, "room": service.room,
+                         "rooms": service.rooms},
+                    )
+                else:
+                    self._reply(404, {"error": "unknown path"})
+            except Exception as exc:  # health probes must not see tracebacks
+                self._reply(500, {"error": f"{type(exc).__name__}: {exc}"})
 
         def do_POST(self):  # noqa: N802
             try:
@@ -290,8 +311,15 @@ def serve_forever(service: LocalizeService, host: str = "127.0.0.1",
                     self._reply(200, {"ok": True, "room": service.room})
                 else:
                     self._reply(404, {"error": "unknown path"})
-            except Exception as exc:  # served errors must not kill the process
+            # served errors must not kill the process — and load balancers
+            # must be able to tell bad requests (4xx) from a broken server
+            # (5xx).  NOTE: RuntimeError stays 5xx — XLA's OOM/runtime
+            # errors subclass it, and "no room loaded" is server-side too.
+            except (ValueError, KeyError, json.JSONDecodeError,
+                    FileNotFoundError) as exc:
                 self._reply(400, {"error": f"{type(exc).__name__}: {exc}"})
+            except Exception as exc:
+                self._reply(500, {"error": f"{type(exc).__name__}: {exc}"})
 
         def log_message(self, *a):  # quiet
             pass

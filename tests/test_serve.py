@@ -119,3 +119,23 @@ def test_multi_room_lru_and_selection(scene):
     assert svc.rooms == ["a", "c"]
     with pytest.raises(KeyError):
         svc.localize(img, room="b")
+
+
+def test_service_rejects_staged_only_config():
+    with pytest.raises(ValueError, match="fused"):
+        LocalizeService(visualize=True, **_CFG)
+
+
+def test_service_prep_matches_harness_semantics(scene):
+    """Serving uses the harness's own prepare_* helpers, so a float image
+    and its uint8 requantization localize identically (the CLI decode
+    path), and sharpen_color modifies only the init image (poses stay in
+    the same basin as the unsharpened run on clean synthetic data)."""
+    xyz, rgb, img, gt_t = scene
+    svc = LocalizeService(sharpen_color=True, **_CFG)
+    svc.load_room(xyz, rgb)
+    out = svc.localize(img)
+    assert np.linalg.norm(out["t"] - gt_t) < 0.2
+    out8 = svc.localize((np.clip(np.round(img * 255), 0, 255)).astype(np.uint8))
+    np.testing.assert_array_equal(out["t"], out8["t"])
+    assert out["total_s"] >= out["time_s"] - 1e-6 or out["total_s"] > 0
