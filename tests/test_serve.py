@@ -139,3 +139,18 @@ def test_service_prep_matches_harness_semantics(scene):
     out8 = svc.localize((np.clip(np.round(img * 255), 0, 255)).astype(np.uint8))
     np.testing.assert_array_equal(out["t"], out8["t"])
     assert out["total_s"] >= out["time_s"] - 1e-6 or out["total_s"] > 0
+
+
+def test_service_omniscenes_prep_dispatch(scene):
+    """dataset=OmniScenes routes through prepare_omniscenes_images: the
+    query is resized to 2048x1024, init downsample halves (reference
+    localize.py:349-381), and the solve still runs end-to-end."""
+    xyz, rgb, img, gt_t = scene
+    cfg = dict(_CFG, num_trans=8, num_iter=10, num_intermediate=6,
+               num_input=2, dataset="OmniScenes",
+               init_downsample_h=8, init_downsample_w=8)
+    svc = LocalizeService(**cfg)
+    svc.load_room(xyz, rgb)
+    out = svc.localize((img * 255).astype(np.uint8))
+    assert out["t"].shape == (3,) and out["rot"].shape == (3, 3)
+    assert np.isfinite(out["loss"])
