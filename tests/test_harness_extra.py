@@ -176,3 +176,94 @@ def test_cluttered_room_recovers_pose():
     )
     t_err = float(np.linalg.norm(np.asarray(res.t) - gt_t))
     assert t_err < 0.2, t_err
+
+
+def test_prepare_stanford_images_sharpen_init_only():
+    """sharpen_color color-mods the INIT image only; the descent image is
+    the unmodified main resize (reference localize.py:173-179,211-212).
+    Shared by the CLI and serving (serve.py) — this pins the semantics."""
+    import numpy as np
+    from piccolo_tpu.config import make_config
+    from piccolo_tpu.harness.localize import (
+        _pad_cloud, prepare_stanford_images,
+    )
+
+    rng = np.random.default_rng(0)
+    orig = rng.integers(0, 256, (64, 128, 3), dtype=np.uint8)
+    rgb_np = rng.random((500, 3)).astype(np.float32)
+    xyz_np = rng.normal(size=(500, 3)).astype(np.float32)
+    _, rgb_d, mask_d = _pad_cloud(xyz_np, rgb_np)
+    room = dict(rgb=rgb_d, rgb_np=rgb_np, mask=mask_d)
+
+    cfg = make_config(dataset="Stanford2D-3D-S", sharpen_color=True,
+                      init_downsample_h=2, init_downsample_w=2)
+    img_init, img_main, rgb_used, prep_timed = prepare_stanford_images(
+        cfg, orig, room
+    )
+    assert img_init.shape == (32, 64, 3)
+    # main image untouched by color_mod: exactly orig/255 at full res
+    np.testing.assert_array_equal(
+        img_main, orig.astype(np.float32) / 255.0
+    )
+    # init image IS modified (equalized) and rgb_used rebound + padded
+    assert not np.array_equal(
+        img_init, (orig[::2, ::2].astype(np.float32) / 255.0)
+    )
+    assert rgb_used.shape[0] == int(mask_d.shape[0])
+    assert rgb_used is not room["rgb"]
+    assert prep_timed >= 0
+
+
+def test_prepare_omniscenes_images_synth_ablations():
+    """synth_const/gamma/wb semantics (reference localize.py:384-393),
+    incl. the documented wb saturate-at-255 fix, the 2048x1024 resize and
+    the init-downsample halving (localize.py:349-381)."""
+    import numpy as np
+    from piccolo_tpu.config import make_config
+    from piccolo_tpu.harness.localize import (
+        _pad_cloud, prepare_omniscenes_images,
+    )
+
+    rng = np.random.default_rng(1)
+    raw = rng.integers(0, 256, (128, 256, 3), dtype=np.uint8)
+    raw[0, 0] = [200, 100, 50]
+    rgb_np = rng.random((400, 3)).astype(np.float32)
+    xyz_np = rng.normal(size=(400, 3)).astype(np.float32)
+    _, rgb_d, mask_d = _pad_cloud(xyz_np, rgb_np)
+    room = dict(rgb=rgb_d, rgb_np=rgb_np, mask=mask_d)
+
+    base = make_config(dataset="OmniScenes", init_downsample_h=2,
+                       init_downsample_w=2)
+    orig, img_init, img_main, rgb_used, _ = prepare_omniscenes_images(
+        base, raw, room
+    )
+    assert orig.shape == (1024, 2048, 3) and orig.dtype == np.uint8
+    # halved init downsample: 2 -> 1, so init == main == full 2048x1024
+    assert img_init.shape == (1024, 2048, 3)
+    assert img_main.shape == (1024, 2048, 3)
+    assert rgb_used is room["rgb"]
+
+    # synth_const: integer divide of the uint8 image
+    cfg = base._replace() if hasattr(base, "_replace") else base
+    cfg = make_config(dataset="OmniScenes", synth_const=2)
+    orig_c, _, _, _, _ = prepare_omniscenes_images(cfg, raw, room)
+    ref_c = (np.asarray(
+        __import__("piccolo_tpu.harness.imaging", fromlist=["resize"])
+        .resize(raw, (2048, 1024))
+    ) // 2).astype(np.uint8)
+    np.testing.assert_array_equal(orig_c, ref_c)
+
+    # synth_wb > 1 saturates at 255 instead of wrapping (parity-notes fix)
+    cfg = make_config(dataset="OmniScenes", synth_wb=True,
+                      synth_r=3.0, synth_g=1.0, synth_b=1.0)
+    orig_wb, _, _, _, _ = prepare_omniscenes_images(cfg, raw, room)
+    assert orig_wb[..., 0].max() == 255
+    assert orig_wb.dtype == np.uint8
+
+    # synth_gamma
+    cfg = make_config(dataset="OmniScenes", synth_gamma=2.0)
+    from piccolo_tpu.harness.imaging import resize as _rs
+
+    orig_g, _, _, _, _ = prepare_omniscenes_images(cfg, raw, room)
+    expect = ((_rs(raw, (2048, 1024)) / 255.0) ** 2.0 * 255).astype(np.uint8)
+    np.testing.assert_array_equal(orig_g, expect)
