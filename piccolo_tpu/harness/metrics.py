@@ -6,7 +6,7 @@ the trace clamping for numerically invalid rotations.
 
 from __future__ import annotations
 
-from typing import Tuple
+
 
 import numpy as np
 

@@ -10,7 +10,7 @@ The reference uses two different quantile notions and we preserve both:
 
 from __future__ import annotations
 
-from typing import Tuple
+
 
 import jax.numpy as jnp
 import numpy as np

@@ -26,8 +26,6 @@ single-device fused program is guarded in tests/test_parallel.py.
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
