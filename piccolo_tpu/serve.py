@@ -104,8 +104,15 @@ class LocalizeService:
     # -- room management ---------------------------------------------------
 
     def load_room(self, xyz: np.ndarray, rgb: np.ndarray,
-                  name: str = "<arrays>") -> None:
-        """Stage a colored cloud ((N, 3) xyz metres, (N, 3) rgb in [0, 1])."""
+                  name: str = "<arrays>",
+                  warm_shape: Optional[tuple] = None) -> None:
+        """Stage a colored cloud ((N, 3) xyz metres, (N, 3) rgb in [0, 1]).
+
+        ``warm_shape=(H, W)``: immediately run one throwaway query at that
+        panorama shape so the slab plan builds and every program compiles
+        at LOAD time — the first real query then runs at steady-state
+        latency instead of paying seconds (plan) to minutes (cold jit).
+        """
         xyz = np.asarray(xyz, np.float32)
         rgb = np.asarray(rgb, np.float32)
         xyz_d, rgb_d, mask_d = _pad_cloud(xyz, rgb)
@@ -122,6 +129,12 @@ class LocalizeService:
             while len(self._rooms) > self._max_rooms:
                 _, evicted = self._rooms.popitem(last=False)
                 _drop_slab_plans(evicted)
+        if warm_shape is not None:
+            H, W = warm_shape
+            noise = np.random.default_rng(0).integers(
+                0, 256, (int(H), int(W), 3), dtype=np.uint8
+            )
+            self.localize(noise, room=name)  # result discarded
 
     def load_room_pcd(self, path: str, dataset: Optional[str] = None) -> None:
         """Load a room from an ``x y z r g b`` text cloud (either dataset's

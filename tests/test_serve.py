@@ -154,3 +154,14 @@ def test_service_omniscenes_prep_dispatch(scene):
     out = svc.localize((img * 255).astype(np.uint8))
     assert out["t"].shape == (3,) and out["rot"].shape == (3, 3)
     assert np.isfinite(out["loss"])
+
+
+def test_load_room_warm_shape_prewarms(scene):
+    """warm_shape runs a throwaway query at load time; the first real
+    query then reuses the compiled programs (and the room stays MRU)."""
+    xyz, rgb, img, gt_t = scene
+    svc = LocalizeService(**_CFG)
+    svc.load_room(xyz, rgb, name="w", warm_shape=img.shape[:2])
+    assert svc.room == "w"
+    out = svc.localize(img)
+    assert np.linalg.norm(out["t"] - gt_t) < 0.2
