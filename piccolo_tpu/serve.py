@@ -351,6 +351,10 @@ def main(argv=None) -> None:
                     help="room point cloud(s) to preload (repeatable)")
     ap.add_argument("--max-rooms", type=int, default=4,
                     help="resident-room LRU size (plans are GBs of HBM)")
+    ap.add_argument("--warm", metavar="HxW",
+                    help="pre-warm every preloaded room at this panorama "
+                         "shape (e.g. 512x1024) so the first real query "
+                         "skips plan build + cold compile (~1 min)")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8321)
     args = ap.parse_args(argv)
@@ -361,6 +365,16 @@ def main(argv=None) -> None:
     svc = LocalizeService(parse_ini(args.config), max_rooms=args.max_rooms)
     for pcd in args.pcd:
         svc.load_room_pcd(pcd)
+    if args.warm:
+        H, W = (int(v) for v in args.warm.lower().split("x"))
+        noise = np.random.default_rng(0).integers(
+            0, 256, (H, W, 3), dtype=np.uint8
+        )
+        for name in svc.rooms:
+            t0 = time.time()
+            svc.localize(noise, room=name)
+            print(f"warmed {name} at {H}x{W} in {time.time() - t0:.1f}s",
+                  flush=True)
     print(f"serving on {args.host}:{args.port} (room: {svc.room})", flush=True)
     serve_forever(svc, args.host, args.port)
 
