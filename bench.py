@@ -119,10 +119,15 @@ def main() -> None:
     # kernel stage 1); --staged runs the three-stage path instead and
     # --no-slab keeps the fused program on the XLA gather stage 1.
     use_fused = "--staged" not in sys.argv
+    # default "auto": f32 at Stanford scale (small-table regime; trajectory-
+    # exact), bf16 at OmniScenes scale where the 100 MB table is footprint-
+    # bound (ops.sampling.resolve_descent_table; gated by the widened
+    # multi-room eval — docs/ROUND3.md)
     descent_table = (
         "uint8" if "--u8-descent" in sys.argv
         else "bfloat16" if "--bf16-descent" in sys.argv
-        else "float32"
+        else "float32" if "--f32-descent" in sys.argv
+        else "auto"
     )
     plan = None
     if use_fused and "--no-slab" not in sys.argv:

@@ -173,7 +173,8 @@ def _solve_query(img_main, xyz, rgb, mask, lo, hi, trans0, ypr0, cfg,
         factor=cfg_get(cfg, "factor", 0.9),
         masked=True,
         trajectory=want_traj,
-        table_dtype=cfg_get(cfg, "descent_table", "float32"),
+        table_dtype=cfg_get(cfg, "descent_table", "auto"),
+        wrap=cfg_get(cfg, "seam_wrap", False),
     )
     out = descend(
         img_main, xyz, rgb,
@@ -381,23 +382,12 @@ class _FusedGrids:
         self.valid = jnp.asarray(valid)
 
 
-def _maybe_slab_plan(cfg, cache, grids, img_init):
-    """Room-static sorted-slab plan for fused stage 1 (``slab_init`` key).
+def _slab_admission(cfg, cache, grids, img_init):
+    """Shared ``slab_init`` policy for the single-device and sharded paths.
 
-    ``auto`` (default) enables the MXU kernel path on TPU and keeps the XLA
-    path on CPU (the interpret-mode kernel is test-only); True/False force.
-    ``auto`` also bounds HBM: workloads whose f32 sorted streams exceed
-    ``slab_bytes_cap`` (default 9 GB — e.g. dense clouds at OmniScenes
-    grids) fall back to the 16 B/sample COMPACT plan, and only if even
-    that exceeds the cap does stage 1 revert to the XLA gather path.
-    Compact targets are within 1 ulp of the f32 plan for loader (uint8-
-    sourced) colors; under ``sharpen_color`` the per-query rebound colors
-    quantize to 1/255 steps (README "Parity notes") — near-tied stage-1
-    candidates could in principle rank differently from the staged path
-    there, which only arises for sharpen runs too large for the f32 plan.
-    The plan is cached per (room, init-image size) and covers only the real
-    (non-padding) grid rows; building costs ~0.1 s per candidate group on
-    device (kernels/slab_sampling.py).
+    Returns None when stage 1 should stay on the XLA gather path (slab off,
+    CPU auto mode, plan over the HBM budget even compact, or not worth the
+    per-query sharpen re-bake), else a dict of the admission decision.
     """
     mode = cfg_get(cfg, "slab_init", "auto")
     if mode is False:
@@ -405,8 +395,7 @@ def _maybe_slab_plan(cfg, cache, grids, img_init):
     if mode == "auto" and jax.default_backend() == "cpu":
         return None
     from ..kernels.slab_sampling import (
-        DEFAULT_PLAN_BYTES_CAP,
-        build_grid_plan,
+        default_plan_bytes_cap,
         plan_bytes_estimate,
         slab_worthwhile,
     )
@@ -414,10 +403,12 @@ def _maybe_slab_plan(cfg, cache, grids, img_init):
     sharpen = bool(cfg_get(cfg, "sharpen_color", False))
     n_t = getattr(grids, "n_trans", int(grids.trans.shape[0]))
     compact = bool(cfg_get(cfg, "slab_compact", False))
+    cap = cfg_get(cfg, "slab_bytes_cap")
+    if cap is None:
+        cap = default_plan_bytes_cap()
     if mode == "auto":
         n_pairs = n_t * int(grids.rot.shape[0])
         n_points = int(cache["mask"].shape[0])
-        cap = cfg_get(cfg, "slab_bytes_cap", DEFAULT_PLAN_BYTES_CAP)
         if not compact and plan_bytes_estimate(n_pairs, n_points) > cap:
             compact = True
         if plan_bytes_estimate(n_pairs, n_points, compact=True) > cap:
@@ -429,16 +420,191 @@ def _maybe_slab_plan(cfg, cache, grids, img_init):
             refresh=sharpen, compact=compact,
         ):
             return None
-    key = ("slab_plan", img_init.shape[0], img_init.shape[1], compact,
-           compact and sharpen)
+    return dict(mode=mode, n_t=n_t, compact=compact, cap=cap,
+                sharpen=sharpen, wrap=bool(cfg_get(cfg, "seam_wrap", False)))
+
+
+def _maybe_sharded_slab_plan(cfg, cache, grids, img_init, mesh):
+    """Per-shard slab plans for the mesh stage 1 (kernels x mesh compose —
+    round 3; the round-2 sharded program kept the XLA stage 1).
+
+    Same admission policy as the single-device plan; built synchronously
+    and cached per (room, image size, layout, mesh factorization).  The
+    budget cap applies via the estimate only (per-shard exact sizes track
+    the single-device exact size plus per-shard padding).
+    """
+    adm = _slab_admission(cfg, cache, grids, img_init)
+    if adm is None:
+        return None
+    key = ("slab_plan_sharded", img_init.shape[0], img_init.shape[1],
+           adm["compact"], adm["compact"] and adm["sharpen"], adm["wrap"],
+           mesh.shape["cand"], mesh.shape["point"])
     if key not in cache:
-        cache[key] = build_grid_plan(
+        from ..parallel.fused import shard_grid_plan
+
+        cache[key] = shard_grid_plan(
+            mesh, cache["xyz"], cache["rgb"], cache["mask"],
+            grids.trans[:adm["n_t"]], grids.rot,
+            img_init.shape[0], img_init.shape[1],
+            compact=adm["compact"],
+            tp_is_pid=adm["compact"] and adm["sharpen"],
+            wrap=adm["wrap"],
+        )
+    return cache[key]
+
+
+def _maybe_slab_plan(cfg, cache, grids, img_init, sync: bool = False):
+    """Room-static sorted-slab plan for fused stage 1 (``slab_init`` key).
+
+    ``auto`` (default) enables the MXU kernel path on TPU and keeps the XLA
+    path on CPU (the interpret-mode kernel is test-only); True/False force.
+    ``auto`` also bounds HBM: workloads whose f32 sorted streams exceed
+    ``slab_bytes_cap`` (default: 9/16 of the device's reported HBM,
+    slab_sampling.default_plan_bytes_cap — e.g. dense clouds at OmniScenes
+    grids) fall back to the 16 B/sample COMPACT plan, and only if even
+    that exceeds the cap does stage 1 revert to the XLA gather path.  The
+    cap is enforced twice: a cheap pre-build estimate, then an EXACT check
+    once the sizing pass fixes the padded block count (real padding is
+    data-dependent and can exceed the estimate's fixed factor).
+    Compact targets are within 1 ulp of the f32 plan for loader (uint8-
+    sourced) colors; under ``sharpen_color`` the per-query rebound colors
+    quantize to 1/255 steps (README "Parity notes") — near-tied stage-1
+    candidates could in principle rank differently from the staged path
+    there, which only arises for sharpen runs too large for the f32 plan.
+    The plan is cached per (room, init-image size) and covers only the real
+    (non-padding) grid rows; building costs ~0.1 s per candidate group on
+    device (kernels/slab_sampling.py).
+
+    Lifecycle (round 3): plans persist to a content-addressed disk cache
+    (``slab_plan_cache`` on by default; dir ``slab_plan_cache_dir``, LRU
+    byte budget ``slab_plan_cache_bytes``) and, on a miss, build on a
+    BACKGROUND thread while the room's first queries run the XLA stage 1
+    (``slab_background_build``; ``sync=True`` forces the old synchronous
+    build — serving's warm path uses it so a warmed room is fully planned
+    and compiled at load time).  Invalidation is structural: the cache key
+    digests the exact plan inputs (cloud, grids, image size, layout flags,
+    format version) — see kernels/plan_cache.py.
+    """
+    adm = _slab_admission(cfg, cache, grids, img_init)
+    if adm is None:
+        return None
+    from ..kernels.slab_sampling import PlanOverBudget, build_grid_plan
+
+    mode, n_t = adm["mode"], adm["n_t"]
+    compact, cap, sharpen = adm["compact"], adm["cap"], adm["sharpen"]
+    wrap = adm["wrap"]
+
+    def _build(compact):
+        return build_grid_plan(
             cache["xyz"], cache["rgb"], cache["mask"],
             grids.trans[:n_t], grids.rot,
             img_init.shape[0], img_init.shape[1],
-            compact=compact, tp_is_pid=compact and sharpen,
+            compact=compact, tp_is_pid=compact and sharpen, wrap=wrap,
+            # forced modes (slab_init=True) build whatever was asked for;
+            # only auto admission enforces the budget
+            bytes_cap=cap if mode == "auto" else None,
         )
-    return cache[key]
+
+    # -- plan lifecycle (round 3): disk persistence + background build ----
+    use_disk = bool(cfg_get(cfg, "slab_plan_cache", True))
+    background = bool(cfg_get(cfg, "slab_background_build", True)) and not sync
+    cache_dir = cfg_get(cfg, "slab_plan_cache_dir")
+    cache_budget = int(cfg_get(cfg, "slab_plan_cache_bytes", 40 * 10**9))
+    if use_disk or background:
+        from ..kernels import plan_cache as pc
+
+        if cache_dir is None:
+            cache_dir = pc.default_plan_cache_dir()
+        cache_dir = os.path.expanduser(cache_dir)
+
+    def _disk_key(attempt):
+        # content digest memoized per room (hashing the cloud costs ~ms
+        # but not nothing; the digest is invariant across queries)
+        mk = ("slab_dkey", img_init.shape[0], img_init.shape[1], attempt,
+              attempt and sharpen, wrap)
+        if mk not in cache:
+            cache[mk] = pc.plan_key(
+                cache["xyz"], cache["rgb"], cache["mask"],
+                grids.trans[:n_t], grids.rot,
+                img_init.shape[0], img_init.shape[1],
+                attempt, attempt and sharpen, wrap=wrap,
+            )
+        return cache[mk]
+
+    def _persist(plan, attempt):
+        if not use_disk:
+            return
+        import threading
+
+        dkey = _disk_key(attempt)
+
+        def run():
+            try:
+                pc.save_plan(cache_dir, dkey, plan, max_bytes=cache_budget)
+            except Exception as exc:  # cache write failures never break runs
+                print(f"slab plan cache write failed: {exc}", flush=True)
+
+        threading.Thread(
+            target=run, name="piccolo-plan-save", daemon=True
+        ).start()
+
+    for attempt in (compact, True):
+        key = ("slab_plan", img_init.shape[0], img_init.shape[1], attempt,
+               attempt and sharpen, wrap)
+        if key in cache:
+            return cache[key]
+        pend_key = ("slab_plan_pending",) + key[1:]
+        if pend_key in cache:
+            holder = cache[pend_key]
+            if holder["thread"].is_alive():
+                return None  # still building; serve this query via XLA
+            cache.pop(pend_key)
+            err = holder.get("error")
+            if err is None:
+                cache[key] = holder["plan"]
+                _persist(holder["plan"], attempt)
+                return cache[key]
+            if isinstance(err, PlanOverBudget) and not attempt:
+                continue  # demote f32 -> compact
+            print(f"slab plan build failed ({err}); using XLA stage 1",
+                  flush=True)
+            cache[("slab_plan_failed",) + key[1:]] = True
+            return None
+        if (("slab_plan_failed",) + key[1:]) in cache:
+            return None
+        if use_disk:
+            plan = pc.load_plan(cache_dir, _disk_key(attempt))
+            if plan is not None:
+                cache[key] = plan
+                return plan
+        if background:
+            import threading
+
+            holder = {"plan": None, "error": None}
+
+            def run(holder=holder, attempt=attempt):
+                try:
+                    holder["plan"] = _build(attempt)
+                except Exception as exc:
+                    holder["error"] = exc
+
+            t = threading.Thread(
+                target=run, name="piccolo-plan-build", daemon=True
+            )
+            holder["thread"] = t
+            cache[pend_key] = holder
+            t.start()
+            return None  # first queries run the XLA stage 1 meanwhile
+        try:
+            cache[key] = _build(attempt)
+            _persist(cache[key], attempt)
+            return cache[key]
+        except PlanOverBudget:
+            # exact size (known post-sizing) exceeded the estimate-admitted
+            # cap; demote f32 -> compact, then give up to the XLA stage 1
+            if attempt:
+                return None
+    return None
 
 
 def _drop_slab_plans(room) -> None:
@@ -447,12 +613,14 @@ def _drop_slab_plans(room) -> None:
     even while prefetched bundles still reference the room dict."""
     if room is None:
         return
-    for k in [k for k in room if isinstance(k, tuple) and k[:1] == ("slab_plan",)]:
+    drop = ("slab_plan", "slab_plan_pending", "slab_plan_failed",
+            "slab_plan_sharded", "slab_dkey")
+    for k in [k for k in room if isinstance(k, tuple) and k and k[0] in drop]:
         room.pop(k)
 
 
 def _run_fused(img_init, img_main, cache, rgb_used, cfg, init_dict, grids,
-               mesh=None):
+               mesh=None, sync_plans=False):
     kw = dict(
         num_intermediate=cfg_get(cfg, "num_intermediate", 20),
         num_input=cfg_get(cfg, "num_input", 6),
@@ -463,10 +631,9 @@ def _run_fused(img_init, img_main, cache, rgb_used, cfg, init_dict, grids,
         patience=cfg_get(cfg, "patience", 5),
         factor=cfg_get(cfg, "factor", 0.9),
     )
-    descent_table = cfg_get(cfg, "descent_table", "float32")
+    descent_table = cfg_get(cfg, "descent_table", "auto")
+    seam_wrap = bool(cfg_get(cfg, "seam_wrap", False))
     if mesh is not None:
-        # the sharded program keeps the XLA stage-1 (each point shard scores
-        # its slice; the sorted-slab layout is a single-device optimization)
         from ..parallel import localize_query_sharded
         from ..parallel.fused import shard_cloud
 
@@ -478,21 +645,26 @@ def _run_fused(img_init, img_main, cache, rgb_used, cfg, init_dict, grids,
                 mesh, cache["xyz"], cache["rgb"], cache["mask"]
             )
         xyz_s, rgb_s, mask_s = cache[key]
+        # stage 1 runs the sorted-slab kernel per shard when admitted
+        # (round 3 — psum-combined accumulators; parallel/fused.py)
+        plan = _maybe_sharded_slab_plan(cfg, cache, grids, img_init, mesh)
         return localize_query_sharded(
             mesh, img_init, img_main, xyz_s,
             rgb_s if rgb_used is cache["rgb"] else rgb_used,
             grids.trans, grids.rot, grids.valid,
             cache["lo"], cache["hi"], mask_s,
-            descent_table=descent_table, **kw,
+            descent_table=descent_table, seam_wrap=seam_wrap, plan=plan,
+            plan_refresh_rgb=plan is not None and rgb_used is not cache["rgb"],
+            **kw,
         )
-    plan = _maybe_slab_plan(cfg, cache, grids, img_init)
+    plan = _maybe_slab_plan(cfg, cache, grids, img_init, sync=sync_plans)
     return localize_query(
         jnp.asarray(img_init), jnp.asarray(img_main),
         cache["xyz"], rgb_used, grids.trans, grids.rot, grids.valid,
         jnp.asarray(cache["lo"]), jnp.asarray(cache["hi"]), cache["mask"],
         masked=True, plan=plan,
         plan_refresh_rgb=plan is not None and rgb_used is not cache["rgb"],
-        descent_table=descent_table,
+        descent_table=descent_table, seam_wrap=seam_wrap,
         **kw,
     )
 
@@ -678,6 +850,7 @@ def localize_stanford(cfg, writer=None, log_dir: str = "./log") -> float:
                             cfg_get(cfg, "criterion", "loss_histogram"),
                             cfg_get(cfg, "num_intermediate", 20),
                             point_mask=cache["mask"],
+                            wrap=cfg_get(cfg, "seam_wrap", False),
                         )
                         res, traj = _solve_query(
                             jnp.asarray(img_main), cache["xyz"], rgb_used,
@@ -845,118 +1018,120 @@ def localize_omniscenes(cfg, writer=None, log_dir: str = "./log") -> float:
         if f"{f.split(os.sep)[-2]}/{os.path.basename(f)}" not in csv_out.done
     ]
     pending = [filenames[i] for i in pending_idx]
-    artifacts = AsyncWriter(enabled=prefetch_on)
     prev_room = None
-    for trial, (filename, outcome) in zip(
-        pending_idx, Prefetcher(pending, _prepare, enabled=prefetch_on)
-    ):
-        try:
-            b = Prefetcher.unwrap(outcome)
-            video_name, img_seq = b["video_name"], b["img_seq"]
-            img_name = b["img_name"]
-            cache = b["room"]
-            if prev_room is not None and prev_room is not cache:
-                _drop_slab_plans(prev_room)
-            prev_room = cache
-            gt_trans, gt_rot = b["gt_trans"], b["gt_rot"]
-            rgb_used = b["rgb_used"]
-            img_init, img_main = b["img_init"], b["img_main"]
-            orig = b["orig"]
-            H0, W0 = b["shape"]
+    # the context manager drains pending writes without letting a writer
+    # error mask an in-flight query exception (same shape as the Stanford
+    # loop; a bare close() before raise could replace the original error)
+    with AsyncWriter(enabled=prefetch_on) as artifacts:
+        for trial, (filename, outcome) in zip(
+            pending_idx, Prefetcher(pending, _prepare, enabled=prefetch_on)
+        ):
+            try:
+                b = Prefetcher.unwrap(outcome)
+                video_name, img_seq = b["video_name"], b["img_seq"]
+                img_name = b["img_name"]
+                cache = b["room"]
+                if prev_room is not None and prev_room is not cache:
+                    _drop_slab_plans(prev_room)
+                prev_room = cache
+                gt_trans, gt_rot = b["gt_trans"], b["gt_rot"]
+                rgb_used = b["rgb_used"]
+                img_init, img_main = b["img_init"], b["img_main"]
+                orig = b["orig"]
+                H0, W0 = b["shape"]
 
-            if _outside_bounds(cache["lo"], cache["hi"], gt_trans):
-                print(f"corrupted file : {filename}, gt_trans is out of the room\n")
-                skipped.append(filename)
-                summaries.add_text("skipped rooms", filename)
-                csv_out.write([img_name, fmt_array(gt_trans), fmt_array(gt_rot), 1])
+                if _outside_bounds(cache["lo"], cache["hi"], gt_trans):
+                    print(f"corrupted file : {filename}, gt_trans is out of the room\n")
+                    skipped.append(filename)
+                    summaries.add_text("skipped rooms", filename)
+                    csv_out.write([img_name, fmt_array(gt_trans), fmt_array(gt_rot), 1])
+                    continue
+
+                start = time.time()
+                with maybe_trace(cfg_get(cfg, "profile_dir")):
+                    if fused:
+                        fres = _run_fused(
+                            img_init, img_main, cache, rgb_used, cfg, init_dict,
+                            cache["grids"], mesh,
+                        )
+                        k = int(fres.winner)
+                        t = np.asarray(fres.t)
+                        R = np.asarray(fres.rot)
+                        loss_k = float(fres.loss)
+                        trans0 = np.asarray(fres.start_t)
+                        rot0 = np.asarray(fres.start_ypr)
+                    else:
+                        trans0, rot0 = make_input(
+                            jnp.asarray(img_init), cache["xyz"], rgb_used,
+                            cfg_get(cfg, "num_input", 6), init_dict,
+                            cfg_get(cfg, "criterion", "loss_histogram"),
+                            cfg_get(cfg, "num_intermediate", 20),
+                            point_mask=cache["mask"],
+                            wrap=cfg_get(cfg, "seam_wrap", False),
+                        )
+                        res, traj = _solve_query(
+                            jnp.asarray(img_main), cache["xyz"], rgb_used,
+                            cache["mask"], cache["lo"], cache["hi"],
+                            trans0, rot0, cfg, want_traj=False,
+                        )
+                        k = int(jnp.argmin(res.loss))
+                        t = np.asarray(res.t[k])
+                        R = np.asarray(res.rot[k])
+                        loss_k = float(res.loss[k])
+
+                    if cfg_get(cfg, "save_starting_point", False):
+                        for idx in range(trans0.shape[0]):
+                            Rs = np.asarray(rot_from_ypr(jnp.asarray(rot0[idx])))
+                            # the color-processed cloud, as the reference renders
+                            # its starting points (localize.py:457-471 after the
+                            # rgb rebinds at :396-410)
+                            rendered = _result_render(
+                                trans0[idx], Rs, cache["xyz"], rgb_used,
+                                cache["mask"], (H0 // 2, W0 // 2),
+                            )
+                            artifacts.submit(
+                                save_result_image,
+                                os.path.join(
+                                    log_dir, "starting_points", video_name,
+                                    f"{img_seq.split('.')[0]}_{idx}.png",
+                                ),
+                                orig, rendered,
+                            )
+                elapsed = time.time() - start + b["prep_timed"]
+
+                t_err = translation_error(gt_trans, t)
+                r_err = rotation_error_deg(gt_rot, R)
+                ok = tracker.update(t_err, r_err)
+                if not ok:
+                    failed.append(filename)
+                    summaries.add_text("failed rooms", filename)
+
+                print(f"\n{filename}")
+                print(f"min_index : {k}")
+                print(f"min loss : {loss_k}")
+                print(f"translation error : {t_err}")
+                print(f"rotation error : {r_err}\n")
+                print(
+                    f"current accuracy : {tracker.accuracy} "
+                    f"({tracker.well_posed}/{tracker.total})\n"
+                )
+                summaries.add("current_accuracy", tracker.accuracy)
+                csv_out.write(
+                    [
+                        img_name, fmt_array(gt_trans), fmt_array(gt_rot), 0,
+                        fmt_array(t), fmt_array(R), t_err, r_err, elapsed,
+                    ]
+                )
+                summaries.write(trial)
+            except Exception:
+                if not continue_on_error:
+                    csv_out.close()
+                    raise
+                failed.append(filename)
+                summaries.add_text("errored rooms", filename)
                 continue
 
-            start = time.time()
-            with maybe_trace(cfg_get(cfg, "profile_dir")):
-                if fused:
-                    fres = _run_fused(
-                        img_init, img_main, cache, rgb_used, cfg, init_dict,
-                        cache["grids"], mesh,
-                    )
-                    k = int(fres.winner)
-                    t = np.asarray(fres.t)
-                    R = np.asarray(fres.rot)
-                    loss_k = float(fres.loss)
-                    trans0 = np.asarray(fres.start_t)
-                    rot0 = np.asarray(fres.start_ypr)
-                else:
-                    trans0, rot0 = make_input(
-                        jnp.asarray(img_init), cache["xyz"], rgb_used,
-                        cfg_get(cfg, "num_input", 6), init_dict,
-                        cfg_get(cfg, "criterion", "loss_histogram"),
-                        cfg_get(cfg, "num_intermediate", 20),
-                        point_mask=cache["mask"],
-                    )
-                    res, traj = _solve_query(
-                        jnp.asarray(img_main), cache["xyz"], rgb_used,
-                        cache["mask"], cache["lo"], cache["hi"],
-                        trans0, rot0, cfg, want_traj=False,
-                    )
-                    k = int(jnp.argmin(res.loss))
-                    t = np.asarray(res.t[k])
-                    R = np.asarray(res.rot[k])
-                    loss_k = float(res.loss[k])
-
-                if cfg_get(cfg, "save_starting_point", False):
-                    for idx in range(trans0.shape[0]):
-                        Rs = np.asarray(rot_from_ypr(jnp.asarray(rot0[idx])))
-                        # the color-processed cloud, as the reference renders
-                        # its starting points (localize.py:457-471 after the
-                        # rgb rebinds at :396-410)
-                        rendered = _result_render(
-                            trans0[idx], Rs, cache["xyz"], rgb_used,
-                            cache["mask"], (H0 // 2, W0 // 2),
-                        )
-                        artifacts.submit(
-                            save_result_image,
-                            os.path.join(
-                                log_dir, "starting_points", video_name,
-                                f"{img_seq.split('.')[0]}_{idx}.png",
-                            ),
-                            orig, rendered,
-                        )
-            elapsed = time.time() - start + b["prep_timed"]
-
-            t_err = translation_error(gt_trans, t)
-            r_err = rotation_error_deg(gt_rot, R)
-            ok = tracker.update(t_err, r_err)
-            if not ok:
-                failed.append(filename)
-                summaries.add_text("failed rooms", filename)
-
-            print(f"\n{filename}")
-            print(f"min_index : {k}")
-            print(f"min loss : {loss_k}")
-            print(f"translation error : {t_err}")
-            print(f"rotation error : {r_err}\n")
-            print(
-                f"current accuracy : {tracker.accuracy} "
-                f"({tracker.well_posed}/{tracker.total})\n"
-            )
-            summaries.add("current_accuracy", tracker.accuracy)
-            csv_out.write(
-                [
-                    img_name, fmt_array(gt_trans), fmt_array(gt_rot), 0,
-                    fmt_array(t), fmt_array(R), t_err, r_err, elapsed,
-                ]
-            )
-            summaries.write(trial)
-        except Exception:
-            if not continue_on_error:
-                csv_out.close()
-                artifacts.close()
-                raise
-            failed.append(filename)
-            summaries.add_text("errored rooms", filename)
-            continue
-
     csv_out.close()
-    artifacts.close()
     summaries.write_scalar("final accuracy", tracker.accuracy)
     print(f"Final Accuracy : {tracker.accuracy}")
     print(f"failed {len(failed)} rooms\n")

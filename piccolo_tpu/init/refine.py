@@ -45,18 +45,20 @@ def _pad_rows(a: jnp.ndarray, multiple: int) -> Tuple[jnp.ndarray, int]:
     return a, n
 
 
-@functools.partial(jax.jit, static_argnames=("chunk", "masked"))
+@functools.partial(jax.jit, static_argnames=("chunk", "masked", "wrap"))
 def _score_pairs(
-    img, xyz, rgb, pair_t, pair_ypr, point_mask=None, *, chunk=16, masked=False
+    img, xyz, rgb, pair_t, pair_ypr, point_mask=None, *, chunk=16,
+    masked=False, wrap=False,
 ):
     pm = point_mask if masked else None
     H, W, _ = img.shape
-    blocks = pack_bilinear_blocks(img)  # one gather per sample (see sampling.py)
+    blocks = pack_bilinear_blocks(img, wrap=wrap)  # one gather per sample
 
     def one(args):
         t, ypr = args
         pose = Pose(t=t, yaw=ypr[0], pitch=ypr[1], roll=ypr[2])
-        return sampling_loss_packed(pose, xyz, rgb, blocks, H, W, pm)
+        return sampling_loss_packed(pose, xyz, rgb, blocks, H, W, pm,
+                                    wrap=wrap)
 
     k = pair_t.shape[0]
     tc = pair_t.reshape(k // chunk, chunk, 3)
@@ -74,6 +76,7 @@ def score_pose_grid(
     point_mask: Optional[jnp.ndarray] = None,
     chunk: int = 16,
     valid: Optional[jnp.ndarray] = None,
+    wrap: bool = False,
 ) -> jnp.ndarray:
     """Loss table over the trans x rot grid, flattened trans-major.
 
@@ -90,7 +93,7 @@ def score_pose_grid(
     pair_r, _ = _pad_rows(pair_r, chunk)
     scores = _score_pairs(
         img, xyz, rgb, pair_t, pair_r, point_mask,
-        chunk=chunk, masked=point_mask is not None,
+        chunk=chunk, masked=point_mask is not None, wrap=wrap,
     )[:n]
     if valid is not None:
         scores = jnp.where(jnp.repeat(valid, R), scores, jnp.inf)
@@ -98,7 +101,8 @@ def score_pose_grid(
 
 
 def trim_by_loss(
-    img, xyz, rgb, trans, rot, num_keep: int, point_mask=None, valid=None
+    img, xyz, rgb, trans, rot, num_keep: int, point_mask=None, valid=None,
+    wrap=False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Keep the num_keep (trans, rot) pairs with lowest sampling loss.
 
@@ -106,7 +110,8 @@ def trim_by_loss(
     the table, pair recovered by divmod over len(rot).
     """
     R = rot.shape[0]
-    scores = score_pose_grid(img, xyz, rgb, trans, rot, point_mask, valid=valid)
+    scores = score_pose_grid(img, xyz, rgb, trans, rot, point_mask,
+                             valid=valid, wrap=wrap)
     k = min(num_keep, scores.shape[0])
     idx = jnp.argsort(scores)[:k]
     return jnp.take(trans, idx // R, axis=0), jnp.take(rot, idx % R, axis=0)
@@ -283,6 +288,7 @@ def make_input(
     num_intermediate: Optional[int] = None,
     point_mask: Optional[jnp.ndarray] = None,
     seed: int = 2,
+    wrap: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Full initialization: candidate grids -> loss trim -> histogram trim.
 
@@ -329,7 +335,7 @@ def make_input(
         in_mask = keep_j if point_mask is None else (point_mask & keep_j)
 
     t1, r1 = trim_by_loss(
-        img, in_xyz, in_rgb, trans, rot, num_intermediate, in_mask
+        img, in_xyz, in_rgb, trans, rot, num_intermediate, in_mask, wrap=wrap
     )
     t2, r2 = trim_by_hist(
         img, in_xyz, in_rgb, t1, r1, num_input,

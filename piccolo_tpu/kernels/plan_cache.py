@@ -1,0 +1,190 @@
+"""Disk persistence for sorted-slab grid plans (room-static, cacheable).
+
+A GridPlan is a pure function of (cloud, candidate grids, init-image size,
+layout flags) — all room-static — yet round 2 rebuilt it from scratch in
+every process (~10 s per room at dense OmniScenes scale, paid synchronously
+on each room's first query).  This module gives plans a lifecycle:
+
+  * content-addressed save/load under ``~/.cache/piccolo_tpu/plans``
+    (override via config ``slab_plan_cache_dir``), keyed by a digest of the
+    exact plan inputs plus a format version — any change to the cloud, the
+    grids, the image size, the layout flags, or the plan format invalidates
+    the entry by construction (no staleness checks needed);
+  * atomic writes (tmp file + rename) so concurrent processes can share a
+    cache directory;
+  * mtime-LRU eviction against a byte budget so the cache can't grow
+    without bound (plans are GBs each at dense scales).
+
+The harness (``_maybe_slab_plan``) loads on hit, and on miss builds on a
+BACKGROUND thread while first queries take the XLA stage-1 — see
+harness/localize.py.  No reference counterpart (the reference has no
+stage-1 acceleration structure at all; its cost lives in the Python loop at
+``utils.py:462-507``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+from typing import Optional
+
+import numpy as np
+
+from .slab_sampling import GridPlan
+
+__all__ = [
+    "plan_key",
+    "save_plan",
+    "load_plan",
+    "evict_lru",
+    "default_plan_cache_dir",
+    "PLAN_FORMAT_VERSION",
+]
+
+# Bump whenever the on-disk layout OR the plan semantics change (field
+# order, packing, window math) — old entries then miss by construction.
+PLAN_FORMAT_VERSION = 1
+
+
+def default_plan_cache_dir() -> str:
+    return os.path.join(
+        os.path.expanduser("~"), ".cache", "piccolo_tpu", "plans"
+    )
+
+
+def _digest_array(h, a) -> None:
+    a = np.asarray(a)
+    h.update(str(a.dtype).encode())
+    h.update(str(a.shape).encode())
+    h.update(np.ascontiguousarray(a).tobytes())
+
+
+def plan_key(
+    xyz,
+    rgb,
+    point_mask,
+    trans_grid,
+    rot_grid,
+    height: int,
+    width: int,
+    compact: bool,
+    tp_is_pid: bool,
+    wrap: bool = False,
+) -> str:
+    """Content digest of everything a plan is a function of.
+
+    Hashing the padded cloud + grids costs a few ms at OmniScenes scale
+    (tens of MB through blake2b) — noise next to a build or even a load.
+    """
+    h = hashlib.blake2b(digest_size=16)
+    h.update(f"v{PLAN_FORMAT_VERSION}".encode())
+    _digest_array(h, xyz)
+    _digest_array(h, rgb)
+    if point_mask is not None:
+        _digest_array(h, point_mask)
+    else:
+        h.update(b"nomask")
+    _digest_array(h, trans_grid)
+    _digest_array(h, rot_grid)
+    h.update(
+        f"{height}x{width}:{int(compact)}{int(tp_is_pid)}{int(wrap)}".encode()
+    )
+    return h.hexdigest()
+
+
+def _path(cache_dir: str, key: str) -> str:
+    return os.path.join(cache_dir, f"plan_{key}.npz")
+
+
+def save_plan(cache_dir: str, key: str, plan: GridPlan,
+              max_bytes: Optional[int] = None) -> str:
+    """Persist a plan atomically; optionally evict LRU entries to budget.
+
+    Fetches the plan to host memory (device -> host, GBs at dense scales —
+    call from a background thread, not the query path).
+    """
+    os.makedirs(cache_dir, exist_ok=True)
+    # all groups share one padded block count, so the per-group arrays
+    # stack into two dense tensors
+    fields = np.stack([np.asarray(f) for f in plan.fields])
+    windows = np.stack([np.asarray(w) for w in plan.windows])
+    aux = np.array(
+        [plan.n_pairs, int(plan.compact), int(plan.tp_is_pid),
+         plan.height, plan.width, int(plan.wrap)],
+        np.int64,
+    )
+    path = _path(cache_dir, key)
+    fd, tmp = tempfile.mkstemp(dir=cache_dir, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez(f, fields=fields, windows=windows, aux=aux)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+    if max_bytes is not None:
+        evict_lru(cache_dir, max_bytes)
+    return path
+
+
+def load_plan(cache_dir: str, key: str) -> Optional[GridPlan]:
+    """Load a cached plan onto the default device; None on miss/corruption."""
+    import jax.numpy as jnp
+
+    path = _path(cache_dir, key)
+    if not os.path.exists(path):
+        return None
+    try:
+        with np.load(path) as z:
+            fields = z["fields"]
+            windows = z["windows"]
+            aux = z["aux"]
+    except Exception:
+        # half-written or foreign file: treat as a miss (the atomic rename
+        # makes this unlikely, but a corrupt cache must never crash queries)
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
+        return None
+    os.utime(path)  # LRU touch
+    n_pairs, compact, tp_is_pid, height, width, wrap = (
+        int(v) for v in aux
+    )
+    return GridPlan(
+        fields=[jnp.asarray(f) for f in fields],
+        windows=[jnp.asarray(w) for w in windows],
+        n_pairs=n_pairs, compact=bool(compact), tp_is_pid=bool(tp_is_pid),
+        height=height, width=width, wrap=bool(wrap),
+    )
+
+
+def evict_lru(cache_dir: str, max_bytes: int) -> int:
+    """Delete oldest-touched plans until the directory fits the budget.
+
+    Returns the number of entries removed.
+    """
+    try:
+        entries = [
+            (os.path.getmtime(p), os.path.getsize(p), p)
+            for p in (
+                os.path.join(cache_dir, n) for n in os.listdir(cache_dir)
+            )
+            if p.endswith(".npz")
+        ]
+    except OSError:
+        return 0
+    total = sum(s for _, s, _ in entries)
+    removed = 0
+    for _, size, path in sorted(entries):
+        if total <= max_bytes:
+            break
+        try:
+            os.unlink(path)
+            total -= size
+            removed += 1
+        except OSError:
+            pass
+    return removed

@@ -51,9 +51,15 @@ from ..ops.sampling import pack_bilinear_blocks, packed_rows_and_weights
 
 __all__ = [
     "GridPlan",
+    "PlanOverBudget",
     "make_pairs",
     "build_grid_plan",
     "slab_pair_scores",
+    "slab_group_partials",
+    "plan_required_blocks",
+    "nb_bucket",
+    "default_plan_bytes_cap",
+    "plan_exact_bytes",
     "WINDOW",
     "BLOCK",
     "GROUP",
@@ -63,12 +69,65 @@ WINDOW = 512  # table rows per aligned slab window (VMEM-resident per block)
 BLOCK = 1024  # samples per kernel block (~half the typical window occupancy)
 GROUP = 128   # candidate pairs per group (one-hot accumulator width)
 
-# Default HBM budget for a plan's sorted streams — the harness's
-# ``slab_bytes_cap`` default and eval_synth's ``--slab-cap`` default both
-# import this so the auto policies can't drift apart.  Sized for a 16 GB
-# chip: a ~9 GB plan leaves room for the sampling tables (<=400 MB at 4K),
-# stage-2 render buffers (~2 GB at 4K x 56 candidates) and workspace.
+# Fallback HBM budget for a plan's sorted streams when the backend reports
+# no memory stats — the harness's ``slab_bytes_cap`` default and
+# eval_synth's ``--slab-cap`` default both route through
+# :func:`default_plan_bytes_cap` so the auto policies can't drift apart.
+# Sized for a 16 GB chip: a ~9 GB plan leaves room for the sampling tables
+# (<=400 MB at 4K), stage-2 render buffers (~2 GB at 4K x 56 candidates)
+# and workspace.
 DEFAULT_PLAN_BYTES_CAP = 9 * 10**9
+
+# Measured working split on a 16 GB v5e: 9 GB plan / 16 GB HBM.  The same
+# fraction scales the budget to whatever the device actually reports.
+_PLAN_HBM_FRACTION = 9.0 / 16.0
+
+
+def default_plan_bytes_cap(device=None) -> int:
+    """HBM-derived budget for a plan's sorted streams.
+
+    9/16 of the device's reported memory limit (the measured working split
+    on a 16 GB v5e: ~9 GB plan + sampling tables + stage-2 render buffers +
+    workspace), falling back to :data:`DEFAULT_PLAN_BYTES_CAP` when the
+    backend exposes no ``memory_stats`` (CPU, some plugin frontends).
+    """
+    try:
+        if device is None:
+            device = jax.devices()[0]
+        stats = device.memory_stats()
+        limit = (stats or {}).get("bytes_limit") or (stats or {}).get(
+            "bytes_reservable_limit"
+        )
+    except Exception:
+        limit = None
+    if not limit:
+        return DEFAULT_PLAN_BYTES_CAP
+    return int(limit * _PLAN_HBM_FRACTION)
+
+
+class PlanOverBudget(RuntimeError):
+    """Raised by build_grid_plan when the EXACT plan size exceeds bytes_cap.
+
+    The pre-build :func:`plan_bytes_estimate` uses a fixed 1.25 padding
+    factor, but real padding is data-dependent (per-window BLOCK rounding
+    plus the geometric nb bucket) and can exceed it; this check runs after
+    the sizing pass, when the block count is exact, so a plan can never
+    silently blow the HBM budget it was admitted under.
+    """
+
+    def __init__(self, exact_bytes: int, cap: int):
+        super().__init__(
+            f"slab plan needs {exact_bytes / 1e9:.2f} GB "
+            f"(cap {cap / 1e9:.2f} GB)"
+        )
+        self.exact_bytes = exact_bytes
+        self.cap = cap
+
+
+def plan_exact_bytes(n_groups: int, nb: int, compact: bool) -> int:
+    """Exact HBM footprint of a plan once the padded block count is known."""
+    per = 16 if compact else 32
+    return n_groups * (nb * BLOCK * per + nb * 4)
 
 # field order in the packed (8, BLOCK) sample block; _F_PID rides the spare
 # sublane as an exactly-representable small int (cloud sizes < 2^24)
@@ -94,24 +153,33 @@ class GridPlan:
     n_pairs: static int — number of leading candidate pairs the plan covers
              (callers slice grid padding off before planning; pairs beyond
              n_pairs must be masked invalid by the consumer).
+    height/width: static ints — the init-image shape the plan's table rows
+             were computed for (0 = unknown, for plans built before this
+             field existed); consumers reject a plan whose shape disagrees
+             with the image they are scoring.
 
-    Registered as a pytree with ``n_pairs``/``compact``/``tp_is_pid`` as
-    static aux data so plans can cross jit boundaries while score shapes
-    stay static.
+    Registered as a pytree with ``n_pairs``/``compact``/``tp_is_pid``/
+    ``height``/``width`` as static aux data so plans can cross jit
+    boundaries while score shapes stay static.
     """
 
     def __init__(self, fields, windows, n_pairs: int,
-                 compact: bool = False, tp_is_pid: bool = False):
+                 compact: bool = False, tp_is_pid: bool = False,
+                 height: int = 0, width: int = 0, wrap: bool = False):
         self.fields = tuple(fields)
         self.windows = tuple(windows)
         self.n_pairs = int(n_pairs)
         self.compact = bool(compact)
         self.tp_is_pid = bool(tp_is_pid)
+        self.height = int(height)
+        self.width = int(width)
+        self.wrap = bool(wrap)
 
     def tree_flatten(self):
         return (
             (self.fields, self.windows),
-            (self.n_pairs, self.compact, self.tp_is_pid),
+            (self.n_pairs, self.compact, self.tp_is_pid,
+             self.height, self.width, self.wrap),
         )
 
     @classmethod
@@ -195,7 +263,7 @@ def _nb_bucket(n: int) -> int:
     return b
 
 
-def _project_group(xyz, point_mask, t_g, ypr_g, height, width):
+def _project_group(xyz, point_mask, t_g, ypr_g, height, width, wrap=False):
     """Packed rows + fractions for one candidate group — the exact query-path
     geometry ops, so floors and fractions match the XLA path bit-for-bit.
     Masked-out points land on row 0 (the zero border) with zero fractions."""
@@ -204,7 +272,7 @@ def _project_group(xyz, point_mask, t_g, ypr_g, height, width):
         pose = Pose(t=t, yaw=ypr[0], pitch=ypr[1], roll=ypr[2])
         cam = transform_cloud(pose, xyz)
         coords = spherical_project(cam)
-        return packed_rows_and_weights(coords, height, width)
+        return packed_rows_and_weights(coords, height, width, wrap=wrap)
 
     row, wx1, wy1 = jax.vmap(one)(t_g, ypr_g)  # (GROUP, N) each
     if point_mask is not None:
@@ -214,8 +282,9 @@ def _project_group(xyz, point_mask, t_g, ypr_g, height, width):
     return row, wx1, wy1
 
 
-@functools.partial(jax.jit, static_argnames=("height", "width"))
-def _plan_sizes(xyz, point_mask, pair_t, pair_ypr, *, height, width):
+@functools.partial(jax.jit, static_argnames=("height", "width", "wrap"))
+def _plan_sizes(xyz, point_mask, pair_t, pair_ypr, *, height, width,
+                wrap=False):
     """Padded block count per group (no sort — window histograms).
 
     ``pair_t``/``pair_ypr`` are (n_groups, GROUP, 3); one program sizes every
@@ -223,12 +292,47 @@ def _plan_sizes(xyz, point_mask, pair_t, pair_ypr, *, height, width):
     n_win = _rpad(height, width) // WINDOW
 
     def one(t_g, ypr_g):
-        row, _, _ = _project_group(xyz, point_mask, t_g, ypr_g, height, width)
+        row, _, _ = _project_group(xyz, point_mask, t_g, ypr_g, height, width,
+                                   wrap)
         window = row.reshape(-1) // WINDOW
         counts = jnp.zeros(n_win, jnp.int32).at[window].add(1)
         return jnp.sum((counts + BLOCK - 1) // BLOCK)
 
     return jax.vmap(one)(pair_t, pair_ypr)
+
+
+def plan_required_blocks(
+    xyz, point_mask, trans_grid, rot_grid, height: int, width: int,
+    wrap: bool = False,
+) -> int:
+    """Raw (pre-bucket) max padded block count a plan for these inputs needs.
+
+    Used by the sharded-plan builder to size every point shard's plan to
+    one common ``nb`` (bucket the max of the per-shard values with
+    :func:`nb_bucket`, then pass ``nb=`` to :func:`build_grid_plan`).
+    """
+    pair_t, pair_r = make_pairs(trans_grid, rot_grid)
+    P = pair_t.shape[0]
+    pad = (-P) % GROUP
+    if pad:
+        pair_t = jnp.concatenate(
+            [pair_t, jnp.broadcast_to(pair_t[:1], (pad, 3))]
+        )
+        pair_r = jnp.concatenate(
+            [pair_r, jnp.broadcast_to(pair_r[:1], (pad, 3))]
+        )
+    n_groups = pair_t.shape[0] // GROUP
+    totals = _plan_sizes(
+        xyz, point_mask,
+        pair_t.reshape(n_groups, GROUP, 3), pair_r.reshape(n_groups, GROUP, 3),
+        height=height, width=width, wrap=wrap,
+    )
+    return int(np.max(np.asarray(totals)))
+
+
+def nb_bucket(n: int) -> int:
+    """Public alias of the geometric block-count bucket (shape reuse)."""
+    return _nb_bucket(n)
 
 
 def pack_rgb24(rgb: jnp.ndarray) -> jnp.ndarray:
@@ -242,14 +346,16 @@ def pack_rgb24(rgb: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("height", "width", "nb", "compact", "tp_is_pid")
+    jax.jit,
+    static_argnames=("height", "width", "nb", "compact", "tp_is_pid", "wrap"),
 )
 def _plan_group(xyz, rgb, point_mask, t_g, ypr_g, *, height, width, nb,
-                compact=False, tp_is_pid=False):
+                compact=False, tp_is_pid=False, wrap=False):
     """Sorted, window-padded sample blocks for one candidate group."""
     n_win = _rpad(height, width) // WINDOW
     N = xyz.shape[0]
-    row, wx1, wy1 = _project_group(xyz, point_mask, t_g, ypr_g, height, width)
+    row, wx1, wy1 = _project_group(xyz, point_mask, t_g, ypr_g, height, width,
+                                   wrap)
     cid = jnp.broadcast_to(
         jnp.arange(GROUP, dtype=jnp.float32)[:, None], (GROUP, N)
     )
@@ -325,12 +431,25 @@ def build_grid_plan(
     width: int,
     compact: bool = False,
     tp_is_pid: bool = False,
+    bytes_cap: Optional[int] = None,
+    nb: Optional[int] = None,
+    wrap: bool = False,
 ) -> GridPlan:
     """Build the room-static sorted sample streams (once per room+image size).
 
     Callers should slice grid-shape padding off ``trans_grid`` first (dead
     pairs cost plan memory and kernel time); the consumer masks any pairs
     beyond ``plan.n_pairs`` itself.
+
+    ``bytes_cap``: raise :class:`PlanOverBudget` if the EXACT plan size
+    (known after the sizing pass, before any stream is materialised)
+    exceeds this — the auto policy's pre-build estimate uses a fixed
+    padding factor that data-dependent padding can exceed.
+
+    ``nb``: force the padded block count (must cover this plan's sizing —
+    callers building per-shard plans for the mesh pass the bucketed global
+    maximum so all shards share one static shape; see
+    parallel.fused.shard_grid_plan).
 
     Host driver around two jitted phases: a histogram-only sizing pass whose
     scalar result (max padded block count, bucketed) fixes the static shapes,
@@ -352,24 +471,31 @@ def build_grid_plan(
             pair_r[g * GROUP:(g + 1) * GROUP],
         )
 
-    totals = _plan_sizes(
-        xyz, point_mask,
-        pair_t.reshape(n_groups, GROUP, 3), pair_r.reshape(n_groups, GROUP, 3),
-        height=height, width=width,
-    )
-    nb = _nb_bucket(int(np.max(np.asarray(totals))))
+    if nb is None:
+        totals = _plan_sizes(
+            xyz, point_mask,
+            pair_t.reshape(n_groups, GROUP, 3),
+            pair_r.reshape(n_groups, GROUP, 3),
+            height=height, width=width, wrap=wrap,
+        )
+        nb = _nb_bucket(int(np.max(np.asarray(totals))))
+    if bytes_cap is not None:
+        exact = plan_exact_bytes(n_groups, nb, compact)
+        if exact > bytes_cap:
+            raise PlanOverBudget(exact, bytes_cap)
 
     fields, windows = [], []
     for g in range(n_groups):
         f, w = _plan_group(
             xyz, rgb, point_mask, *group_args(g),
             height=height, width=width, nb=nb,
-            compact=compact, tp_is_pid=tp_is_pid,
+            compact=compact, tp_is_pid=tp_is_pid, wrap=wrap,
         )
         fields.append(f)
         windows.append(w)
     return GridPlan(fields=fields, windows=windows, n_pairs=P,
-                    compact=compact, tp_is_pid=tp_is_pid)
+                    compact=compact, tp_is_pid=tp_is_pid,
+                    height=height, width=width, wrap=wrap)
 
 
 def _score_core(t1, t2, t3, li, x1, y1, tgt, cidf):
@@ -450,9 +576,10 @@ def _kernel_compact(w_ref, t1, t2, t3, f_ref, out_ref):
     out_ref[0] = _score_core(t1, t2, t3, li, f[1:2], f[2:3], tgt, cidf)
 
 
-def _slab_tables(img: jnp.ndarray, height: int, width: int):
+def _slab_tables(img: jnp.ndarray, height: int, width: int,
+                 wrap: bool = False):
     """Packed sampling table, transposed and exactly split into 3 bf16 parts."""
-    blocks = pack_bilinear_blocks(img)                      # (rows, 12)
+    blocks = pack_bilinear_blocks(img, wrap=wrap)           # (rows, 12)
     rp = _rpad(height, width)
     pad = rp - blocks.shape[0]
     if pad:
@@ -463,6 +590,83 @@ def _slab_tables(img: jnp.ndarray, height: int, width: int):
     t2 = r.astype(jnp.bfloat16)
     t3 = (r - t2.astype(jnp.float32)).astype(jnp.bfloat16)
     return t1, t2, t3
+
+
+def _check_refresh(compact: bool, tp_is_pid: bool, rgb) -> None:
+    if compact and tp_is_pid and rgb is None:
+        raise ValueError(
+            "compact plan was built refresh-capable (tp_is_pid=True); "
+            "pass the cloud colors so targets can be baked"
+        )
+    if compact and rgb is not None and not tp_is_pid:
+        raise ValueError(
+            "per-query color refresh needs a compact plan built with "
+            "tp_is_pid=True (this one stores packed targets, not point ids)"
+        )
+
+
+def slab_group_partials(tables, fields, windows, compact: bool,
+                        rgb: Optional[jnp.ndarray] = None,
+                        vma=None):
+    """(loss_sum, valid_count) per pair of ONE candidate group.
+
+    ``tables``: the 3-way bf16 split from :func:`_slab_tables`;
+    ``fields``/``windows``: one group's plan streams ((NB, nf, BLOCK) /
+    (NB,)).  Returning the raw accumulators (instead of the mean) is what
+    lets the sharded path psum partials across point shards before the
+    mean — exactness carries over because the mean's numerator and
+    denominator are both plain sums over samples.
+
+    ``vma``: set of mesh axis names the output varies over — required when
+    calling from inside ``shard_map`` with replication checking on (the
+    pallas_call's out_shape must declare its varying axes).
+    """
+    t1, t2, t3 = tables
+    nf = 4 if compact else 8
+    if rgb is not None:
+        if compact:
+            # one packed gather replaces the three channel gathers
+            pids = fields[:, 3, :].astype(jnp.int32)
+            fields = fields.at[:, 3, :].set(
+                jnp.take(pack_rgb24(rgb), pids, axis=0)
+            )
+        else:
+            pids = fields[:, _F_PID, :].astype(jnp.int32)
+            # channel-at-a-time keeps BLOCK as the trailing (lane) dim —
+            # a (..., 3)-shaped gather would tile-pad 3 -> 128 lanes (42x)
+            tgt = jnp.stack(
+                [jnp.take(rgb[:, c], pids, axis=0) for c in range(3)],
+                axis=1,
+            )  # (NB, 3, BLOCK)
+            fields = fields.at[:, _F_TR:_F_TB + 1, :].set(tgt)
+    nb = fields.shape[0]
+    table_spec = lambda: pl.BlockSpec(
+        (12, WINDOW), lambda b, wr: (0, wr[b]), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[table_spec(), table_spec(), table_spec(),
+                  pl.BlockSpec((1, nf, BLOCK), lambda b, wr: (b, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 8, GROUP), lambda b, wr: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    if vma is None:
+        out_shape = jax.ShapeDtypeStruct((nb, 8, GROUP), jnp.float32)
+    else:
+        out_shape = jax.ShapeDtypeStruct(
+            (nb, 8, GROUP), jnp.float32, vma=frozenset(vma)
+        )
+    out = pl.pallas_call(
+        _kernel_compact if compact else _kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=jax.default_backend() == "cpu",
+    )(windows, t1, t2, t3, fields)
+    tot = jnp.sum(out[:, 0], axis=0)                        # (GROUP,)
+    cnt = jnp.sum(out[:, 1], axis=0)
+    return tot, cnt
 
 
 def slab_pair_scores(
@@ -478,58 +682,18 @@ def slab_pair_scores(
     empty-candidate +inf convention of loss._masked_color_loss.
     """
     H, W, _ = img.shape
-    t1, t2, t3 = _slab_tables(img, H, W)
-    compact = plan.compact
-    if compact and plan.tp_is_pid and rgb is None:
+    if plan.height and (plan.height, plan.width) != (H, W):
         raise ValueError(
-            "compact plan was built refresh-capable (tp_is_pid=True); "
-            "pass the cloud colors so targets can be baked"
+            f"plan was built for a {plan.height}x{plan.width} init image "
+            f"but the query image is {H}x{W} — its table rows index a "
+            "different sampling table (stale plan?)"
         )
-    if compact and rgb is not None and not plan.tp_is_pid:
-        raise ValueError(
-            "per-query color refresh needs a compact plan built with "
-            "tp_is_pid=True (this one stores packed targets, not point ids)"
-        )
-    nf = 4 if compact else 8
+    tables = _slab_tables(img, H, W, wrap=plan.wrap)
+    _check_refresh(plan.compact, plan.tp_is_pid, rgb)
 
     def group_scores(fields, windows):
-        if rgb is not None:
-            if compact:
-                # one packed gather replaces the three channel gathers
-                pids = fields[:, 3, :].astype(jnp.int32)
-                fields = fields.at[:, 3, :].set(
-                    jnp.take(pack_rgb24(rgb), pids, axis=0)
-                )
-            else:
-                pids = fields[:, _F_PID, :].astype(jnp.int32)
-                # channel-at-a-time keeps BLOCK as the trailing (lane) dim —
-                # a (..., 3)-shaped gather would tile-pad 3 -> 128 lanes (42x)
-                tgt = jnp.stack(
-                    [jnp.take(rgb[:, c], pids, axis=0) for c in range(3)],
-                    axis=1,
-                )  # (NB, 3, BLOCK)
-                fields = fields.at[:, _F_TR:_F_TB + 1, :].set(tgt)
-        nb = fields.shape[0]
-        table_spec = lambda: pl.BlockSpec(
-            (12, WINDOW), lambda b, wr: (0, wr[b]), memory_space=pltpu.VMEM
-        )
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(nb,),
-            in_specs=[table_spec(), table_spec(), table_spec(),
-                      pl.BlockSpec((1, nf, BLOCK), lambda b, wr: (b, 0, 0),
-                                   memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((1, 8, GROUP), lambda b, wr: (b, 0, 0),
-                                   memory_space=pltpu.VMEM),
-        )
-        out = pl.pallas_call(
-            _kernel_compact if compact else _kernel,
-            grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((nb, 8, GROUP), jnp.float32),
-            interpret=jax.default_backend() == "cpu",
-        )(windows, t1, t2, t3, fields)
-        tot = jnp.sum(out[:, 0], axis=0)                    # (GROUP,)
-        cnt = jnp.sum(out[:, 1], axis=0)
+        tot, cnt = slab_group_partials(tables, fields, windows,
+                                       plan.compact, rgb)
         mean = tot / jnp.maximum(cnt, 1.0)
         return jnp.where(cnt > 0, mean, jnp.inf)
 

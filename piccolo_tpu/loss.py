@@ -72,6 +72,7 @@ def sampling_loss(
     rgb: jnp.ndarray,
     img: jnp.ndarray,
     point_mask: Optional[jnp.ndarray] = None,
+    wrap: bool = False,
 ) -> jnp.ndarray:
     """Scalar sampling loss for a single pose.
 
@@ -81,13 +82,15 @@ def sampling_loss(
       rgb:  (N, 3) point colours in [0, 1].
       img:  (H, W, 3) query panorama in [0, 1].
       point_mask: optional (N,) bool validity mask for padded clouds.
+      wrap: sample across the equirect seam at phi=+-pi instead of the
+        reference's clip (ops.sampling.bilinear_sample; off for parity).
 
     Returns:
       scalar loss (mean masked per-point colour L2 distance).
     """
     cam = transform_cloud(pose, xyz)
     coords = spherical_project(cam)
-    sampled = bilinear_sample(img, coords)
+    sampled = bilinear_sample(img, coords, wrap=wrap)
     return _masked_color_loss(sampled, rgb, point_mask)
 
 
@@ -99,17 +102,19 @@ def sampling_loss_packed(
     height: int,
     width: int,
     point_mask: Optional[jnp.ndarray] = None,
+    wrap: bool = False,
 ) -> jnp.ndarray:
     """sampling_loss on a packed-neighbourhood image table.
 
     Bit-identical to :func:`sampling_loss` on the image that produced
     ``blocks`` (ops.sampling.pack_bilinear_blocks) with one gather per point
     instead of four — the preferred form inside iteration loops where the
-    image is constant.
+    image is constant.  ``wrap`` pairs with a wrap-built table
+    (pack_bilinear_blocks(img, wrap=True)).
     """
     cam = transform_cloud(pose, xyz)
     coords = spherical_project(cam)
-    sampled = bilinear_sample_packed(blocks, height, width, coords)
+    sampled = bilinear_sample_packed(blocks, height, width, coords, wrap=wrap)
     return _masked_color_loss(sampled, rgb, point_mask)
 
 

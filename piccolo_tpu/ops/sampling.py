@@ -28,13 +28,43 @@ __all__ = [
     "bilinear_sample_packed",
     "packed_rows_and_weights",
     "cast_packed_table",
+    "resolve_descent_table",
+    "AUTO_BF16_TABLE_BYTES",
 ]
+
+# ``descent_table = auto`` switches the descent's packed sampling table to
+# bf16 texels once the f32 table would exceed this footprint.  The measured
+# gather-rate curve (docs/PERFORMANCE.md "gather rate vs table size") is
+# row-count-bound below ~25 MB — where bf16 is a small pessimization (extra
+# upcast work, no rate win: 0.53 vs 0.32 s/pano at Stanford scale) — and
+# footprint-bound by 100 MB, where halving texel bytes recovers most of the
+# lost rate (OmniScenes 1.18 -> 0.53 s/pano at BETTER median error).  64 MB
+# sits between the two measured regimes.
+AUTO_BF16_TABLE_BYTES = 64 * 10**6
+
+
+def resolve_descent_table(dtype_str: str, height: int, width: int) -> str:
+    """Resolve the ``auto`` descent-table policy for a (height, width) image.
+
+    ``auto`` -> ``bfloat16`` when the packed f32 sampling table exceeds
+    :data:`AUTO_BF16_TABLE_BYTES` (the footprint-bound gather regime, e.g.
+    2048x1024 OmniScenes panoramas), ``float32`` otherwise (small-table
+    regime; also the trajectory-exact parity mode vs the torch reference).
+    Accuracy at the flip point is gated by the multi-room eval — bf16
+    matched or beat f32 under both success criteria (docs/PERFORMANCE.md,
+    docs/ROUND3.md).  Explicit dtypes pass through unchanged.
+    """
+    if dtype_str != "auto":
+        return dtype_str
+    rows = (height + 1) * (width + 1)
+    return "bfloat16" if rows * 48 > AUTO_BF16_TABLE_BYTES else "float32"
 
 
 def bilinear_sample(
     img: jnp.ndarray,
     coords: jnp.ndarray,
     clip: bool = True,
+    wrap: bool = False,
 ) -> jnp.ndarray:
     """Sample ``img`` at normalised ``coords``.
 
@@ -43,16 +73,29 @@ def bilinear_sample(
       coords: (..., 2) sampling locations, (x, y) in [-1, 1].
       clip:   clip coords to +-0.99 first (reference behaviour at
               ``utils.py:85,97``). Disable for plain grid_sample semantics.
+      wrap:   wrap the x (longitude) axis across the equirect seam at
+              phi=+-pi instead of clipping it — the left neighbour of
+              column 0 is column W-1 and vice versa.  The reference CLIPS
+              (SURVEY §7(e)); off by default for parity.  y (latitude)
+              keeps the clip + zeros border either way (the poles are real
+              image edges).
 
     Returns:
       (..., C) sampled values; zero where all four corners fall outside.
     """
     H, W, C = img.shape
-    if clip:
-        coords = jnp.clip(coords, -0.99, 0.99)
+    if wrap:
+        # wrap x into [-1, 1) BEFORE the pixel transform; keep y clipped
+        x_n = jnp.mod(coords[..., 0] + 1.0, 2.0) - 1.0
+        y_n = jnp.clip(coords[..., 1], -0.99, 0.99) if clip else coords[..., 1]
+    elif clip:
+        c = jnp.clip(coords, -0.99, 0.99)
+        x_n, y_n = c[..., 0], c[..., 1]
+    else:
+        x_n, y_n = coords[..., 0], coords[..., 1]
 
-    x = ((coords[..., 0] + 1.0) * W - 1.0) / 2.0
-    y = ((coords[..., 1] + 1.0) * H - 1.0) / 2.0
+    x = ((x_n + 1.0) * W - 1.0) / 2.0
+    y = ((y_n + 1.0) * H - 1.0) / 2.0
 
     x0f = jnp.floor(x)
     y0f = jnp.floor(y)
@@ -69,8 +112,12 @@ def bilinear_sample(
     flat = img.reshape(H * W, C)
 
     def tap(ix, iy, w):
-        valid = (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
-        ixc = jnp.clip(ix, 0, W - 1)
+        if wrap:
+            valid = (iy >= 0) & (iy < H)  # x always lands in-image
+            ixc = jnp.mod(ix, W)
+        else:
+            valid = (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
+            ixc = jnp.clip(ix, 0, W - 1)
         iyc = jnp.clip(iy, 0, H - 1)
         vals = jnp.take(flat, iyc * W + ixc, axis=0)
         return vals * (w * valid)[..., None]
@@ -84,7 +131,7 @@ def bilinear_sample(
     return out
 
 
-def pack_bilinear_blocks(img: jnp.ndarray) -> jnp.ndarray:
+def pack_bilinear_blocks(img: jnp.ndarray, wrap: bool = False) -> jnp.ndarray:
     """Precompute the 2x2 texel neighbourhoods for one-gather sampling.
 
     TPU gathers are op-bound, not byte-bound: four row gathers per sample
@@ -94,6 +141,12 @@ def pack_bilinear_blocks(img: jnp.ndarray) -> jnp.ndarray:
     gather per sample while reproducing grid_sample's zeros padding exactly
     (out-of-image taps read the zero border).
 
+    ``wrap=True`` builds the SEAM-WRAPPED table: the x padding columns
+    carry the opposite edge's texels (left neighbour of column 0 is column
+    W-1 and vice versa) so wrap-mode sampling needs no index changes — the
+    same one-gather row layout serves both modes.  y padding stays zero
+    (poles clip either way).
+
     Args:
       img: (H, W, 3) image.
     Returns:
@@ -102,7 +155,11 @@ def pack_bilinear_blocks(img: jnp.ndarray) -> jnp.ndarray:
       with y0 in [-1, H-1], x0 in [-1, W-1].
     """
     H, W, C = img.shape
-    P = jnp.pad(img, ((1, 1), (1, 1), (0, 0)))
+    if wrap:
+        Pr = jnp.pad(img, ((1, 1), (0, 0), (0, 0)))  # zero rows (poles)
+        P = jnp.concatenate([Pr[:, -1:], Pr, Pr[:, :1]], axis=1)
+    else:
+        P = jnp.pad(img, ((1, 1), (1, 1), (0, 0)))
     blocks = jnp.concatenate(
         [P[:-1, :-1], P[:-1, 1:], P[1:, :-1], P[1:, 1:]], axis=-1
     )  # (H+1, W+1, 4C)
@@ -136,6 +193,7 @@ def packed_rows_and_weights(
     height: int,
     width: int,
     clip: bool = True,
+    wrap: bool = False,
 ):
     """Packed-table row index and bilinear fractions for ``coords``.
 
@@ -144,17 +202,27 @@ def packed_rows_and_weights(
     (kernels/slab_sampling.py) — both must floor to the same texel and lerp
     with the same fractions to stay bit-compatible.
 
+    ``wrap=True`` pairs with a ``pack_bilinear_blocks(img, wrap=True)``
+    table: x wraps into [-1, 1) instead of clipping (the wrapped table's x
+    padding columns carry the opposite edge), y keeps the clip.
+
     Returns ``(row, wx1, wy1)``: int32 row into pack_bilinear_blocks' table
     and the x/y fractions of the (x1, y1) taps.
     """
     H, W = height, width
-    if clip:
-        coords = jnp.clip(coords, -0.99, 0.99)
-    x = ((coords[..., 0] + 1.0) * W - 1.0) / 2.0
-    y = ((coords[..., 1] + 1.0) * H - 1.0) / 2.0
+    if wrap:
+        x_n = jnp.mod(coords[..., 0] + 1.0, 2.0) - 1.0
+        y_n = jnp.clip(coords[..., 1], -0.99, 0.99) if clip else coords[..., 1]
+    elif clip:
+        c = jnp.clip(coords, -0.99, 0.99)
+        x_n, y_n = c[..., 0], c[..., 1]
+    else:
+        x_n, y_n = coords[..., 0], coords[..., 1]
+    x = ((x_n + 1.0) * W - 1.0) / 2.0
+    y = ((y_n + 1.0) * H - 1.0) / 2.0
     x0f = jnp.floor(x)
     y0f = jnp.floor(y)
-    # clipped coords guarantee x0 in [-1, W-1], y0 in [-1, H-1]
+    # clipped/wrapped coords guarantee x0 in [-1, W-1], y0 in [-1, H-1]
     row = (y0f.astype(jnp.int32) + 1) * (W + 1) + (x0f.astype(jnp.int32) + 1)
     return row, x - x0f, y - y0f
 
@@ -165,13 +233,15 @@ def bilinear_sample_packed(
     width: int,
     coords: jnp.ndarray,
     clip: bool = True,
+    wrap: bool = False,
 ) -> jnp.ndarray:
     """Sample with one gather per point from a packed-neighbourhood table.
 
     Exactly equivalent to :func:`bilinear_sample` on the image that produced
     ``blocks`` (verified in tests/test_sampling.py), ~4x fewer gather ops.
+    ``wrap`` requires ``blocks`` from ``pack_bilinear_blocks(img, wrap=True)``.
     """
-    row, wx1, wy1 = packed_rows_and_weights(coords, height, width, clip)
+    row, wx1, wy1 = packed_rows_and_weights(coords, height, width, clip, wrap)
     wx0 = 1.0 - wx1
     wy0 = 1.0 - wy1
 

@@ -1,6 +1,11 @@
 """Multi-chip sharding: candidate x point SPMD over a device mesh."""
 
-from .fused import localize_query_sharded
+from .fused import (
+    ShardedGridPlan,
+    localize_query_sharded,
+    shard_cloud,
+    shard_grid_plan,
+)
 from .sharding import init_distributed, make_mesh, solve_sharded
 
 __all__ = [
@@ -8,4 +13,7 @@ __all__ = [
     "solve_sharded",
     "localize_query_sharded",
     "init_distributed",
+    "shard_cloud",
+    "shard_grid_plan",
+    "ShardedGridPlan",
 ]

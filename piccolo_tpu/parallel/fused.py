@@ -38,7 +38,169 @@ from ..ops.sampling import pack_bilinear_blocks
 from ..pipeline import LocalizeResult
 from .sharding import _point_sharded_loss, descent_local, shard_map
 
-__all__ = ["localize_query_sharded", "shard_cloud"]
+__all__ = [
+    "localize_query_sharded",
+    "shard_cloud",
+    "ShardedGridPlan",
+    "shard_grid_plan",
+]
+
+
+class ShardedGridPlan:
+    """Per-point-shard sorted-slab plans laid out for the mesh.
+
+    The slab kernel composes with the ('cand', 'point') mesh because
+    stage-1 samples factor over points: each point shard gets its OWN plan
+    (sorted streams over its local cloud slice, same candidate pairs), the
+    kernel runs per shard inside shard_map, and one psum of the
+    (loss_sum, valid_count) accumulators reconstructs the exact global
+    scores — the mean's numerator and denominator are plain sums over
+    samples, so exactness carries over (scores differ from the
+    single-device plan only in f32 summation order, like every other
+    point-sharded reduction here).  Candidate GROUPS are additionally
+    split contiguously along 'cand'.
+
+    fields:  (n_point, n_cand, Gc, NB, nf, BLOCK) f32, sharded
+             P('point', 'cand', ...); windows: (n_point, n_cand, Gc, NB)
+             int32.  Aux mirrors kernels.slab_sampling.GridPlan.
+    """
+
+    def __init__(self, fields, windows, n_pairs: int, compact: bool,
+                 tp_is_pid: bool, height: int, width: int,
+                 wrap: bool = False):
+        self.fields = fields
+        self.windows = windows
+        self.n_pairs = int(n_pairs)
+        self.compact = bool(compact)
+        self.tp_is_pid = bool(tp_is_pid)
+        self.height = int(height)
+        self.width = int(width)
+        self.wrap = bool(wrap)
+
+    def tree_flatten(self):
+        return (
+            (self.fields, self.windows),
+            (self.n_pairs, self.compact, self.tp_is_pid,
+             self.height, self.width, self.wrap),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @property
+    def nbytes(self) -> int:
+        return self.fields.nbytes + self.windows.nbytes
+
+
+jax.tree_util.register_pytree_node(
+    ShardedGridPlan, ShardedGridPlan.tree_flatten,
+    ShardedGridPlan.tree_unflatten,
+)
+
+
+def shard_grid_plan(
+    mesh: Mesh,
+    xyz,
+    rgb,
+    point_mask,
+    trans_grid,
+    rot_grid,
+    height: int,
+    width: int,
+    compact: bool = False,
+    tp_is_pid: bool = False,
+    wrap: bool = False,
+) -> ShardedGridPlan:
+    """Build per-point-shard slab plans for :func:`localize_query_sharded`.
+
+    ``xyz``/``rgb``/``point_mask`` are the FULL (host or device) cloud —
+    the same split as :func:`shard_cloud` (pad to the 'point' axis, then
+    contiguous slices) keys each shard's plan to the points that shard
+    owns, so the kernel's local pids index the local rgb slice directly
+    (sharpen refresh works per shard).  Candidate groups pad to a multiple
+    of the 'cand' axis with empty (sentinel) groups whose pairs score +inf
+    and are sliced off by ``n_pairs`` masking.
+
+    Slice grid-shape padding off ``trans_grid`` before calling (same
+    contract as build_grid_plan).
+    """
+    from ..kernels.slab_sampling import (
+        BLOCK,
+        build_grid_plan,
+        nb_bucket,
+        plan_required_blocks,
+    )
+
+    n_point = mesh.shape["point"]
+    n_cand = mesh.shape["cand"]
+    xyz = np.asarray(xyz, np.float32)
+    rgb = np.asarray(rgb, np.float32)
+    n = xyz.shape[0]
+    if point_mask is None:
+        point_mask = np.ones(n, bool)
+    else:
+        point_mask = np.asarray(point_mask, bool)
+    pad = (-n) % n_point
+    if pad:
+        xyz = np.concatenate([xyz, np.zeros((pad, 3), np.float32)])
+        rgb = np.concatenate([rgb, np.zeros((pad, 3), np.float32)])
+        point_mask = np.concatenate([point_mask, np.zeros(pad, bool)])
+    per = xyz.shape[0] // n_point
+
+    def shard_args(s):
+        sl = slice(s * per, (s + 1) * per)
+        return (
+            jnp.asarray(xyz[sl]), jnp.asarray(rgb[sl]),
+            jnp.asarray(point_mask[sl]),
+        )
+
+    # one common static block count across shards (max requirement, bucketed)
+    def required(s):
+        xyz_s, _, mask_s = shard_args(s)
+        return plan_required_blocks(
+            xyz_s, mask_s, trans_grid, rot_grid, height, width, wrap=wrap
+        )
+
+    nb = nb_bucket(max(required(s) for s in range(n_point)))
+
+    fields_all, windows_all = [], []
+    n_pairs = None
+    for s in range(n_point):
+        plan = build_grid_plan(
+            *shard_args(s), trans_grid, rot_grid, height, width,
+            compact=compact, tp_is_pid=tp_is_pid, nb=nb, wrap=wrap,
+        )
+        n_pairs = plan.n_pairs
+        f = np.stack([np.asarray(x) for x in plan.fields])  # (G, NB, nf, B)
+        w = np.stack([np.asarray(x) for x in plan.windows])  # (G, NB)
+        gpad = (-f.shape[0]) % n_cand
+        if gpad:
+            # empty groups: sentinel payloads contribute nothing
+            empty = np.broadcast_to(
+                np.array([-1, 0, 0, 0] if compact
+                         else [-1, 0, 0, 0, 0, 0, -1, 0], np.float32)[:, None],
+                (f.shape[2], BLOCK),
+            )
+            f = np.concatenate(
+                [f, np.broadcast_to(empty, (gpad,) + f.shape[1:])]
+            )
+            w = np.concatenate([w, np.zeros((gpad,) + w.shape[1:], w.dtype)])
+        fields_all.append(f.reshape(n_cand, f.shape[0] // n_cand, *f.shape[1:]))
+        windows_all.append(w.reshape(n_cand, w.shape[0] // n_cand, *w.shape[1:]))
+
+    dev = lambda spec: NamedSharding(mesh, spec)
+    fields = jax.device_put(
+        np.stack(fields_all),
+        dev(P("point", "cand", None, None, None, None)),
+    )
+    windows = jax.device_put(
+        np.stack(windows_all), dev(P("point", "cand", None, None))
+    )
+    return ShardedGridPlan(
+        fields=fields, windows=windows, n_pairs=n_pairs, compact=compact,
+        tp_is_pid=tp_is_pid, height=height, width=width, wrap=wrap,
+    )
 
 
 def shard_cloud(mesh: Mesh, xyz, rgb, point_mask=None):
@@ -93,15 +255,15 @@ def _pad_clone_rows(a: jnp.ndarray, multiple: int) -> jnp.ndarray:
     static_argnames=(
         "mesh", "num_intermediate", "num_input", "num_split_h", "num_split_w",
         "num_iter", "lr", "patience", "factor", "grid_chunk", "hist_chunk",
-        "descent_table",
+        "descent_table", "plan_refresh_rgb", "seam_wrap",
     ),
 )
 def _localize_query_sharded_jit(
     img_init, img_main, xyz, rgb, trans_grid, rot_grid, trans_valid,
-    lo, hi, point_mask,
+    lo, hi, point_mask, plan=None,
     *, mesh, num_intermediate, num_input, num_split_h, num_split_w,
     num_iter, lr, patience, factor, grid_chunk, hist_chunk,
-    descent_table="float32",
+    descent_table="auto", plan_refresh_rgb=False, seam_wrap=False,
 ):
     n_cand = mesh.shape["cand"]
     cloud_specs = (P(), P("point", None), P("point", None), P("point"))
@@ -121,11 +283,12 @@ def _localize_query_sharded_jit(
 
     def stage1(img, xyz_l, rgb_l, pm_l, pt_l, pr_l, pv_l):
         H, W, _ = img.shape
-        blocks = pack_bilinear_blocks(img)
+        blocks = pack_bilinear_blocks(img, wrap=seam_wrap)
 
         def one(t, ypr, valid):
             pose = Pose(t=t, yaw=ypr[0], pitch=ypr[1], roll=ypr[2])
-            s = _point_sharded_loss(pose, xyz_l, rgb_l, blocks, H, W, pm_l)
+            s = _point_sharded_loss(pose, xyz_l, rgb_l, blocks, H, W, pm_l,
+                                    seam_wrap)
             return jnp.where(valid, s, jnp.inf)
 
         k = pt_l.shape[0]
@@ -137,12 +300,84 @@ def _localize_query_sharded_jit(
         )
         return s.reshape(-1)
 
-    scores = shard_map(
-        stage1,
-        mesh=mesh,
-        in_specs=cloud_specs + (P("cand", None), P("cand", None), P("cand")),
-        out_specs=P("cand"),
-    )(img_init, xyz, rgb, point_mask, pair_t, pair_r, pair_valid)
+    def stage1_slab(img, rgb_l, fields_l, windows_l):
+        # the mesh composition of the sorted-slab MXU kernel: each device
+        # runs the kernel over its own (point-shard, cand-group-slice)
+        # streams; ONE psum of the (loss_sum, count) accumulators over
+        # 'point' reconstructs the exact global scores (the mean's
+        # numerator/denominator are plain sums over samples)
+        from ..kernels.slab_sampling import _slab_tables, slab_group_partials
+
+        H, W, _ = img.shape
+        tables = _slab_tables(img, H, W, wrap=plan.wrap)
+        fl = fields_l[0, 0]                    # (Gc, NB, nf, BLOCK)
+        wl = windows_l[0, 0]
+        ref = rgb_l if plan_refresh_rgb else None
+        parts = [
+            slab_group_partials(tables, fl[g], wl[g], plan.compact, ref)
+            for g in range(fl.shape[0])
+        ]
+        tot = jax.lax.psum(
+            jnp.concatenate([p[0] for p in parts]), "point"
+        )
+        cnt = jax.lax.psum(
+            jnp.concatenate([p[1] for p in parts]), "point"
+        )
+        mean = tot / jnp.maximum(cnt, 1.0)
+        return jnp.where(cnt > 0, mean, jnp.inf)
+
+    if plan is not None:
+        if plan.wrap != seam_wrap:
+            raise ValueError(
+                f"sharded plan was built with wrap={plan.wrap} but "
+                f"seam_wrap={seam_wrap}"
+            )
+        if plan.height and (plan.height, plan.width) != img_init.shape[:2]:
+            raise ValueError(
+                f"sharded plan was built for a {plan.height}x{plan.width} "
+                f"init image but the query image is {img_init.shape[:2]}"
+            )
+        if plan.n_pairs > T * R or plan.n_pairs % R:
+            raise ValueError(
+                f"sharded plan covers {plan.n_pairs} pairs but the grids "
+                f"imply {T}x{R}={T * R} (stale plan?)"
+            )
+        # check_vma=False is scoped to THIS shard_map only: pallas_call's
+        # internal machinery cannot yet propagate varying-axis metadata
+        # through its index bookkeeping (JAX raises "Primitive
+        # dynamic_slice requires varying manual axes to match ... pass
+        # check_vma=False as a temporary workaround").  The replication
+        # audit here is trivial by hand — two psums over 'point', no scan
+        # carries, and no gradients flow through stage-1 scores (they feed
+        # top_k only) — while the descent (where a disabled check could
+        # silently double-count psum gradients) keeps checking ON.
+        s_slab = shard_map(
+            stage1_slab,
+            mesh=mesh,
+            in_specs=(
+                P(), P("point", None),
+                P("point", "cand", None, None, None, None),
+                P("point", "cand", None, None),
+            ),
+            out_specs=P("cand"),
+            check_vma=False,
+        )(img_init, rgb, plan.fields, plan.windows)
+        s_all = s_slab[: min(plan.n_pairs, T * R)]
+        pad_n = pair_t.shape[0] - s_all.shape[0]
+        if pad_n:
+            s_all = jnp.concatenate(
+                [s_all, jnp.full(pad_n, jnp.inf, s_all.dtype)]
+            )
+        scores = jnp.where(pair_valid, s_all, jnp.inf)
+    else:
+        scores = shard_map(
+            stage1,
+            mesh=mesh,
+            in_specs=cloud_specs + (
+                P("cand", None), P("cand", None), P("cand")
+            ),
+            out_specs=P("cand"),
+        )(img_init, xyz, rgb, point_mask, pair_t, pair_r, pair_valid)
 
     k1 = min(num_intermediate, T * R)
     neg_top, idx1 = jax.lax.top_k(-scores, k1)
@@ -182,7 +417,7 @@ def _localize_query_sharded_jit(
         functools.partial(
             descent_local,
             num_iter=num_iter, lr=lr, patience=patience, factor=factor,
-            table_dtype=descent_table,
+            table_dtype=descent_table, wrap=seam_wrap,
         ),
         mesh=mesh,
         in_specs=cloud_specs + (P("cand", None), P("cand", None), P(), P()),
@@ -219,10 +454,13 @@ def localize_query_sharded(
     num_iter: int = 100,
     lr: float = 0.1,
     patience: int = 5,
-    factor: float = 0.8,
+    factor: float = 0.9,
     grid_chunk: int = 16,
     hist_chunk: int = 4,
-    descent_table: str = "float32",
+    descent_table: str = "auto",
+    plan: "Optional[ShardedGridPlan]" = None,
+    plan_refresh_rgb: bool = False,
+    seam_wrap: bool = False,
 ) -> LocalizeResult:
     """Localize one panorama end-to-end over a ('cand', 'point') device mesh.
 
@@ -230,7 +468,19 @@ def localize_query_sharded(
     static shapes by the caller; returns the same LocalizeResult), with the
     cloud padded here to a 'point'-axis multiple (mask=False padding) and all
     three stages executed SPMD across the mesh.
+
+    ``plan`` (:func:`shard_grid_plan`, room-static) routes stage 1 through
+    the sorted-slab MXU kernel per shard instead of the XLA gather — the
+    psum-combined accumulators reproduce the single-device slab scores up
+    to f32 summation order (guarded in tests/test_parallel.py).  Set
+    ``plan_refresh_rgb=True`` when ``rgb`` differs from the colors the
+    plan was built with (sharpen_color rebinds).
     """
+    if plan is not None:
+        from ..kernels.slab_sampling import _check_refresh
+
+        _check_refresh(plan.compact, plan.tp_is_pid,
+                       rgb if plan_refresh_rgb else None)
     dev = lambda spec: NamedSharding(mesh, spec)
     if (
         _arr_sharded(mesh, xyz, P("point", None))
@@ -260,10 +510,11 @@ def localize_query_sharded(
 
     return _localize_query_sharded_jit(
         img_init, img_main, xyz, rgb, trans_grid, rot_grid, trans_valid,
-        lo, hi, point_mask,
+        lo, hi, point_mask, plan,
         mesh=mesh, num_intermediate=num_intermediate, num_input=num_input,
         num_split_h=num_split_h, num_split_w=num_split_w, num_iter=num_iter,
         lr=lr, patience=patience, factor=factor,
         grid_chunk=grid_chunk, hist_chunk=hist_chunk,
-        descent_table=descent_table,
+        descent_table=descent_table, plan_refresh_rgb=plan_refresh_rgb,
+        seam_wrap=seam_wrap,
     )

@@ -24,6 +24,8 @@ collectives at all: shard query files across hosts and concatenate CSVs.
 from __future__ import annotations
 
 import functools
+import os
+import sys
 from typing import Optional, Tuple
 
 import jax
@@ -37,6 +39,7 @@ from ..ops.sampling import (
     bilinear_sample_packed,
     cast_packed_table,
     pack_bilinear_blocks,
+    resolve_descent_table,
 )
 from ..optim import adam_plateau_step, init_adam_plateau
 from ..solver import SolveResult
@@ -57,10 +60,23 @@ __all__ = [
 ]
 
 
+# Environment variables whose presence means "this process was launched as
+# part of a cluster" — auto-init failing under any of these is a
+# misconfiguration, not a benign single-process run.
+_CLUSTER_ENV_VARS = (
+    "JAX_COORDINATOR_ADDRESS",
+    "COORDINATOR_ADDRESS",
+    "MEGASCALE_COORDINATOR_ADDRESS",
+    "TPU_WORKER_HOSTNAMES",
+    "SLURM_STEP_NODELIST",
+)
+
+
 def init_distributed(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
+    strict: bool = False,
 ) -> int:
     """Initialise multi-host JAX (one process per host, ICI+DCN mesh).
 
@@ -70,19 +86,60 @@ def init_distributed(
     pod, ``make_mesh()`` builds the global mesh, and scene-level sweeps use
     ``query_shards=jax.process_count(), query_shard_index=jax.process_index()``.
 
+    Three argument paths:
+      * explicit: all of ``coordinator_address``/``num_processes``/
+        ``process_id`` — initialization errors propagate;
+      * ``num_processes=1`` (no coordinator): explicit single-process no-op;
+      * none: auto-detect.  If auto-init FAILS while cluster launch env vars
+        are present (coordinator address, SLURM/TPU-pod markers), that is a
+        misconfigured pod — the process would silently run 1/Nth of a
+        sharded sweep — so a loud warning is printed (or, with
+        ``strict=True``, the error re-raised).
+
     Returns the process index.
     """
-    if num_processes is not None and num_processes > 1 or coordinator_address:
+    explicit = (coordinator_address is not None, process_id is not None)
+    if any(explicit) and not (
+        all(explicit) and num_processes is not None
+    ):
+        raise ValueError(
+            "pass coordinator_address, num_processes and process_id "
+            "together (explicit cluster), num_processes=1 alone "
+            "(single process), or nothing (auto-detect)"
+        )
+    if coordinator_address is not None:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    elif coordinator_address is None and num_processes is None:
+    elif num_processes is None:
         try:
             jax.distributed.initialize()
-        except Exception:
-            pass  # single-process environment: nothing to initialise
+        except Exception as exc:
+            present = [v for v in _CLUSTER_ENV_VARS if os.environ.get(v)]
+            if present:
+                if strict:
+                    raise
+                import warnings
+
+                msg = (
+                    "jax.distributed.initialize() auto-detection FAILED "
+                    f"({type(exc).__name__}: {exc}) although cluster launch "
+                    f"environment variables are set ({', '.join(present)}). "
+                    "Continuing SINGLE-PROCESS: a sharded sweep on this "
+                    "config would silently run 1/Nth of its queries per "
+                    "host. Pass explicit coordinator_address/num_processes/"
+                    "process_id, or strict=True to raise."
+                )
+                warnings.warn(msg, RuntimeWarning, stacklevel=2)
+                print(f"WARNING: {msg}", file=sys.stderr, flush=True)
+            # else: plain single-process environment — nothing to initialise
+    elif num_processes != 1:
+        raise ValueError(
+            f"num_processes={num_processes} needs coordinator_address and "
+            "process_id (explicit cluster path)"
+        )
     return jax.process_index()
 
 
@@ -110,7 +167,8 @@ def make_mesh(
     return Mesh(devices.reshape(n_cand, n_point), axis_names=("cand", "point"))
 
 
-def _point_sharded_loss(pose: Pose, xyz, rgb, blocks, height, width, point_mask):
+def _point_sharded_loss(pose: Pose, xyz, rgb, blocks, height, width,
+                        point_mask, wrap=False):
     """Sampling loss with the point dimension sharded along 'point'.
 
     Local partial (sum, count) + one psum reconstruct the exact global mean
@@ -119,7 +177,7 @@ def _point_sharded_loss(pose: Pose, xyz, rgb, blocks, height, width, point_mask)
     R = pose_rotation(pose)
     cam = jnp.einsum("nj,kj->nk", xyz - pose.t, R, precision="highest")
     coords = spherical_project(cam)
-    sampled = bilinear_sample_packed(blocks, height, width, coords)
+    sampled = bilinear_sample_packed(blocks, height, width, coords, wrap=wrap)
     valid = jnp.sum(sampled == 0.0, axis=-1) != 3
     if point_mask is not None:
         valid = valid & point_mask
@@ -132,7 +190,7 @@ def _point_sharded_loss(pose: Pose, xyz, rgb, blocks, height, width, point_mask)
 
 def descent_local(
     img_l, xyz_l, rgb_l, mask_l, t0_l, ypr0_l, lo_l, hi_l,
-    *, num_iter, lr, patience, factor, table_dtype="float32",
+    *, num_iter, lr, patience, factor, table_dtype="auto", wrap=False,
 ):
     """Per-shard multi-start descent body (runs INSIDE shard_map).
 
@@ -143,7 +201,11 @@ def descent_local(
     (parallel/fused.py).
     """
     H, W, _ = img_l.shape
-    blocks_l = cast_packed_table(pack_bilinear_blocks(img_l), table_dtype)
+    # the image is replicated across the mesh, so every shard resolves
+    # "auto" to the same dtype (the table is per-shard but identical)
+    table_dtype = resolve_descent_table(table_dtype, H, W)
+    blocks_l = cast_packed_table(pack_bilinear_blocks(img_l, wrap=wrap),
+                                 table_dtype)
 
     def one(t0, y0):
         params = Pose(t=t0, yaw=y0[0], pitch=y0[1], roll=y0[2])
@@ -158,7 +220,7 @@ def descent_local(
         )
         vg = jax.value_and_grad(
             lambda p: _point_sharded_loss(
-                p, xyz_l, rgb_l, blocks_l, H, W, mask_l
+                p, xyz_l, rgb_l, blocks_l, H, W, mask_l, wrap
             )
         )
 
@@ -188,7 +250,7 @@ def descent_local(
 )
 def _solve_sharded_jit(
     img, xyz, rgb, trans0, ypr0, lo, hi, point_mask,
-    *, mesh, num_iter, lr, patience, factor, table_dtype="float32",
+    *, mesh, num_iter, lr, patience, factor, table_dtype="auto",
 ):
     t, ypr, losses, lrs = shard_map(
         functools.partial(
@@ -239,7 +301,7 @@ def solve_sharded(
     lr: float = 0.1,
     patience: int = 5,
     factor: float = 0.9,
-    table_dtype: str = "float32",
+    table_dtype: str = "auto",
 ):
     """Multi-chip multi-start descent; same contract as solver.solve.
 

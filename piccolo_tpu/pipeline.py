@@ -32,7 +32,11 @@ from .init.refine import hist_scores_core
 from .kernels.slab_sampling import GridPlan, make_pairs, slab_pair_scores
 from .loss import Pose, sampling_loss_packed
 from .ops.rotation import rot_from_ypr
-from .ops.sampling import cast_packed_table, pack_bilinear_blocks
+from .ops.sampling import (
+    cast_packed_table,
+    pack_bilinear_blocks,
+    resolve_descent_table,
+)
 from .optim import adam_plateau_step, init_adam_plateau
 
 __all__ = ["LocalizeResult", "localize_query", "localize_query_batch"]
@@ -50,14 +54,16 @@ class LocalizeResult(NamedTuple):
     winner: jnp.ndarray  # () int32 index into the candidates
 
 
-def _grid_scores(img, xyz, rgb, pair_t, pair_ypr, pair_valid, point_mask, chunk):
+def _grid_scores(img, xyz, rgb, pair_t, pair_ypr, pair_valid, point_mask,
+                 chunk, wrap=False):
     """Loss table over flattened (trans, rot) pairs; invalid pairs -> +inf."""
     H, W, _ = img.shape
-    blocks = pack_bilinear_blocks(img)
+    blocks = pack_bilinear_blocks(img, wrap=wrap)
 
     def one(t, ypr, valid):
         pose = Pose(t=t, yaw=ypr[0], pitch=ypr[1], roll=ypr[2])
-        s = sampling_loss_packed(pose, xyz, rgb, blocks, H, W, point_mask)
+        s = sampling_loss_packed(pose, xyz, rgb, blocks, H, W, point_mask,
+                                 wrap=wrap)
         return jnp.where(valid, s, jnp.inf)
 
     k = pair_t.shape[0]
@@ -71,20 +77,23 @@ def _grid_scores(img, xyz, rgb, pair_t, pair_ypr, pair_valid, point_mask, chunk)
 
 
 def _descend(img, xyz, rgb, t0s, ypr0s, lo, hi, point_mask,
-             num_iter, lr, patience, factor, table_dtype=jnp.float32):
+             num_iter, lr, patience, factor, table_dtype=jnp.float32,
+             wrap=False):
     H, W, _ = img.shape
     # bf16/u8 tables shrink the descent's gather table 2x/4x (the dominant
     # query cost at large panoramas — docs/PERFORMANCE.md "gather rate vs
     # table size"); lerp/loss stay f32 (ops.sampling.cast_packed_table).
     # Opt-in: the default f32 path is trajectory-exact vs the torch
     # reference.
-    blocks = cast_packed_table(pack_bilinear_blocks(img), table_dtype)
+    blocks = cast_packed_table(pack_bilinear_blocks(img, wrap=wrap),
+                               table_dtype)
 
     def one(t0, y0):
         params = Pose(t=t0, yaw=y0[0], pitch=y0[1], roll=y0[2])
         state = init_adam_plateau(params, lr)
         vg = jax.value_and_grad(
-            lambda p: sampling_loss_packed(p, xyz, rgb, blocks, H, W, point_mask)
+            lambda p: sampling_loss_packed(p, xyz, rgb, blocks, H, W,
+                                           point_mask, wrap=wrap)
         )
 
         def step(carry, _):
@@ -110,6 +119,7 @@ def _descend(img, xyz, rgb, t0s, ypr0s, lo, hi, point_mask,
         "num_intermediate", "num_input", "num_split_h", "num_split_w",
         "num_iter", "lr", "patience", "factor", "masked",
         "grid_chunk", "hist_chunk", "plan_refresh_rgb", "descent_table",
+        "seam_wrap",
     ),
 )
 def localize_query(
@@ -131,19 +141,32 @@ def localize_query(
     num_iter: int = 100,
     lr: float = 0.1,
     patience: int = 5,
-    factor: float = 0.8,
+    factor: float = 0.9,
     masked: bool = False,
     grid_chunk: int = 16,
     hist_chunk: int = 4,
     plan: Optional[GridPlan] = None,
     plan_refresh_rgb: bool = False,
-    descent_table: str = "float32",
+    descent_table: str = "auto",
+    seam_wrap: bool = False,
 ) -> LocalizeResult:
     """Localize one panorama end-to-end on device.
 
     The candidate grids come from init.candidates (host, data-dependent
     sizes) padded to static shapes by the caller; everything else never
     leaves the device.
+
+    ``descent_table``: texel dtype for the descent's packed sampling table
+    (``auto`` | ``float32`` | ``bfloat16`` | ``uint8``).  The default
+    ``auto`` picks bf16 at large (footprint-bound) main images and f32
+    otherwise — see ops.sampling.resolve_descent_table; pass ``float32``
+    for torch-trajectory-exact parity at every scale.
+
+    ``seam_wrap``: sample the LOSS across the equirect seam at phi=+-pi
+    (stage-1 scoring and the descent) instead of the reference's clip
+    (SURVEY §7(e); off by default for parity).  A slab ``plan`` must then
+    be built with ``wrap=True``.  The stage-2 histogram trim renders
+    panoramas rather than sampling them, so it is unaffected.
 
     ``plan`` (kernels.slab_sampling.build_grid_plan, room-static) routes
     stage 1 through the sorted-slab MXU kernel instead of the XLA gather —
@@ -152,7 +175,23 @@ def localize_query(
     colors the plan was built with (per-query sharpen_color rebinds).
     """
     pm = point_mask if masked else None
+    descent_table = resolve_descent_table(
+        descent_table, img_main.shape[0], img_main.shape[1]
+    )
     T, R = trans_grid.shape[0], rot_grid.shape[0]
+    if plan is not None and plan.wrap != seam_wrap:
+        raise ValueError(
+            f"plan was built with wrap={plan.wrap} but seam_wrap="
+            f"{seam_wrap} — its table rows assume the other seam mode"
+        )
+    if plan is not None and (plan.n_pairs > T * R or plan.n_pairs % R):
+        # a stale/mismatched plan would silently truncate or pad into
+        # plausible-but-wrong stage-1 rankings — fail loudly at trace time
+        raise ValueError(
+            f"plan covers {plan.n_pairs} candidate pairs but the grids "
+            f"imply {T} trans x {R} rots = {T * R} — the plan was built "
+            "for different grids (rebuild it for this room/config)"
+        )
 
     # ---- stage 1: brute-force loss table (reference utils.py:462-507)
     pair_t, pair_r = make_pairs(trans_grid, rot_grid)
@@ -179,7 +218,8 @@ def localize_query(
             )
             pair_valid = jnp.concatenate([pair_valid, jnp.zeros(pad, bool)])
         scores = _grid_scores(
-            img_init, xyz, rgb, pair_t, pair_r, pair_valid, pm, grid_chunk
+            img_init, xyz, rgb, pair_t, pair_r, pair_valid, pm, grid_chunk,
+            wrap=seam_wrap,
         )
     k1 = min(num_intermediate, T * R)
     # smallest-k via top_k on negated scores (stable, same order as argsort)
@@ -206,7 +246,7 @@ def localize_query(
     # ---- stage 3: multi-start descent (reference omniloc.py)
     params, losses = _descend(
         img_main, xyz, rgb, t2, r2, lo, hi, pm, num_iter, lr, patience,
-        factor, table_dtype=jnp.dtype(descent_table),
+        factor, table_dtype=jnp.dtype(descent_table), wrap=seam_wrap,
     )
     ypr = jnp.stack([params.yaw, params.pitch, params.roll], axis=-1)
     w = jnp.argmin(losses)
@@ -224,12 +264,15 @@ def localize_query_batch(
     xyz, rgb, trans_grid, rot_grid, trans_valid, lo, hi, point_mask=None,
     **kw,
 ) -> LocalizeResult:
-    """Localize a BATCH of query panoramas of one room in a single program.
+    """EXPERIMENTAL: localize a BATCH of panoramas of one room in one program.
 
-    Throughput mode (no reference counterpart): one chip is heavily
-    underutilised by a single query's gathers, so independent queries of the
-    same room vmap into one executable that amortises fixed overheads and
-    fills the vector units. Returns a LocalizeResult with a leading Q axis.
+    Convenience API only (no reference counterpart) — on one chip this is a
+    measured PESSIMIZATION (batched scatters/gathers serialize rather than
+    co-schedule: 2.1 s/pano at Q=2 vs 1.31 s single; docs/PERFORMANCE.md
+    "What did not work" #3).  For throughput use the ('cand','point') mesh
+    (parallel.localize_query_sharded) or shard queries across processes.
+    Per-query results are identical to :func:`localize_query` (guarded in
+    tests/test_pipeline.py).  Returns a LocalizeResult with a leading Q axis.
     """
     def one(ii, im):
         return localize_query(

@@ -56,7 +56,15 @@ from .harness.localize import (
     prepare_stanford_images,
 )
 
-__all__ = ["LocalizeService", "serve_forever", "main"]
+__all__ = ["LocalizeService", "ServiceOverloaded", "serve_forever", "main"]
+
+
+class ServiceOverloaded(RuntimeError):
+    """Raised when admission would exceed ``max_pending`` in-flight requests.
+
+    The HTTP layer maps this to 503 (with Retry-After) so load balancers
+    get an explicit backpressure signal instead of growing latency.
+    """
 
 _CFG_DEFAULTS = dict(
     dataset="Stanford2D-3D-S",
@@ -73,7 +81,8 @@ class LocalizeService:
     (init budget, descent_table, slab_init, n_devices, ...).
     """
 
-    def __init__(self, cfg=None, max_rooms: int = 1, **cfg_kwargs):
+    def __init__(self, cfg=None, max_rooms: int = 1, max_pending: int = 8,
+                 **cfg_kwargs):
         if cfg is None:
             cfg = make_config(**{**_CFG_DEFAULTS, **cfg_kwargs})
         elif cfg_kwargs:
@@ -100,6 +109,33 @@ class LocalizeService:
         # mid-query stays alive through the query's own references.
         self._rooms: "OrderedDict[str, Dict]" = OrderedDict()
         self._max_rooms = max(1, int(max_rooms))
+        # admission control: requests run their HOST prep concurrently
+        # (each on its own handler thread) while exactly one request holds
+        # the chip — so request k+1's prep overlaps request k's compute by
+        # design (the serving analog of the batch loop's Prefetcher).
+        # ``max_pending`` bounds admitted-but-unfinished requests; beyond
+        # it localize() raises ServiceOverloaded (HTTP 503) instead of
+        # stacking unbounded prep memory + lock-wait latency.
+        self._max_pending = max(1, int(max_pending))
+        self._pending = 0
+        self._pending_lock = threading.Lock()
+
+    # -- health ------------------------------------------------------------
+
+    @property
+    def busy(self) -> bool:
+        """True while a request holds the chip (device compute in flight)."""
+        return self._compute_lock.locked()
+
+    @property
+    def pending(self) -> int:
+        """Admitted, unfinished requests (prepping, waiting, or computing)."""
+        with self._pending_lock:
+            return self._pending
+
+    @property
+    def max_pending(self) -> int:
+        return self._max_pending
 
     # -- room management ---------------------------------------------------
 
@@ -186,6 +222,21 @@ class LocalizeService:
             img = np.clip(np.round(np.asarray(img, np.float32) * 255.0),
                           0, 255).astype(np.uint8)
 
+        with self._pending_lock:
+            if self._pending >= self._max_pending:
+                raise ServiceOverloaded(
+                    f"{self._pending} requests already in flight "
+                    f"(max_pending={self._max_pending}); retry later"
+                )
+            self._pending += 1
+        try:
+            return self._localize_admitted(img, room)
+        finally:
+            with self._pending_lock:
+                self._pending -= 1
+
+    def _localize_admitted(self, img: np.ndarray,
+                           room: Optional[str]) -> Dict:
         cfg = self.cfg
         t_start = time.time()
         # room resolution under the registry lock; the (host-side,
@@ -212,9 +263,12 @@ class LocalizeService:
 
         with self._compute_lock:
             t0 = time.time()
+            # sync_plans: serving builds plans synchronously (the warm
+            # path exists precisely to take this hit at load time; a
+            # background build would leave warmed rooms half-compiled)
             res = _run_fused(
                 img_init, img_main, cache, rgb_used, cfg, self.init_dict,
-                cache["grids"], self.mesh,
+                cache["grids"], self.mesh, sync_plans=True,
             )
             # ONE device fetch: each array fetched separately costs a full
             # round trip on remote-frontend deployments (axon; measured
@@ -245,11 +299,46 @@ class LocalizeService:
 # -- HTTP front ------------------------------------------------------------
 
 
-def _decode_image(payload: Dict) -> np.ndarray:
+_LOOPBACK_HOSTS = {"127.0.0.1", "localhost", "::1"}
+
+
+def _resolve_payload_path(path: str, data_root: Optional[str],
+                          paths_allowed: bool) -> str:
+    """Validate a filesystem path arriving in a request payload.
+
+    Trust model: on the default loopback bind every local process that can
+    reach the socket already has this process's filesystem access, so
+    arbitrary paths are fine.  On a non-loopback bind the HTTP surface is
+    unauthenticated — path payloads become an arbitrary-file read/probe
+    primitive — so they are refused unless ``--data-root`` confines them
+    (realpath + prefix check, symlink-safe).
+    """
+    if not paths_allowed:
+        raise ValueError(
+            "path-based payloads are disabled on non-loopback binds; "
+            "start the server with --data-root or send image_b64"
+        )
+    if data_root is None:
+        return path
+    import os
+
+    real = os.path.realpath(path)
+    root = os.path.realpath(data_root)
+    if not (real == root or real.startswith(root + os.sep)):
+        raise ValueError(
+            f"path {path!r} resolves outside the configured data root"
+        )
+    return real
+
+
+def _decode_image(payload: Dict, data_root: Optional[str] = None,
+                  paths_allowed: bool = True) -> np.ndarray:
     from .harness.imaging import imread_rgb
 
     if "image_path" in payload:
-        return imread_rgb(payload["image_path"])
+        return imread_rgb(_resolve_payload_path(
+            payload["image_path"], data_root, paths_allowed
+        ))
     if "image_b64" in payload:
         raw = base64.b64decode(payload["image_b64"])
         try:
@@ -269,15 +358,24 @@ def _decode_image(payload: Dict) -> np.ndarray:
 
 
 def serve_forever(service: LocalizeService, host: str = "127.0.0.1",
-                  port: int = 8321, ready_event=None):
+                  port: int = 8321, ready_event=None,
+                  data_root: Optional[str] = None):
     """Blocking HTTP server over ``service`` (stdlib, JSON API).
 
     Endpoints: ``GET /healthz``; ``POST /localize`` with
     ``{"image_path" | "image_b64": ...}``; ``POST /room`` with
     ``{"pcd_path": ...}``.  Returns the server object via ``ready_event``
     (``ready_event.server``) when passed, for tests to shut it down.
+
+    Trust model (see :func:`_resolve_payload_path`): the default loopback
+    bind accepts arbitrary ``image_path``/``pcd_path`` payloads (local
+    clients already share this process's filesystem access).  A
+    non-loopback bind refuses path payloads unless ``data_root`` confines
+    them; ``image_b64`` always works.
     """
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    paths_allowed = host in _LOOPBACK_HOSTS or data_root is not None
 
     class Handler(BaseHTTPRequestHandler):
         def _reply(self, code: int, obj: Dict) -> None:
@@ -291,10 +389,15 @@ def serve_forever(service: LocalizeService, host: str = "127.0.0.1",
         def do_GET(self):  # noqa: N802 (stdlib API)
             try:
                 if self.path == "/healthz":
+                    # busy/pending are the backpressure signal: a load
+                    # balancer can shed before requests start 503ing
                     self._reply(
                         200,
                         {"ok": True, "room": service.room,
-                         "rooms": service.rooms},
+                         "rooms": service.rooms,
+                         "busy": service.busy,
+                         "pending": service.pending,
+                         "max_pending": service.max_pending},
                     )
                 else:
                     self._reply(404, {"error": "unknown path"})
@@ -307,7 +410,8 @@ def serve_forever(service: LocalizeService, host: str = "127.0.0.1",
                 payload = json.loads(self.rfile.read(n) or b"{}")
                 if self.path == "/localize":
                     out = service.localize(
-                        _decode_image(payload), room=payload.get("room")
+                        _decode_image(payload, data_root, paths_allowed),
+                        room=payload.get("room"),
                     )
                     self._reply(200, {
                         "t": out["t"].tolist(),
@@ -319,7 +423,10 @@ def serve_forever(service: LocalizeService, host: str = "127.0.0.1",
                     })
                 elif self.path == "/room":
                     service.load_room_pcd(
-                        payload["pcd_path"], payload.get("dataset")
+                        _resolve_payload_path(
+                            payload["pcd_path"], data_root, paths_allowed
+                        ),
+                        payload.get("dataset"),
                     )
                     self._reply(200, {"ok": True, "room": service.room})
                 else:
@@ -328,6 +435,17 @@ def serve_forever(service: LocalizeService, host: str = "127.0.0.1",
             # must be able to tell bad requests (4xx) from a broken server
             # (5xx).  NOTE: RuntimeError stays 5xx — XLA's OOM/runtime
             # errors subclass it, and "no room loaded" is server-side too.
+            except ServiceOverloaded as exc:
+                # explicit backpressure: retryable, distinct from 4xx/5xx
+                body = json.dumps(
+                    {"error": f"ServiceOverloaded: {exc}"}
+                ).encode()
+                self.send_response(503)
+                self.send_header("Retry-After", "1")
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             except (ValueError, KeyError, json.JSONDecodeError,
                     FileNotFoundError) as exc:
                 self._reply(400, {"error": f"{type(exc).__name__}: {exc}"})
@@ -351,18 +469,27 @@ def main(argv=None) -> None:
                     help="room point cloud(s) to preload (repeatable)")
     ap.add_argument("--max-rooms", type=int, default=4,
                     help="resident-room LRU size (plans are GBs of HBM)")
+    ap.add_argument("--max-pending", type=int, default=8,
+                    help="admission bound on in-flight requests; beyond it "
+                         "requests get 503 + Retry-After (backpressure)")
     ap.add_argument("--warm", metavar="HxW",
                     help="pre-warm every preloaded room at this panorama "
                          "shape (e.g. 512x1024) so the first real query "
                          "skips plan build + cold compile (~1 min)")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8321)
+    ap.add_argument("--data-root",
+                    help="confine image_path/pcd_path payloads to this "
+                         "directory (required for path payloads on a "
+                         "non-loopback --host; loopback binds trust local "
+                         "clients)")
     args = ap.parse_args(argv)
 
     from .utils import enable_compilation_cache
 
     enable_compilation_cache()
-    svc = LocalizeService(parse_ini(args.config), max_rooms=args.max_rooms)
+    svc = LocalizeService(parse_ini(args.config), max_rooms=args.max_rooms,
+                          max_pending=args.max_pending)
     for pcd in args.pcd:
         svc.load_room_pcd(pcd)
     if args.warm:
@@ -376,7 +503,7 @@ def main(argv=None) -> None:
             print(f"warmed {name} at {H}x{W} in {time.time() - t0:.1f}s",
                   flush=True)
     print(f"serving on {args.host}:{args.port} (room: {svc.room})", flush=True)
-    serve_forever(svc, args.host, args.port)
+    serve_forever(svc, args.host, args.port, data_root=args.data_root)
 
 
 if __name__ == "__main__":

@@ -24,7 +24,11 @@ import jax
 import jax.numpy as jnp
 
 from .loss import Pose, pose_rotation, sampling_loss, sampling_loss_packed
-from .ops.sampling import cast_packed_table, pack_bilinear_blocks
+from .ops.sampling import (
+    cast_packed_table,
+    pack_bilinear_blocks,
+    resolve_descent_table,
+)
 from .optim import adam_plateau_step, init_adam_plateau
 
 __all__ = ["SolveResult", "solve", "descend", "evaluate_poses"]
@@ -57,6 +61,7 @@ def _descend_single(
     patience: int,
     factor: float,
     trajectory: bool = False,
+    wrap: bool = False,
 ):
     params = Pose(t=t0, yaw=ypr0[0], pitch=ypr0[1], roll=ypr0[2])
     state = init_adam_plateau(params, lr)
@@ -65,7 +70,7 @@ def _descend_single(
     # (built once by the caller) makes each loss evaluation one gather
     # instead of four, bit-identically.
     loss_fn = lambda p: sampling_loss_packed(
-        p, xyz, rgb, blocks, height, width, point_mask
+        p, xyz, rgb, blocks, height, width, point_mask, wrap=wrap
     )
     value_and_grad = jax.value_and_grad(loss_fn)
 
@@ -92,7 +97,7 @@ def _descend_single(
     jax.jit,
     static_argnames=(
         "num_iter", "lr", "patience", "factor", "masked", "trajectory",
-        "table_dtype",
+        "table_dtype", "wrap",
     ),
 )
 def descend(
@@ -111,7 +116,8 @@ def descend(
     factor: float = 0.9,
     masked: bool = False,
     trajectory: bool = False,
-    table_dtype: str = "float32",
+    table_dtype: str = "auto",
+    wrap: bool = False,
 ):
     """Descend all candidates in parallel.
 
@@ -132,14 +138,17 @@ def descend(
     H, W, _ = img.shape
     # table_dtype="bfloat16"/"uint8" shrinks the gather table (the dominant
     # cost at large panoramas) 2x/4x; lerp/loss stay f32 (see
-    # ops.sampling.cast_packed_table).  Default f32 is trajectory-exact vs
-    # the torch reference.
-    blocks = cast_packed_table(pack_bilinear_blocks(img), table_dtype)
+    # ops.sampling.cast_packed_table).  "auto" (default) picks bf16 only in
+    # the footprint-bound large-table regime; f32 is trajectory-exact vs
+    # the torch reference and stays the resolution everywhere else.
+    table_dtype = resolve_descent_table(table_dtype, H, W)
+    blocks = cast_packed_table(pack_bilinear_blocks(img, wrap=wrap),
+                               table_dtype)
 
     def one(t0, y0):
         return _descend_single(
             blocks, H, W, xyz, rgb, t0, y0, lo, hi, pm,
-            num_iter, lr, patience, factor, trajectory,
+            num_iter, lr, patience, factor, trajectory, wrap,
         )
 
     params, losses, lrs, traj = jax.vmap(one)(trans0, ypr0)

@@ -83,7 +83,12 @@ def main(argv=None) -> dict:
                          "full resolution, top-50 (reference "
                          "configs/omniscenes.ini budget)")
     ap.add_argument("--descent-table", default="float32",
-                    choices=["float32", "bfloat16", "uint8"])
+                    choices=["auto", "float32", "bfloat16", "uint8"])
+    ap.add_argument("--sharpen", action="store_true",
+                    help="apply the harness's sharpen_color prep per query "
+                         "(color_mod on the init image + cloud-color "
+                         "rebind with slab-plan target refresh) — widens "
+                         "the eval to the color-processed path")
     ap.add_argument("--slab-cap", type=float, default=None,
                     help="HBM budget for slab-plan sorted streams "
                          "(default: the harness slab_bytes_cap default)")
@@ -139,14 +144,14 @@ def main(argv=None) -> dict:
         plan = None
         if not args.no_slab:
             from piccolo_tpu.kernels.slab_sampling import (
-                DEFAULT_PLAN_BYTES_CAP,
                 build_grid_plan,
+                default_plan_bytes_cap,
                 plan_bytes_estimate,
             )
 
             n_trans = trans_grid.shape[0] - pad
             n_pairs = n_trans * rot_grid.shape[0]
-            cap = args.slab_cap or DEFAULT_PLAN_BYTES_CAP
+            cap = args.slab_cap or default_plan_bytes_cap()
             compact = plan_bytes_estimate(n_pairs, int(mask_d.shape[0])) > cap
             if plan_bytes_estimate(n_pairs, int(mask_d.shape[0]),
                                    compact=True) > cap:
@@ -162,6 +167,9 @@ def main(argv=None) -> dict:
                     jnp.asarray(trans_grid[:n_trans]), jnp.asarray(rot_grid),
                     args.height // init_step, 2 * args.height // init_step,
                     compact=compact,
+                    # sharpen rebinds cloud colors per query: compact plans
+                    # must store point ids so targets can be re-baked
+                    tp_is_pid=compact and args.sharpen,
                 )
 
         for qi in range(args.queries):
@@ -170,15 +178,31 @@ def main(argv=None) -> dict:
                 xyz, rgb, gt_t, gt_ypr, (args.height, 2 * args.height)
             )
             img_init = img_main[::init_step, ::init_step]
+            rgb_used, refresh = rgb_d, False
+            if args.sharpen:
+                # the harness's per-query sharpen prep (localize.py
+                # prepare_*_images): joint image+cloud histogram
+                # equalization, cloud-color rebind, plan target refresh
+                from piccolo_tpu.color import color_mod
+                from piccolo_tpu.harness.localize import _pad_rgb
+
+                img_init_np, rgb_mod = color_mod(
+                    np.asarray(img_init, np.float32),
+                    rgb.astype(np.float32), 256,
+                )
+                img_init = jnp.asarray(img_init_np)
+                rgb_used = _pad_rgb(rgb_mod, int(mask_d.shape[0]))
+                refresh = plan is not None
             np.asarray(img_init[0, 0])
             t0 = time.time()
             res = localize_query(
-                img_init, img_main, xyz_d, rgb_d,
+                img_init, img_main, xyz_d, rgb_used,
                 jnp.asarray(trans_grid), jnp.asarray(rot_grid),
                 jnp.asarray(trans_valid), jnp.asarray(lo), jnp.asarray(hi),
                 mask_d, num_intermediate=num_intermediate, num_input=6,
                 num_iter=100,
                 lr=0.1, patience=5, factor=0.8, masked=True, plan=plan,
+                plan_refresh_rgb=refresh,
                 descent_table=args.descent_table,
             )
             t = np.asarray(res.t)
@@ -222,6 +246,7 @@ def main(argv=None) -> dict:
     summary = dict(
         profile=args.profile,
         descent_table=args.descent_table,
+        sharpen=bool(args.sharpen),
         queries=n,
         stanford_accuracy=float(stanford_ok / n),
         omniscenes_accuracy=float(omni_ok / n),

@@ -212,3 +212,84 @@ def test_fused_narrow_descent_table_recovers_pose(rng, table):
         descent_table=table,
     )
     assert float(jnp.linalg.norm(res.t - jnp.asarray(gt_t))) < 0.2
+
+
+def test_plateau_factor_defaults_unified():
+    """All descent surfaces default to the reference's plateau factor 0.9
+    (reference omniloc.py:28); shipped configs pass 0.8 explicitly."""
+    import inspect
+
+    from piccolo_tpu.parallel.fused import localize_query_sharded
+    from piccolo_tpu.solver import descend
+
+    # solver.solve forwards **kw to descend, so descend's default covers it
+    for fn in (localize_query, localize_query_sharded, descend):
+        sig = inspect.signature(getattr(fn, "__wrapped__", fn))
+        assert sig.parameters["factor"].default == 0.9, fn
+
+
+def test_fused_rejects_mismatched_plan(rng):
+    """A plan built for different grids must fail loudly, not silently
+    truncate/pad into plausible-but-wrong stage-1 rankings (ADVICE r2)."""
+    from piccolo_tpu.kernels.slab_sampling import build_grid_plan
+
+    xyz, rgb, img, trans, rot, lo, hi, gt_t = _setup(rng)
+    plan = build_grid_plan(
+        jnp.asarray(xyz), jnp.asarray(rgb), None,
+        jnp.asarray(trans), jnp.asarray(rot), img.shape[0], img.shape[1],
+    )
+    args_shorter = (
+        jnp.asarray(img), jnp.asarray(img), jnp.asarray(xyz), jnp.asarray(rgb),
+        jnp.asarray(trans[:4]), jnp.asarray(rot),
+        jnp.ones(4, bool), jnp.asarray(lo), jnp.asarray(hi),
+    )
+    with pytest.raises(ValueError, match="built for different grids"):
+        localize_query(*args_shorter, plan=plan, num_intermediate=4,
+                       num_input=2, num_iter=2)
+    # wrong image resolution (stale plan) also fails loudly
+    img2 = img[::2, ::2]
+    args_smaller_img = (
+        jnp.asarray(img2), jnp.asarray(img2), jnp.asarray(xyz),
+        jnp.asarray(rgb), jnp.asarray(trans), jnp.asarray(rot),
+        jnp.ones(trans.shape[0], bool), jnp.asarray(lo), jnp.asarray(hi),
+    )
+    with pytest.raises(ValueError, match="stale plan"):
+        localize_query(*args_smaller_img, plan=plan, num_intermediate=4,
+                       num_input=2, num_iter=2)
+
+
+def test_localize_query_batch_matches_single(rng):
+    """Direct characterization of the EXPERIMENTAL batch API: per-query
+    results equal localize_query's (it is a convenience vmap, not a
+    throughput lever — docs/PERFORMANCE.md What-did-not-work #3)."""
+    from piccolo_tpu.pipeline import localize_query_batch
+
+    xyz, rgb, img, trans, rot, lo, hi, gt_t = _setup(rng)
+    img2 = np.asarray(render_at(
+        jnp.asarray(xyz), jnp.asarray(rgb),
+        np.array([-0.4, 0.2, 0.0], np.float32),
+        np.array([2.0, 0.0, 0.0], np.float32), (128, 256),
+    ))
+    kw = dict(num_intermediate=8, num_input=3, num_iter=10)
+    batch = localize_query_batch(
+        jnp.stack([jnp.asarray(img), jnp.asarray(img2)]),
+        jnp.stack([jnp.asarray(img), jnp.asarray(img2)]),
+        jnp.asarray(xyz), jnp.asarray(rgb), jnp.asarray(trans),
+        jnp.asarray(rot), jnp.ones(trans.shape[0], bool),
+        jnp.asarray(lo), jnp.asarray(hi), **kw,
+    )
+    for q, im in enumerate((img, img2)):
+        single = localize_query(
+            jnp.asarray(im), jnp.asarray(im), jnp.asarray(xyz),
+            jnp.asarray(rgb), jnp.asarray(trans), jnp.asarray(rot),
+            jnp.ones(trans.shape[0], bool), jnp.asarray(lo),
+            jnp.asarray(hi), **kw,
+        )
+        assert int(batch.winner[q]) == int(single.winner)
+        np.testing.assert_allclose(
+            np.asarray(batch.t[q]), np.asarray(single.t), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(batch.cand_loss[q]), np.asarray(single.cand_loss),
+            atol=1e-5,
+        )

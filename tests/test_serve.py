@@ -2,6 +2,7 @@
 
 import json
 import threading
+import time
 import urllib.request
 
 import numpy as np
@@ -72,7 +73,10 @@ def test_http_roundtrip(scene, tmp_path):
     try:
         with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
             health = json.loads(r.read())
-        assert health == {"ok": True, "room": "box", "rooms": ["box"]}
+        assert health == {
+            "ok": True, "room": "box", "rooms": ["box"],
+            "busy": False, "pending": 0, "max_pending": 8,
+        }
 
         req = urllib.request.Request(
             f"{base}/localize",
@@ -165,3 +169,95 @@ def test_load_room_warm_shape_prewarms(scene):
     assert svc.room == "w"
     out = svc.localize(img)
     assert np.linalg.norm(out["t"] - gt_t) < 0.2
+
+
+def test_payload_path_trust_model(tmp_path):
+    """Non-loopback binds refuse path payloads unless a data root confines
+    them (resolve + prefix check); loopback binds trust local clients."""
+    from piccolo_tpu.serve import _resolve_payload_path
+
+    inside = tmp_path / "room" / "pano.png"
+    inside.parent.mkdir()
+    inside.write_bytes(b"x")
+    outside = tmp_path.parent / "secret.txt"
+
+    # loopback default: anything goes
+    assert _resolve_payload_path("/etc/hostname", None, True) == "/etc/hostname"
+    # non-loopback without a data root: refused
+    with pytest.raises(ValueError, match="non-loopback"):
+        _resolve_payload_path(str(inside), None, False)
+    # data root configured: inside passes (resolved), outside rejected
+    root = str(tmp_path)
+    assert _resolve_payload_path(str(inside), root, True).endswith("pano.png")
+    with pytest.raises(ValueError, match="outside"):
+        _resolve_payload_path(str(outside), root, True)
+    # prefix check is on path components, not raw string prefixes
+    sneaky = str(tmp_path) + "_evil/x.png"
+    with pytest.raises(ValueError, match="outside"):
+        _resolve_payload_path(sneaky, root, True)
+    # symlink escape is caught by realpath
+    link = tmp_path / "link.png"
+    link.symlink_to(outside)
+    outside.write_bytes(b"s")
+    with pytest.raises(ValueError, match="outside"):
+        _resolve_payload_path(str(link), root, True)
+
+
+def test_backpressure_and_managed_overlap(scene, monkeypatch):
+    """Two clients: request k+1's host prep runs WHILE request k holds the
+    chip (managed overlap), healthz fields change under load, and admission
+    beyond max_pending raises ServiceOverloaded (HTTP maps it to 503)."""
+    import piccolo_tpu.serve as serve_mod
+    from piccolo_tpu.serve import ServiceOverloaded
+
+    xyz, rgb, img, gt_t = scene
+    svc = LocalizeService(max_pending=2, **_CFG)
+    svc.load_room(xyz, rgb, name="box")
+    svc.localize(img)  # compile everything first
+
+    prep_started = threading.Event()
+    real_prep = serve_mod.prepare_stanford_images
+
+    def tracking_prep(cfg, orig, room):
+        prep_started.set()
+        return real_prep(cfg, orig, room)
+
+    monkeypatch.setattr(serve_mod, "prepare_stanford_images", tracking_prep)
+
+    # simulate request k computing: hold the chip
+    assert svc.busy is False and svc.pending == 0
+    svc._compute_lock.acquire()
+    try:
+        assert svc.busy is True  # healthz backpressure signal
+        done = []
+        t1 = threading.Thread(
+            target=lambda: done.append(svc.localize(img)), daemon=True
+        )
+        t1.start()
+        # request k+1's prep must START while the chip is held — overlap
+        # is managed admission, not luck
+        assert prep_started.wait(30)
+        deadline = time.time() + 10
+        while svc.pending != 1 and time.time() < deadline:
+            time.sleep(0.01)
+        assert svc.pending == 1
+        assert not done  # still waiting on the chip
+
+        # a third client beyond max_pending=2: with one waiting and the
+        # chip held, admission 2 is taken by t2, then t3 must be refused
+        t2 = threading.Thread(
+            target=lambda: done.append(svc.localize(img)), daemon=True
+        )
+        t2.start()
+        deadline = time.time() + 10
+        while svc.pending != 2 and time.time() < deadline:
+            time.sleep(0.01)
+        assert svc.pending == 2
+        with pytest.raises(ServiceOverloaded, match="in flight"):
+            svc.localize(img)
+    finally:
+        svc._compute_lock.release()
+    t1.join(120)
+    t2.join(120)
+    assert len(done) == 2 and all(np.isfinite(d["loss"]) for d in done)
+    assert svc.pending == 0 and svc.busy is False

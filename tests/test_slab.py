@@ -168,3 +168,68 @@ def test_compact_plan_usage_guards(scene):
         slab_pair_scores(scene["img"], packed, rgb=scene["rgb"])
     with pytest.raises(ValueError, match="refresh-capable"):
         slab_pair_scores(scene["img"], pid)
+
+
+def test_plan_records_image_shape_and_rejects_mismatch(scene):
+    plan = build_grid_plan(
+        scene["xyz"], scene["rgb"], scene["mask"],
+        scene["trans"], scene["rot"], 32, 64,
+    )
+    assert (plan.height, plan.width) == (32, 64)
+    wrong = jnp.zeros((64, 128, 3), jnp.float32)
+    with pytest.raises(ValueError, match="stale plan"):
+        slab_pair_scores(wrong, plan)
+
+
+def test_plan_exact_budget_check(scene):
+    """The post-sizing EXACT size check trips even when the pre-build
+    estimate would admit the plan (ADVICE r2: data-dependent padding can
+    exceed the estimate's fixed 1.25 factor)."""
+    from piccolo_tpu.kernels.slab_sampling import PlanOverBudget
+
+    with pytest.raises(PlanOverBudget):
+        build_grid_plan(
+            scene["xyz"], scene["rgb"], scene["mask"],
+            scene["trans"], scene["rot"], 32, 64, bytes_cap=1024,
+        )
+    # a generous cap builds fine and the exact accounting bounds reality
+    plan = build_grid_plan(
+        scene["xyz"], scene["rgb"], scene["mask"],
+        scene["trans"], scene["rot"], 32, 64, bytes_cap=10**9,
+    )
+    from piccolo_tpu.kernels.slab_sampling import BLOCK, plan_exact_bytes
+
+    n_groups = len(plan.fields)
+    nb = plan.fields[0].shape[0]
+    assert plan_exact_bytes(n_groups, nb, compact=False) == plan.nbytes
+
+
+def test_default_plan_bytes_cap_from_device_stats():
+    from piccolo_tpu.kernels.slab_sampling import (
+        DEFAULT_PLAN_BYTES_CAP,
+        default_plan_bytes_cap,
+    )
+
+    class FakeDev:
+        def __init__(self, stats):
+            self._stats = stats
+
+        def memory_stats(self):
+            return self._stats
+
+    # 16 GB chip reproduces the measured 9 GB working split
+    cap = default_plan_bytes_cap(FakeDev({"bytes_limit": 16 * 2**30}))
+    assert cap == int(16 * 2**30 * 9 / 16)
+    # 32 GB chip scales up
+    assert default_plan_bytes_cap(
+        FakeDev({"bytes_limit": 32 * 2**30})
+    ) == 2 * cap
+    # no stats (CPU/plugin frontends): the measured 16 GB constant
+    assert default_plan_bytes_cap(FakeDev(None)) == DEFAULT_PLAN_BYTES_CAP
+    assert default_plan_bytes_cap(FakeDev({})) == DEFAULT_PLAN_BYTES_CAP
+
+    class Broken:
+        def memory_stats(self):
+            raise RuntimeError("unsupported")
+
+    assert default_plan_bytes_cap(Broken()) == DEFAULT_PLAN_BYTES_CAP
