@@ -314,19 +314,22 @@ def _maybe_mesh(cfg):
     )
 
 
-def _check_mesh_usable(mesh, fused: bool):
-    """Surface (loudly) that multi-chip needs the fused path.
+def _check_mesh_usable(mesh, fused: bool, vis: bool = False):
+    """Surface (loudly) that multi-chip needs the (non-visualize) fused path.
 
     ``n_devices`` routes queries through the sharded fused program; configs
-    that force the staged path (visualize, sample_rate_for_init, non-default
-    criterion — see _use_fused) have no sharded equivalent, and silently
-    running single-device would betray an explicit multi-chip request.
+    that force the staged path (sample_rate_for_init, non-default
+    criterion — see _use_fused) have no sharded equivalent, and the sharded
+    descent returns no per-iteration trajectories (visualize).  Silently
+    running single-device would betray an explicit multi-chip request, so
+    say it.
     """
-    if mesh is not None and not fused:
+    if mesh is not None and (not fused or vis):
         print(
-            "WARNING: n_devices requested but this config requires the "
-            "staged path (visualize / sample_rate_for_init / non-default "
-            "criterion have no sharded program); running single-device.\n"
+            "WARNING: n_devices requested but this config has no sharded "
+            "program (sample_rate_for_init / non-default criterion need "
+            "the staged path; visualize needs per-iteration trajectories); "
+            "running single-device.\n"
         )
         return None
     return mesh
@@ -346,12 +349,12 @@ def _use_fused(cfg, init_dict) -> bool:
 
     ``fused = True`` (default) routes queries through pipeline.localize_query
     — one device dispatch per query.  Falls back to the staged path when a
-    feature needs staged semantics: per-iteration trajectories (visualize),
-    an init-only subsample mask, or a non-default criterion.
+    feature needs staged semantics: an init-only subsample mask or a
+    non-default criterion.  (``visualize`` no longer forces the staged
+    path — round 3: the fused program returns per-iteration trajectories.)
     """
     return (
         cfg_get(cfg, "fused", True)
-        and not cfg_get(cfg, "visualize", False)
         and init_dict.get("sample_rate_for_init") is None
         and cfg_get(cfg, "criterion", "loss_histogram") == "loss_histogram"
     )
@@ -620,7 +623,7 @@ def _drop_slab_plans(room) -> None:
 
 
 def _run_fused(img_init, img_main, cache, rgb_used, cfg, init_dict, grids,
-               mesh=None, sync_plans=False):
+               mesh=None, sync_plans=False, want_traj=False):
     kw = dict(
         num_intermediate=cfg_get(cfg, "num_intermediate", 20),
         num_input=cfg_get(cfg, "num_input", 6),
@@ -665,6 +668,7 @@ def _run_fused(img_init, img_main, cache, rgb_used, cfg, init_dict, grids,
         masked=True, plan=plan,
         plan_refresh_rgb=plan is not None and rgb_used is not cache["rgb"],
         descent_table=descent_table, seam_wrap=seam_wrap,
+        trajectory=want_traj,
         **kw,
     )
 
@@ -758,7 +762,7 @@ def localize_stanford(cfg, writer=None, log_dir: str = "./log") -> float:
     failed, skipped = [], []
     init_dict = get_init_dict(cfg)
     fused = _use_fused(cfg, init_dict)
-    mesh = _check_mesh_usable(mesh, fused)
+    mesh = _check_mesh_usable(mesh, fused, vis)
     # Host work for query k+1 (decode, resizes, color prep, cloud/grid load)
     # runs on a prepare thread while the device computes query k; artifact
     # encodes run on a writer thread.  Order-preserving — outputs identical
@@ -836,13 +840,16 @@ def localize_stanford(cfg, writer=None, log_dir: str = "./log") -> float:
                     if fused:
                         fres = _run_fused(
                             img_init, img_main, cache, rgb_used, cfg, init_dict,
-                            cache["grids"], mesh,
+                            cache["grids"], mesh, want_traj=vis,
                         )
+                        if vis:
+                            fres, traj = fres
+                        else:
+                            traj = None
                         k = int(fres.winner)
                         t = np.asarray(fres.t)
                         R = np.asarray(fres.rot)
                         loss_k = float(fres.loss)
-                        traj = None
                     else:
                         trans0, rot0 = make_input(
                             jnp.asarray(img_init), cache["xyz"], rgb_used,

@@ -78,7 +78,7 @@ def _grid_scores(img, xyz, rgb, pair_t, pair_ypr, pair_valid, point_mask,
 
 def _descend(img, xyz, rgb, t0s, ypr0s, lo, hi, point_mask,
              num_iter, lr, patience, factor, table_dtype=jnp.float32,
-             wrap=False):
+             wrap=False, trajectory=False):
     H, W, _ = img.shape
     # bf16/u8 tables shrink the descent's gather table 2x/4x (the dominant
     # query cost at large panoramas — docs/PERFORMANCE.md "gather rate vs
@@ -103,14 +103,21 @@ def _descend(img, xyz, rgb, t0s, ypr0s, lo, hi, point_mask,
                 params, grads, state, loss, patience, factor
             )
             params = params._replace(t=jnp.clip(params.t, lo, hi))
-            return (params, state), loss
+            ys = (loss, params) if trajectory else loss
+            return (params, state), ys
 
-        (params, _), losses = jax.lax.scan(
+        (params, _), ys = jax.lax.scan(
             step, (params, state), None, length=num_iter
         )
-        return params, losses[-1]
+        if trajectory:
+            losses, traj = ys
+            return params, losses[-1], traj
+        return params, ys[-1], None
 
-    return jax.vmap(one)(t0s, ypr0s)
+    if trajectory:
+        return jax.vmap(one)(t0s, ypr0s)
+    params, losses, _ = jax.vmap(one)(t0s, ypr0s)
+    return params, losses
 
 
 @functools.partial(
@@ -119,7 +126,7 @@ def _descend(img, xyz, rgb, t0s, ypr0s, lo, hi, point_mask,
         "num_intermediate", "num_input", "num_split_h", "num_split_w",
         "num_iter", "lr", "patience", "factor", "masked",
         "grid_chunk", "hist_chunk", "plan_refresh_rgb", "descent_table",
-        "seam_wrap",
+        "seam_wrap", "trajectory",
     ),
 )
 def localize_query(
@@ -149,8 +156,15 @@ def localize_query(
     plan_refresh_rgb: bool = False,
     descent_table: str = "auto",
     seam_wrap: bool = False,
+    trajectory: bool = False,
 ) -> LocalizeResult:
     """Localize one panorama end-to-end on device.
+
+    ``trajectory=True`` additionally returns the per-iteration descent
+    states — ``(result, traj)`` where ``traj`` is a Pose pytree with
+    leading (num_input, num_iter) — the fused-path source for the
+    reference's per-iteration GIFs (omniloc.py:60-69), so ``visualize``
+    runs no longer forfeit the single-dispatch fused speed.
 
     The candidate grids come from init.candidates (host, data-dependent
     sizes) padded to static shapes by the caller; everything else never
@@ -244,18 +258,27 @@ def localize_query(
     r2 = jnp.take(r1, idx2, axis=0)
 
     # ---- stage 3: multi-start descent (reference omniloc.py)
-    params, losses = _descend(
+    out = _descend(
         img_main, xyz, rgb, t2, r2, lo, hi, pm, num_iter, lr, patience,
         factor, table_dtype=jnp.dtype(descent_table), wrap=seam_wrap,
+        trajectory=trajectory,
     )
+    if trajectory:
+        params, losses, traj = out
+    else:
+        params, losses = out
+        traj = None
     ypr = jnp.stack([params.yaw, params.pitch, params.roll], axis=-1)
     w = jnp.argmin(losses)
     rot = rot_from_ypr(ypr)
-    return LocalizeResult(
+    result = LocalizeResult(
         t=params.t[w], rot=rot[w], loss=losses[w],
         cand_t=params.t, cand_ypr=ypr, cand_loss=losses,
         start_t=t2, start_ypr=r2, winner=w,
     )
+    if trajectory:
+        return result, traj
+    return result
 
 
 def localize_query_batch(

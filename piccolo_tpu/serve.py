@@ -91,10 +91,10 @@ class LocalizeService:
         self.init_dict = get_init_dict(cfg)
         if not _use_fused(cfg, self.init_dict):
             # loud instead of silently diverging from the CLI: the staged
-            # path's extras (visualize trajectories, init-only subsample,
-            # non-default criterion) have no serving counterpart
+            # path's extras (init-only subsample, non-default criterion)
+            # have no serving counterpart
             raise ValueError(
-                "serving runs the fused pipeline only; drop visualize / "
+                "serving runs the fused pipeline only; drop "
                 "sample_rate_for_init / non-default criterion (or fused="
                 "False) from the config"
             )

@@ -144,7 +144,8 @@ def test_cli_staged_path_matches(synth_root, tmp_path):
 
 
 def test_cli_visualize_gif(synth_root, tmp_path):
-    """visualize=True forces the staged path and writes optimization GIFs."""
+    """visualize=True writes optimization GIFs (round 3: from the FUSED
+    path's per-iteration trajectories — no staged fallback)."""
     from piccolo_tpu.main import main
 
     cfg = _write_cfg(str(tmp_path / "cfg.ini"), "Stanford2D-3D-S", synth_root)

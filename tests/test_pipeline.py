@@ -293,3 +293,27 @@ def test_localize_query_batch_matches_single(rng):
             np.asarray(batch.cand_loss[q]), np.asarray(single.cand_loss),
             atol=1e-5,
         )
+
+
+def test_fused_trajectory_matches_plain(rng):
+    """trajectory=True returns per-iteration states whose LAST step equals
+    the plain fused result (visualize rides the fused path — round 3)."""
+    xyz, rgb, img, trans, rot, lo, hi, gt_t = _setup(rng)
+    kw = dict(num_intermediate=8, num_input=3, num_iter=12)
+    args = (
+        jnp.asarray(img), jnp.asarray(img), jnp.asarray(xyz), jnp.asarray(rgb),
+        jnp.asarray(trans), jnp.asarray(rot),
+        jnp.ones(trans.shape[0], bool), jnp.asarray(lo), jnp.asarray(hi),
+    )
+    plain = localize_query(*args, **kw)
+    res, traj = localize_query(*args, trajectory=True, **kw)
+    assert traj.t.shape == (3, 12, 3)
+    assert traj.yaw.shape == (3, 12)
+    np.testing.assert_array_equal(np.asarray(res.t), np.asarray(plain.t))
+    np.testing.assert_array_equal(
+        np.asarray(res.cand_loss), np.asarray(plain.cand_loss)
+    )
+    # the last trajectory step IS the final candidate state
+    np.testing.assert_array_equal(
+        np.asarray(traj.t[:, -1]), np.asarray(res.cand_t)
+    )

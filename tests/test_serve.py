@@ -127,7 +127,10 @@ def test_multi_room_lru_and_selection(scene):
 
 def test_service_rejects_staged_only_config():
     with pytest.raises(ValueError, match="fused"):
-        LocalizeService(visualize=True, **_CFG)
+        LocalizeService(sample_rate_for_init=2, **_CFG)
+    # visualize no longer forces the staged path (round 3: the fused
+    # program returns trajectories), so serving accepts it (and ignores it)
+    LocalizeService(visualize=True, **_CFG)
 
 
 def test_service_prep_matches_harness_semantics(scene):
