@@ -409,12 +409,18 @@ def _slab_admission(cfg, cache, grids, img_init):
     cap = cfg_get(cfg, "slab_bytes_cap")
     if cap is None:
         cap = default_plan_bytes_cap()
+    # sharpen's per-query target re-bake materialises a REBAKED COPY of
+    # the plan streams inside the program (the input fields are not
+    # donated), so a refresh-capable plan effectively costs ~2x its bytes
+    # of HBM — admission must budget for the copy (measured: a 7 GB
+    # compact plan OOM'd a 16 GB chip at 17.07 GB under sharpen)
+    mult = 2 if sharpen else 1
     if mode == "auto":
         n_pairs = n_t * int(grids.rot.shape[0])
         n_points = int(cache["mask"].shape[0])
-        if not compact and plan_bytes_estimate(n_pairs, n_points) > cap:
+        if not compact and plan_bytes_estimate(n_pairs, n_points) * mult > cap:
             compact = True
-        if plan_bytes_estimate(n_pairs, n_points, compact=True) > cap:
+        if plan_bytes_estimate(n_pairs, n_points, compact=True) * mult > cap:
             return None
         # sharpen_color rebinds cloud colors per query, forcing a per-query
         # target re-bake — only worth it when the XLA gather is slow enough
@@ -423,7 +429,7 @@ def _slab_admission(cfg, cache, grids, img_init):
             refresh=sharpen, compact=compact,
         ):
             return None
-    return dict(mode=mode, n_t=n_t, compact=compact, cap=cap,
+    return dict(mode=mode, n_t=n_t, compact=compact, cap=cap // mult,
                 sharpen=sharpen, wrap=bool(cfg_get(cfg, "seam_wrap", False)))
 
 
@@ -509,7 +515,16 @@ def _maybe_slab_plan(cfg, cache, grids, img_init, sync: bool = False):
         )
 
     # -- plan lifecycle (round 3): disk persistence + background build ----
-    use_disk = bool(cfg_get(cfg, "slab_plan_cache", True))
+    use_disk = cfg_get(cfg, "slab_plan_cache", "auto")
+    if use_disk == "auto":
+        # Disk round-trips move GBs through the host.  Co-located hosts
+        # (PCIe) load a plan far faster than rebuilding it; over a remote
+        # tunnel frontend (axon) the MEASURED rates invert — 1.6 GB plan:
+        # build 4.9 s on device vs 18.3 s to load+device_put
+        # (docs/PERFORMANCE.md round 3) — so auto disables disk there and
+        # the background build carries the lifecycle.
+        use_disk = jax.default_backend() != "axon"
+    use_disk = bool(use_disk)
     background = bool(cfg_get(cfg, "slab_background_build", True)) and not sync
     cache_dir = cfg_get(cfg, "slab_plan_cache_dir")
     cache_budget = int(cfg_get(cfg, "slab_plan_cache_bytes", 40 * 10**9))
@@ -537,6 +552,15 @@ def _maybe_slab_plan(cfg, cache, grids, img_init, sync: bool = False):
     def _persist(plan, attempt):
         if not use_disk:
             return
+        # persisting means fetching the plan to host — on remote-frontend
+        # deployments (axon tunnel) that runs at ~disk speeds per GB, so
+        # only plans under the persist cap are written (dense OmniScenes
+        # plans are ~7 GB; they rely on the background build instead)
+        persist_cap = int(
+            cfg_get(cfg, "slab_plan_persist_max_bytes", 3 * 10**9)
+        )
+        if plan.nbytes > persist_cap:
+            return
         import threading
 
         dkey = _disk_key(attempt)
@@ -547,8 +571,11 @@ def _maybe_slab_plan(cfg, cache, grids, img_init, sync: bool = False):
             except Exception as exc:  # cache write failures never break runs
                 print(f"slab plan cache write failed: {exc}", flush=True)
 
+        # non-daemon: a daemon thread killed mid device-fetch at
+        # interpreter exit aborts the process (observed: "FATAL:
+        # exception not rethrown"); the persist cap bounds the exit wait
         threading.Thread(
-            target=run, name="piccolo-plan-save", daemon=True
+            target=run, name="piccolo-plan-save", daemon=False
         ).start()
 
     for attempt in (compact, True):
@@ -591,8 +618,10 @@ def _maybe_slab_plan(cfg, cache, grids, img_init, sync: bool = False):
                 except Exception as exc:
                     holder["error"] = exc
 
+            # non-daemon for the same exit-abort reason as the persist
+            # thread; a build is ~10 s bounded
             t = threading.Thread(
-                target=run, name="piccolo-plan-build", daemon=True
+                target=run, name="piccolo-plan-build", daemon=False
             )
             holder["thread"] = t
             cache[pend_key] = holder

@@ -152,9 +152,14 @@ def main(argv=None) -> dict:
             n_trans = trans_grid.shape[0] - pad
             n_pairs = n_trans * rot_grid.shape[0]
             cap = args.slab_cap or default_plan_bytes_cap()
-            compact = plan_bytes_estimate(n_pairs, int(mask_d.shape[0])) > cap
+            # sharpen's per-query re-bake copies the plan streams in-program
+            mult = 2 if args.sharpen else 1
+            compact = (
+                plan_bytes_estimate(n_pairs, int(mask_d.shape[0])) * mult
+                > cap
+            )
             if plan_bytes_estimate(n_pairs, int(mask_d.shape[0]),
-                                   compact=True) > cap:
+                                   compact=True) * mult > cap:
                 if ri == 0:
                     print("slab plan skipped: sorted streams would crowd "
                           "HBM even compact (XLA stage 1 instead)",

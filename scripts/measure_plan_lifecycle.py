@@ -1,20 +1,21 @@
 #!/usr/bin/env python
 """Measure the slab-plan lifecycle: first-query-per-room latency.
 
-Round-2 rebuilt every room's slab plan from scratch per process —
-~10 s paid synchronously on the room's first query at dense OmniScenes
-scale.  Round 3 adds a content-addressed disk cache + background builds
+Round-2 rebuilt every room's slab plan from scratch per process — ~10 s
+paid synchronously on the room's first query at dense OmniScenes scale.
+Round 3 adds background builds + a content-addressed disk cache
 (kernels/plan_cache.py, harness._maybe_slab_plan).  This script measures
 per-query latency for one dense room exactly as the batch harness runs it:
 
-  run 1 (cold cache):  q0 runs the XLA stage 1 while the plan builds on a
-                       background thread; later queries use the kernel.
-  run 2 (same --cache-dir, new process): the plan loads from disk — the
-                       round-2 ~10 s rebuild is gone.
-
-Usage (run TWICE with the same --cache-dir to see the cross-restart hit):
-  PYTHONPATH=/root/repo:$PYTHONPATH python scripts/measure_plan_lifecycle.py \
-      --cache-dir /tmp/plan_cache_demo [--queries 4] [--sync] [--no-cache]
+  --sync       round-2 behavior: q0 blocks on the synchronous plan build.
+  (default)    q0/q1 run the XLA stage 1 while the plan builds on a
+               background thread; later queries use the kernel.  The disk
+               cache follows its 'auto' default (off on remote-tunnel
+               frontends, where loading GBs is slower than rebuilding —
+               docs/PERFORMANCE.md round 3).
+  --disk       force the disk cache on; run TWICE with the same
+               --cache-dir to see the cross-restart hit (plans above
+               slab_plan_persist_max_bytes are never written).
 
 Prints one JSON line with per-query seconds and the plan's source.
 """
@@ -56,6 +57,10 @@ def main(argv=None) -> dict:
                     help="round-2 behavior: synchronous plan build")
     ap.add_argument("--no-cache", action="store_true",
                     help="disable the disk cache (isolate background build)")
+    ap.add_argument("--disk", action="store_true",
+                    help="force the disk cache ON (the 'auto' default "
+                         "disables it on remote-tunnel frontends where "
+                         "loads are slower than rebuilds)")
     args = ap.parse_args(argv)
 
     enable_compilation_cache()
@@ -73,7 +78,9 @@ def main(argv=None) -> dict:
         num_trans=150, xy_only=True, yaw_only=True, num_yaw=8, z_prior=None,
         num_intermediate=50, num_input=6, num_iter=100, factor=0.8,
         num_split_h=4, num_split_w=4,
-        slab_plan_cache=not args.no_cache,
+        slab_plan_cache=(
+            False if args.no_cache else (True if args.disk else "auto")
+        ),
         slab_plan_cache_dir=args.cache_dir,
         slab_background_build=not args.sync,
     )
@@ -119,7 +126,7 @@ def main(argv=None) -> dict:
             if _maybe_slab_plan(cfg, cache, grids, queries[0][0]) is not None:
                 break
             time.sleep(0.5)
-    if not args.no_cache:
+    if args.disk:
         deadline = time.time() + 180
         while time.time() < deadline:
             if any(n.endswith(".npz") for n in
@@ -130,7 +137,7 @@ def main(argv=None) -> dict:
 
     out = dict(
         mode=("sync" if args.sync else "background")
-        + ("" if args.no_cache else "+disk"),
+        + ("+disk" if args.disk else ("" if args.no_cache else "+disk_auto")),
         sec_per_query=times,
         plan_resident_after_query=plan_used,
         median_t_err_m=round(float(np.median(errs)), 4),

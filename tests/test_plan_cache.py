@@ -208,3 +208,54 @@ def test_harness_sync_flag_bypasses_background(scene):
     img = np.asarray(scene["img"])
     plan = _maybe_slab_plan(cfg, cache, grids, img, sync=True)
     assert plan is not None
+
+
+def test_admission_budgets_the_sharpen_refresh_copy(scene):
+    """sharpen's per-query target re-bake materialises a rebaked COPY of
+    the plan streams in-program, so refresh-capable plans cost ~2x their
+    bytes of HBM — admission must budget the copy (regression: a 7 GB
+    compact plan OOM'd a 16 GB chip at 17.07 GB under sharpen)."""
+    from piccolo_tpu.harness.localize import _slab_admission
+    from piccolo_tpu.kernels.slab_sampling import plan_bytes_estimate
+
+    cache, grids = _room_state(scene)
+    img = np.asarray(scene["img"])
+    n_pairs = 3 * 4
+    n_points = int(cache["mask"].shape[0])
+    compact_est = plan_bytes_estimate(n_pairs, n_points, compact=True)
+    # cap fits one compact plan but NOT plan + rebaked copy
+    cap = int(compact_est * 1.5)
+
+    def cfg(**kw):
+        kw.setdefault("slab_bytes_cap", cap)
+        return make_config(
+            dataset="Stanford2D-3D-S", slab_init="auto", **kw,
+        )
+
+    # no sharpen: admitted (plain mode has no rebake copy).  Auto mode
+    # gates off on CPU backends and the worthwhile cost model rejects toy
+    # workloads; bypass both to isolate the BUDGET logic.
+    import jax
+
+    import piccolo_tpu.kernels.slab_sampling as slab_mod
+
+    real = jax.default_backend
+    real_worth = slab_mod.slab_worthwhile
+    jax.default_backend = lambda: "tpu"
+    slab_mod.slab_worthwhile = lambda *a, **k: True
+    try:
+        adm = _slab_admission(cfg(), cache, grids, img)
+        assert adm is not None
+        # sharpen: the same cap must now refuse (2x compact > cap)
+        assert _slab_admission(
+            cfg(sharpen_color=True), cache, grids, img
+        ) is None
+        # double the cap: sharpen admits again, with the halved build cap
+        adm2 = _slab_admission(
+            cfg(sharpen_color=True, slab_bytes_cap=4 * compact_est),
+            cache, grids, img,
+        )
+        assert adm2 is not None and adm2["cap"] == 2 * compact_est
+    finally:
+        jax.default_backend = real
+        slab_mod.slab_worthwhile = real_worth
