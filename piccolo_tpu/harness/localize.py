@@ -409,18 +409,23 @@ def _slab_admission(cfg, cache, grids, img_init):
     cap = cfg_get(cfg, "slab_bytes_cap")
     if cap is None:
         cap = default_plan_bytes_cap()
-    # sharpen's per-query target re-bake materialises a REBAKED COPY of
-    # the plan streams inside the program (the input fields are not
-    # donated), so a refresh-capable plan effectively costs ~2x its bytes
-    # of HBM — admission must budget for the copy (measured: a 7 GB
-    # compact plan OOM'd a 16 GB chip at 17.07 GB under sharpen)
-    mult = 2 if sharpen else 1
+    # sharpen's per-query target re-bake materialises a rebaked COPY of
+    # whatever it rewrites inside the program (plan inputs are not
+    # donated), so refresh-capable plans cost extra HBM: f32 plans rebake
+    # the interleaved 8-field streams (~2x bytes; measured: a dense
+    # refresh plan compiled to 17.07 GB and OOM'd the 16 GB chip), while
+    # compact plans keep the target stream SPLIT and copy only it
+    # (4 of 16 B/sample -> 1.25x).  Admission budgets the copy per layout.
+    m_f32 = 2.0 if sharpen else 1.0
+    m_compact = 1.25 if sharpen else 1.0
     if mode == "auto":
         n_pairs = n_t * int(grids.rot.shape[0])
         n_points = int(cache["mask"].shape[0])
-        if not compact and plan_bytes_estimate(n_pairs, n_points) * mult > cap:
+        if (not compact
+                and plan_bytes_estimate(n_pairs, n_points) * m_f32 > cap):
             compact = True
-        if plan_bytes_estimate(n_pairs, n_points, compact=True) * mult > cap:
+        if (plan_bytes_estimate(n_pairs, n_points, compact=True) * m_compact
+                > cap):
             return None
         # sharpen_color rebinds cloud colors per query, forcing a per-query
         # target re-bake — only worth it when the XLA gather is slow enough
@@ -429,7 +434,8 @@ def _slab_admission(cfg, cache, grids, img_init):
             refresh=sharpen, compact=compact,
         ):
             return None
-    return dict(mode=mode, n_t=n_t, compact=compact, cap=cap // mult,
+    return dict(mode=mode, n_t=n_t, compact=compact,
+                cap=dict(f32=int(cap / m_f32), compact=int(cap / m_compact)),
                 sharpen=sharpen, wrap=bool(cfg_get(cfg, "seam_wrap", False)))
 
 
@@ -497,22 +503,43 @@ def _maybe_slab_plan(cfg, cache, grids, img_init, sync: bool = False):
     adm = _slab_admission(cfg, cache, grids, img_init)
     if adm is None:
         return None
-    from ..kernels.slab_sampling import PlanOverBudget, build_grid_plan
+    from ..kernels.slab_sampling import (
+        GROUP,
+        PlanOverBudget,
+        build_grid_plan,
+        plan_required_blocks,
+    )
 
     mode, n_t = adm["mode"], adm["n_t"]
     compact, cap, sharpen = adm["compact"], adm["cap"], adm["sharpen"]
     wrap = adm["wrap"]
 
-    def _build(compact):
+    def _build(compact, nb=None):
         return build_grid_plan(
             cache["xyz"], cache["rgb"], cache["mask"],
             grids.trans[:n_t], grids.rot,
             img_init.shape[0], img_init.shape[1],
             compact=compact, tp_is_pid=compact and sharpen, wrap=wrap,
+            nb=nb,
             # forced modes (slab_init=True) build whatever was asked for;
-            # only auto admission enforces the budget
-            bytes_cap=cap if mode == "auto" else None,
+            # only auto admission enforces the (layout-specific) budget
+            bytes_cap=(
+                cap["compact" if compact else "f32"]
+                if mode == "auto" else None
+            ),
         )
+
+    def _build_tight_compact():
+        # The geometric nb bucket trades ~33% padding for cross-room shape
+        # reuse; when that padding alone pushes a compact plan over the
+        # budget, retry ONCE with a tight (256-multiple) block count —
+        # forfeiting shape reuse for this room beats the XLA stage 1
+        # (~5x slower per query at dense scale).
+        raw = plan_required_blocks(
+            cache["xyz"], cache["mask"], grids.trans[:n_t], grids.rot,
+            img_init.shape[0], img_init.shape[1], wrap=wrap,
+        )
+        return _build(True, nb=-(-raw // 256) * 256)
 
     # -- plan lifecycle (round 3): disk persistence + background build ----
     use_disk = cfg_get(cfg, "slab_plan_cache", "auto")
@@ -615,6 +642,14 @@ def _maybe_slab_plan(cfg, cache, grids, img_init, sync: bool = False):
             def run(holder=holder, attempt=attempt):
                 try:
                     holder["plan"] = _build(attempt)
+                except PlanOverBudget as exc:
+                    if attempt:  # compact: try the tight-nb fallback
+                        try:
+                            holder["plan"] = _build_tight_compact()
+                        except Exception as exc2:
+                            holder["error"] = exc2
+                    else:
+                        holder["error"] = exc
                 except Exception as exc:
                     holder["error"] = exc
 
@@ -633,9 +668,15 @@ def _maybe_slab_plan(cfg, cache, grids, img_init, sync: bool = False):
             return cache[key]
         except PlanOverBudget:
             # exact size (known post-sizing) exceeded the estimate-admitted
-            # cap; demote f32 -> compact, then give up to the XLA stage 1
+            # cap; demote f32 -> compact -> tight-nb compact, then give up
+            # to the XLA stage 1
             if attempt:
-                return None
+                try:
+                    cache[key] = _build_tight_compact()
+                    _persist(cache[key], attempt)
+                    return cache[key]
+                except PlanOverBudget:
+                    return None
     return None
 
 

@@ -44,7 +44,7 @@ __all__ = [
 
 # Bump whenever the on-disk layout OR the plan semantics change (field
 # order, packing, window math) — old entries then miss by construction.
-PLAN_FORMAT_VERSION = 1
+PLAN_FORMAT_VERSION = 2
 
 
 def default_plan_cache_dir() -> str:
@@ -106,9 +106,11 @@ def save_plan(cache_dir: str, key: str, plan: GridPlan,
     """
     os.makedirs(cache_dir, exist_ok=True)
     # all groups share one padded block count, so the per-group arrays
-    # stack into two dense tensors
+    # stack into dense tensors
     fields = np.stack([np.asarray(f) for f in plan.fields])
     windows = np.stack([np.asarray(w) for w in plan.windows])
+    tps = (np.stack([np.asarray(t) for t in plan.tps])
+           if plan.tps else np.zeros((0,), np.float32))
     aux = np.array(
         [plan.n_pairs, int(plan.compact), int(plan.tp_is_pid),
          plan.height, plan.width, int(plan.wrap)],
@@ -118,7 +120,7 @@ def save_plan(cache_dir: str, key: str, plan: GridPlan,
     fd, tmp = tempfile.mkstemp(dir=cache_dir, suffix=".tmp")
     try:
         with os.fdopen(fd, "wb") as f:
-            np.savez(f, fields=fields, windows=windows, aux=aux)
+            np.savez(f, fields=fields, windows=windows, tps=tps, aux=aux)
         os.replace(tmp, path)
     except BaseException:
         if os.path.exists(tmp):
@@ -140,6 +142,7 @@ def load_plan(cache_dir: str, key: str) -> Optional[GridPlan]:
         with np.load(path) as z:
             fields = z["fields"]
             windows = z["windows"]
+            tps = z["tps"]
             aux = z["aux"]
     except Exception:
         # half-written or foreign file: treat as a miss (the atomic rename
@@ -156,6 +159,7 @@ def load_plan(cache_dir: str, key: str) -> Optional[GridPlan]:
     return GridPlan(
         fields=[jnp.asarray(f) for f in fields],
         windows=[jnp.asarray(w) for w in windows],
+        tps=[jnp.asarray(t) for t in tps] if tps.size else (),
         n_pairs=n_pairs, compact=bool(compact), tp_is_pid=bool(tp_is_pid),
         height=height, width=width, wrap=bool(wrap),
     )

@@ -143,11 +143,17 @@ class GridPlan:
              lidx/cid sentinels and contribute nothing.  Kept per group
              (not stacked) so plans never need one huge contiguous HBM
              allocation and the kernel runs one pallas_call per group.
-             COMPACT plans store (NB, 4, BLOCK): [lidx*128+cid, wx1, wy1,
-             tp] — 16 B/sample instead of 32 — where ``tp`` is the target
-             rgb packed as a 24-bit integer r<<16|g<<8|b (lossless for
-             uint8-sourced cloud colors, the loaders' output) or, for
-             refresh-capable plans (``tp_is_pid``), the source point id.
+             COMPACT plans store geometry (NB, 3, BLOCK) [lidx*128+cid,
+             wx1, wy1] with the payload SPLIT into ``tps`` (NB, BLOCK) —
+             16 B/sample total — where ``tp`` is the target rgb packed as
+             a 24-bit integer r<<16|g<<8|b (lossless for uint8-sourced
+             cloud colors, the loaders' output) or, for refresh-capable
+             plans (``tp_is_pid``), the source point id.  The split means
+             a per-query sharpen re-bake copies ONLY the 4 B/sample
+             target stream, not the whole plan (round 3; previously the
+             rebake doubled the plan's working HBM).
+    tps:     tuple of per-group (NB, 1, BLOCK) f32 target/pid streams
+             (compact plans only; empty for f32 plans).
     windows: tuple of per-group (NB,) int32 — aligned table-window index
              per block.
     n_pairs: static int — number of leading candidate pairs the plan covers
@@ -165,9 +171,11 @@ class GridPlan:
 
     def __init__(self, fields, windows, n_pairs: int,
                  compact: bool = False, tp_is_pid: bool = False,
-                 height: int = 0, width: int = 0, wrap: bool = False):
+                 height: int = 0, width: int = 0, wrap: bool = False,
+                 tps=()):
         self.fields = tuple(fields)
         self.windows = tuple(windows)
+        self.tps = tuple(tps)
         self.n_pairs = int(n_pairs)
         self.compact = bool(compact)
         self.tp_is_pid = bool(tp_is_pid)
@@ -177,20 +185,22 @@ class GridPlan:
 
     def tree_flatten(self):
         return (
-            (self.fields, self.windows),
+            (self.fields, self.windows, self.tps),
             (self.n_pairs, self.compact, self.tp_is_pid,
              self.height, self.width, self.wrap),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        fields, windows = children
-        return cls(fields, windows, *aux)
+        fields, windows, tps = children
+        return cls(fields, windows, *aux, tps=tps)
 
     @property
     def nbytes(self) -> int:
-        return sum(f.nbytes for f in self.fields) + sum(
-            w.nbytes for w in self.windows
+        return (
+            sum(f.nbytes for f in self.fields)
+            + sum(w.nbytes for w in self.windows)
+            + sum(t.nbytes for t in self.tps)
         )
 
 
@@ -398,12 +408,21 @@ def _plan_group(xyz, rgb, point_mask, t_g, ypr_g, *, height, width, nb,
         # lc = lidx*128 + cid: both exact small ints in f32; the kernel
         # decodes with power-of-two scalings (exact). Pad sentinel lc=-1
         # floors to lidx=-1 (selects no table row -> s=0 -> valid=0, so the
-        # decoded cid can never contribute loss OR count).
+        # decoded cid can never contribute loss OR count).  The target/pid
+        # stream is kept SPLIT from the geometry so a per-query re-bake
+        # copies only it (round 3).
         payload = jnp.stack(
-            (lidx * float(GROUP) + cid_s, wx_s, wy_s, tp_s), axis=-1
+            (lidx * float(GROUP) + cid_s, wx_s, wy_s), axis=-1
         )
-        empty = jnp.array([-1, 0, 0, 0], jnp.float32)
-        width_f = 4
+        empty = jnp.array([-1, 0, 0], jnp.float32)
+        width_f = 3
+        # (NB, 1, BLOCK): the middle singleton keeps Mosaic's block-shape
+        # rule satisfied (second-to-last block dim == array dim)
+        tps = (
+            jnp.zeros(nb * BLOCK, jnp.float32)
+            .at[positions].set(tp_s)
+            .reshape(nb, 1, BLOCK)
+        )
     else:
         payload = jnp.stack((lidx,) + srt[1:], axis=-1)  # (M, 8)
         # padding slots carry lidx=-1 / cid=-1 sentinels: both one-hots in
@@ -412,13 +431,14 @@ def _plan_group(xyz, rgb, point_mask, t_g, ypr_g, *, height, width, nb,
         # first row at full tap00 weight and pollute pair 0)
         empty = jnp.array([-1, 0, 0, 0, 0, 0, -1, 0], jnp.float32)
         width_f = 8
+        tps = None
     flat = (
         jnp.broadcast_to(empty, (nb * BLOCK, width_f))
         .at[positions].set(payload)
     )
     fields = flat.reshape(nb, BLOCK, width_f).transpose(0, 2, 1)
     windows = jnp.zeros(nb, jnp.int32).at[positions // BLOCK].max(window)
-    return fields, windows
+    return fields, windows, tps
 
 
 def build_grid_plan(
@@ -484,18 +504,20 @@ def build_grid_plan(
         if exact > bytes_cap:
             raise PlanOverBudget(exact, bytes_cap)
 
-    fields, windows = [], []
+    fields, windows, tps = [], [], []
     for g in range(n_groups):
-        f, w = _plan_group(
+        f, w, t = _plan_group(
             xyz, rgb, point_mask, *group_args(g),
             height=height, width=width, nb=nb,
             compact=compact, tp_is_pid=tp_is_pid, wrap=wrap,
         )
         fields.append(f)
         windows.append(w)
+        if t is not None:
+            tps.append(t)
     return GridPlan(fields=fields, windows=windows, n_pairs=P,
                     compact=compact, tp_is_pid=tp_is_pid,
-                    height=height, width=width, wrap=wrap)
+                    height=height, width=width, wrap=wrap, tps=tps)
 
 
 def _score_core(t1, t2, t3, li, x1, y1, tgt, cidf):
@@ -555,19 +577,19 @@ def _kernel(w_ref, t1, t2, t3, f_ref, out_ref):
     )
 
 
-def _kernel_compact(w_ref, t1, t2, t3, f_ref, out_ref):
-    """Compact-plan variant: decode [lc, wx1, wy1, tp] then the same core.
+def _kernel_compact(w_ref, t1, t2, t3, f_ref, tp_ref, out_ref):
+    """Compact-plan variant: decode [lc, wx1, wy1] + split tp, same core.
 
     All decodes are EXACT f32 arithmetic: lc/tp are ints < 2^24, the
     scalings are powers of two, and the final /255 divisions round the same
     way the loaders' i/255 did, so unpacked targets equal the f32-plan
     targets bit-for-bit for uint8-sourced colors.
     """
-    f = f_ref[0]                         # (4, BLOCK) f32
+    f = f_ref[0]                         # (3, BLOCK) f32
     lc = f[0:1]
     li = jnp.floor(lc * (1.0 / GROUP))
     cidf = lc - li * float(GROUP)
-    tp = f[3:4]
+    tp = tp_ref[0]                       # (1, BLOCK) f32 split stream
     tr = jnp.floor(tp * (1.0 / 65536.0))
     rem = tp - tr * 65536.0
     tg = jnp.floor(rem * (1.0 / 256.0))
@@ -607,12 +629,13 @@ def _check_refresh(compact: bool, tp_is_pid: bool, rgb) -> None:
 
 def slab_group_partials(tables, fields, windows, compact: bool,
                         rgb: Optional[jnp.ndarray] = None,
-                        vma=None):
+                        vma=None, tps: Optional[jnp.ndarray] = None):
     """(loss_sum, valid_count) per pair of ONE candidate group.
 
     ``tables``: the 3-way bf16 split from :func:`_slab_tables`;
     ``fields``/``windows``: one group's plan streams ((NB, nf, BLOCK) /
-    (NB,)).  Returning the raw accumulators (instead of the mean) is what
+    (NB,)); ``tps``: the split (NB, 1, BLOCK) target/pid stream (compact
+    plans).  Returning the raw accumulators (instead of the mean) is what
     lets the sharded path psum partials across point shards before the
     mean — exactness carries over because the mean's numerator and
     denominator are both plain sums over samples.
@@ -622,14 +645,14 @@ def slab_group_partials(tables, fields, windows, compact: bool,
     pallas_call's out_shape must declare its varying axes).
     """
     t1, t2, t3 = tables
-    nf = 4 if compact else 8
+    nf = 3 if compact else 8
     if rgb is not None:
         if compact:
-            # one packed gather replaces the three channel gathers
-            pids = fields[:, 3, :].astype(jnp.int32)
-            fields = fields.at[:, 3, :].set(
-                jnp.take(pack_rgb24(rgb), pids, axis=0)
-            )
+            # one packed gather re-bakes ONLY the split target stream
+            # (4 B/sample) — the geometry streams are untouched, so the
+            # per-query copy is 1/4 of the plan, not all of it
+            pids = tps.astype(jnp.int32)
+            tps = jnp.take(pack_rgb24(rgb), pids, axis=0)
         else:
             pids = fields[:, _F_PID, :].astype(jnp.int32)
             # channel-at-a-time keeps BLOCK as the trailing (lane) dim —
@@ -643,12 +666,20 @@ def slab_group_partials(tables, fields, windows, compact: bool,
     table_spec = lambda: pl.BlockSpec(
         (12, WINDOW), lambda b, wr: (0, wr[b]), memory_space=pltpu.VMEM
     )
+    in_specs = [table_spec(), table_spec(), table_spec(),
+                pl.BlockSpec((1, nf, BLOCK), lambda b, wr: (b, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    args = [windows, t1, t2, t3, fields]
+    if compact:
+        in_specs.append(
+            pl.BlockSpec((1, 1, BLOCK), lambda b, wr: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(tps)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
-        in_specs=[table_spec(), table_spec(), table_spec(),
-                  pl.BlockSpec((1, nf, BLOCK), lambda b, wr: (b, 0, 0),
-                               memory_space=pltpu.VMEM)],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 8, GROUP), lambda b, wr: (b, 0, 0),
                                memory_space=pltpu.VMEM),
     )
@@ -663,7 +694,7 @@ def slab_group_partials(tables, fields, windows, compact: bool,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=jax.default_backend() == "cpu",
-    )(windows, t1, t2, t3, fields)
+    )(*args)
     tot = jnp.sum(out[:, 0], axis=0)                        # (GROUP,)
     cnt = jnp.sum(out[:, 1], axis=0)
     return tot, cnt
@@ -691,13 +722,15 @@ def slab_pair_scores(
     tables = _slab_tables(img, H, W, wrap=plan.wrap)
     _check_refresh(plan.compact, plan.tp_is_pid, rgb)
 
-    def group_scores(fields, windows):
+    def group_scores(fields, windows, tps):
         tot, cnt = slab_group_partials(tables, fields, windows,
-                                       plan.compact, rgb)
+                                       plan.compact, rgb, tps=tps)
         mean = tot / jnp.maximum(cnt, 1.0)
         return jnp.where(cnt > 0, mean, jnp.inf)
 
+    tps_seq = plan.tps if plan.compact else (None,) * len(plan.fields)
     scores = jnp.concatenate([
-        group_scores(f, w) for f, w in zip(plan.fields, plan.windows)
+        group_scores(f, w, t)
+        for f, w, t in zip(plan.fields, plan.windows, tps_seq)
     ])
     return scores[: plan.n_pairs]

@@ -67,9 +67,10 @@ class ShardedGridPlan:
 
     def __init__(self, fields, windows, n_pairs: int, compact: bool,
                  tp_is_pid: bool, height: int, width: int,
-                 wrap: bool = False):
+                 wrap: bool = False, tps=None):
         self.fields = fields
         self.windows = windows
+        self.tps = tps  # (n_point, n_cand, Gc, NB, BLOCK) or None (f32)
         self.n_pairs = int(n_pairs)
         self.compact = bool(compact)
         self.tp_is_pid = bool(tp_is_pid)
@@ -79,18 +80,22 @@ class ShardedGridPlan:
 
     def tree_flatten(self):
         return (
-            (self.fields, self.windows),
+            (self.fields, self.windows, self.tps),
             (self.n_pairs, self.compact, self.tp_is_pid,
              self.height, self.width, self.wrap),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, *aux)
+        fields, windows, tps = children
+        return cls(fields, windows, *aux, tps=tps)
 
     @property
     def nbytes(self) -> int:
-        return self.fields.nbytes + self.windows.nbytes
+        return (
+            self.fields.nbytes + self.windows.nbytes
+            + (self.tps.nbytes if self.tps is not None else 0)
+        )
 
 
 jax.tree_util.register_pytree_node(
@@ -164,7 +169,7 @@ def shard_grid_plan(
 
     nb = nb_bucket(max(required(s) for s in range(n_point)))
 
-    fields_all, windows_all = [], []
+    fields_all, windows_all, tps_all = [], [], []
     n_pairs = None
     for s in range(n_point):
         plan = build_grid_plan(
@@ -174,11 +179,13 @@ def shard_grid_plan(
         n_pairs = plan.n_pairs
         f = np.stack([np.asarray(x) for x in plan.fields])  # (G, NB, nf, B)
         w = np.stack([np.asarray(x) for x in plan.windows])  # (G, NB)
+        t = (np.stack([np.asarray(x) for x in plan.tps])
+             if compact else None)                           # (G, NB, 1, B)
         gpad = (-f.shape[0]) % n_cand
         if gpad:
             # empty groups: sentinel payloads contribute nothing
             empty = np.broadcast_to(
-                np.array([-1, 0, 0, 0] if compact
+                np.array([-1, 0, 0] if compact
                          else [-1, 0, 0, 0, 0, 0, -1, 0], np.float32)[:, None],
                 (f.shape[2], BLOCK),
             )
@@ -186,8 +193,14 @@ def shard_grid_plan(
                 [f, np.broadcast_to(empty, (gpad,) + f.shape[1:])]
             )
             w = np.concatenate([w, np.zeros((gpad,) + w.shape[1:], w.dtype)])
+            if t is not None:
+                t = np.concatenate(
+                    [t, np.zeros((gpad,) + t.shape[1:], t.dtype)]
+                )
         fields_all.append(f.reshape(n_cand, f.shape[0] // n_cand, *f.shape[1:]))
         windows_all.append(w.reshape(n_cand, w.shape[0] // n_cand, *w.shape[1:]))
+        if t is not None:
+            tps_all.append(t.reshape(n_cand, t.shape[0] // n_cand, *t.shape[1:]))
 
     dev = lambda spec: NamedSharding(mesh, spec)
     fields = jax.device_put(
@@ -197,9 +210,16 @@ def shard_grid_plan(
     windows = jax.device_put(
         np.stack(windows_all), dev(P("point", "cand", None, None))
     )
+    tps = (
+        jax.device_put(
+            np.stack(tps_all),
+            dev(P("point", "cand", None, None, None, None)),
+        )
+        if compact else None
+    )
     return ShardedGridPlan(
         fields=fields, windows=windows, n_pairs=n_pairs, compact=compact,
-        tp_is_pid=tp_is_pid, height=height, width=width, wrap=wrap,
+        tp_is_pid=tp_is_pid, height=height, width=width, wrap=wrap, tps=tps,
     )
 
 
@@ -300,7 +320,7 @@ def _localize_query_sharded_jit(
         )
         return s.reshape(-1)
 
-    def stage1_slab(img, rgb_l, fields_l, windows_l):
+    def stage1_slab(img, rgb_l, fields_l, windows_l, tps_l=None):
         # the mesh composition of the sorted-slab MXU kernel: each device
         # runs the kernel over its own (point-shard, cand-group-slice)
         # streams; ONE psum of the (loss_sum, count) accumulators over
@@ -312,9 +332,13 @@ def _localize_query_sharded_jit(
         tables = _slab_tables(img, H, W, wrap=plan.wrap)
         fl = fields_l[0, 0]                    # (Gc, NB, nf, BLOCK)
         wl = windows_l[0, 0]
+        tl = tps_l[0, 0] if tps_l is not None else None
         ref = rgb_l if plan_refresh_rgb else None
         parts = [
-            slab_group_partials(tables, fl[g], wl[g], plan.compact, ref)
+            slab_group_partials(
+                tables, fl[g], wl[g], plan.compact, ref,
+                tps=tl[g] if tl is not None else None,
+            )
             for g in range(fl.shape[0])
         ]
         tot = jax.lax.psum(
@@ -351,17 +375,22 @@ def _localize_query_sharded_jit(
         # carries, and no gradients flow through stage-1 scores (they feed
         # top_k only) — while the descent (where a disabled check could
         # silently double-count psum gradients) keeps checking ON.
+        specs = [
+            P(), P("point", None),
+            P("point", "cand", None, None, None, None),
+            P("point", "cand", None, None),
+        ]
+        args = [img_init, rgb, plan.fields, plan.windows]
+        if plan.tps is not None:
+            specs.append(P("point", "cand", None, None, None, None))
+            args.append(plan.tps)
         s_slab = shard_map(
             stage1_slab,
             mesh=mesh,
-            in_specs=(
-                P(), P("point", None),
-                P("point", "cand", None, None, None, None),
-                P("point", "cand", None, None),
-            ),
+            in_specs=tuple(specs),
             out_specs=P("cand"),
             check_vma=False,
-        )(img_init, rgb, plan.fields, plan.windows)
+        )(*args)
         s_all = s_slab[: min(plan.n_pairs, T * R)]
         pad_n = pair_t.shape[0] - s_all.shape[0]
         if pad_n:

@@ -212,9 +212,10 @@ def test_harness_sync_flag_bypasses_background(scene):
 
 def test_admission_budgets_the_sharpen_refresh_copy(scene):
     """sharpen's per-query target re-bake materialises a rebaked COPY of
-    the plan streams in-program, so refresh-capable plans cost ~2x their
-    bytes of HBM — admission must budget the copy (regression: a 7 GB
-    compact plan OOM'd a 16 GB chip at 17.07 GB under sharpen)."""
+    what it rewrites in-program: ~2x bytes for f32 plans (interleaved
+    streams; a real 7 GB plan OOM'd a 16 GB chip at 17.07 GB), 1.25x for
+    compact plans (round 3 split the target stream out so only it is
+    copied).  Admission must budget per layout."""
     from piccolo_tpu.harness.localize import _slab_admission
     from piccolo_tpu.kernels.slab_sampling import plan_bytes_estimate
 
@@ -222,19 +223,15 @@ def test_admission_budgets_the_sharpen_refresh_copy(scene):
     img = np.asarray(scene["img"])
     n_pairs = 3 * 4
     n_points = int(cache["mask"].shape[0])
-    compact_est = plan_bytes_estimate(n_pairs, n_points, compact=True)
-    # cap fits one compact plan but NOT plan + rebaked copy
-    cap = int(compact_est * 1.5)
+    est_c = plan_bytes_estimate(n_pairs, n_points, compact=True)
 
     def cfg(**kw):
-        kw.setdefault("slab_bytes_cap", cap)
         return make_config(
             dataset="Stanford2D-3D-S", slab_init="auto", **kw,
         )
 
-    # no sharpen: admitted (plain mode has no rebake copy).  Auto mode
-    # gates off on CPU backends and the worthwhile cost model rejects toy
-    # workloads; bypass both to isolate the BUDGET logic.
+    # Auto mode gates off on CPU backends and the worthwhile cost model
+    # rejects toy workloads; bypass both to isolate the BUDGET logic.
     import jax
 
     import piccolo_tpu.kernels.slab_sampling as slab_mod
@@ -244,18 +241,33 @@ def test_admission_budgets_the_sharpen_refresh_copy(scene):
     jax.default_backend = lambda: "tpu"
     slab_mod.slab_worthwhile = lambda *a, **k: True
     try:
-        adm = _slab_admission(cfg(), cache, grids, img)
-        assert adm is not None
-        # sharpen: the same cap must now refuse (2x compact > cap)
+        # cap fits a compact plan + its split-stream copy (1.25x) but not
+        # an f32-style full copy: sharpen is ADMITTED (the split is the
+        # point), with the build cap scaled down by the copy factor
+        cap = int(est_c * 1.5)
+        adm = _slab_admission(
+            cfg(sharpen_color=True, slab_bytes_cap=cap), cache, grids, img
+        )
+        assert adm is not None and adm["compact"]
+        assert adm["cap"]["compact"] == int(cap / 1.25)
+        # cap below 1.25x compact: sharpen refused (copy would not fit)
         assert _slab_admission(
-            cfg(sharpen_color=True), cache, grids, img
+            cfg(sharpen_color=True, slab_bytes_cap=int(est_c * 1.2)),
+            cache, grids, img,
         ) is None
-        # double the cap: sharpen admits again, with the halved build cap
+        # ...while the SAME cap without sharpen admits (no copy)
         adm2 = _slab_admission(
-            cfg(sharpen_color=True, slab_bytes_cap=4 * compact_est),
+            cfg(slab_bytes_cap=int(est_c * 1.2)), cache, grids, img
+        )
+        assert adm2 is not None and adm2["cap"]["compact"] == int(est_c * 1.2)
+        # f32 plans rebake interleaved streams: a cap fitting one f32 plan
+        # but not two demotes sharpen runs to compact
+        est_f = plan_bytes_estimate(n_pairs, n_points)
+        adm3 = _slab_admission(
+            cfg(sharpen_color=True, slab_bytes_cap=int(est_f * 1.5)),
             cache, grids, img,
         )
-        assert adm2 is not None and adm2["cap"] == 2 * compact_est
+        assert adm3 is not None and adm3["compact"]
     finally:
         jax.default_backend = real
         slab_mod.slab_worthwhile = real_worth
