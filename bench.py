@@ -13,6 +13,9 @@ Modes:
                 60k-point cloud, 2048x1024 pano, 150-trans (z_prior) x 8-yaw
                 init at full resolution -> top-50 -> 6 starts x 100 iters.
   --staged      three-stage dispatch path instead of the fused program.
+  --breakdown   per-stage fetch-forced timings (stage1/stage2/descent) on
+                the staged dispatch path — reproduces the
+                docs/PERFORMANCE.md "Where the time goes" numbers.
 
 ``vs_baseline`` compares against the PyTorch reference running the SAME
 workload (same synthetic scene generator, same budgets) measured on this
@@ -139,6 +142,80 @@ def main() -> None:
             xyz_d, rgb_d, mask_d, trans_grid[:n_trans], rot_grid,
             pano_hw[0] // init_step, pano_hw[1] // init_step,
         )
+
+    if "--breakdown" in sys.argv:
+        # Per-stage fetch-forced timing (the staged dispatch path), for
+        # reproducing docs/PERFORMANCE.md "Where the time goes" numbers.
+        import jax.numpy as jnp  # noqa: F811 (clarity)
+
+        from piccolo_tpu.kernels.slab_sampling import slab_pair_scores
+
+        # un-jitted slab_pair_scores dispatches each group's ops eagerly
+        # (measured ~2.4 s of frontend overhead); one jit restores the
+        # fused path's ~50 ms kernel time
+        score_slab = jax.jit(slab_pair_scores)
+
+        def one_breakdown(seed: int):
+            q = np.random.default_rng(seed)
+            gt_t, gt_ypr = random_pose_inside(q, size)
+            img_main = render_at(xyz, rgb, gt_t, gt_ypr, pano_hw)
+            img_init = img_main[::init_step, ::init_step]
+            np.asarray(img_init[0, 0])
+            t0 = time.time()
+            if plan is not None:
+                scores = score_slab(jnp.asarray(img_init), plan)
+            else:
+                from piccolo_tpu.init.refine import score_pose_grid
+
+                scores = score_pose_grid(
+                    jnp.asarray(img_init), xyz_d, rgb_d,
+                    trans_grid, rot_grid, mask_d, valid=trans_valid,
+                )
+            np.asarray(scores[0])
+            s1 = time.time() - t0
+            k1 = min(num_intermediate, scores.shape[0])
+            _, idx1 = jax.lax.top_k(-scores, k1)
+            if plan is not None:
+                pt = jnp.repeat(trans_grid[:n_trans], rot_grid.shape[0], 0)
+                pr = jnp.tile(rot_grid, (n_trans, 1))
+            else:
+                pt = jnp.repeat(trans_grid, rot_grid.shape[0], 0)
+                pr = jnp.tile(rot_grid, (trans_grid.shape[0], 1))
+            t1c = jnp.take(pt, idx1, axis=0)
+            r1c = jnp.take(pr, idx1, axis=0)
+            t0 = time.time()
+            t2c, r2c = trim_by_hist(
+                img_init, xyz_d, rgb_d, t1c, r1c, 6, 4, 4, mask_d
+            )
+            np.asarray(t2c[0])
+            s2 = time.time() - t0
+            t0 = time.time()
+            res = descend(
+                img_main, xyz_d, rgb_d, t2c, r2c, lo_d, hi_d, mask_d,
+                num_iter=100, lr=0.1, patience=5, factor=0.8, masked=True,
+                table_dtype=descent_table,
+            )
+            k = int(jnp.argmin(res.loss))
+            t = np.asarray(res.t[k])
+            s3 = time.time() - t0
+            return s1, s2, s3, float(np.linalg.norm(t - gt_t))
+
+        one_breakdown(100)  # compile
+        rows = [one_breakdown(200 + i) for i in range(5)]
+        out = {
+            "metric": f"per_stage_seconds ({mode}, staged dispatch)",
+            "stage1_s": round(float(np.median([r[0] for r in rows])), 4),
+            "stage2_s": round(float(np.median([r[1] for r in rows])), 4),
+            "descent_s": round(float(np.median([r[2] for r in rows])), 4),
+            "median_t_err_m": round(
+                float(np.median([r[3] for r in rows])), 4
+            ),
+            "stage1_impl": "slab" if plan is not None else "xla",
+            "descent_table": descent_table,
+            "device": str(jax.devices()[0]),
+        }
+        print(json.dumps(out))
+        return
 
     def one_query(seed: int):
         q = np.random.default_rng(seed)

@@ -535,11 +535,16 @@ def _maybe_slab_plan(cfg, cache, grids, img_init, sync: bool = False):
         # budget, retry ONCE with a tight (256-multiple) block count —
         # forfeiting shape reuse for this room beats the XLA stage 1
         # (~5x slower per query at dense scale).
+        from ..kernels.slab_sampling import nb_bucket
+
         raw = plan_required_blocks(
             cache["xyz"], cache["mask"], grids.trans[:n_t], grids.rot,
             img_init.shape[0], img_init.shape[1], wrap=wrap,
         )
-        return _build(True, nb=-(-raw // 256) * 256)
+        # 256-rounding can EXCEED the geometric bucket at small counts;
+        # never retry with a bigger plan than the one that just failed
+        nb = min(-(-raw // 256) * 256, nb_bucket(raw))
+        return _build(True, nb=nb)
 
     # -- plan lifecycle (round 3): disk persistence + background build ----
     use_disk = cfg_get(cfg, "slab_plan_cache", "auto")

@@ -265,3 +265,29 @@ def test_cli_mesh_with_staged_config_warns_and_falls_back(
     assert "staged path" in out and "single-device" in out
     _, rows = _read_results(os.path.join(log, "stanford_results.csv"))
     assert len(rows) == 2
+
+
+def test_cli_seam_wrap_runs_and_differs(synth_root, tmp_path):
+    """seam_wrap=True plumbs config -> harness -> pipeline: the run
+    completes with mm-level accuracy and produces (slightly) different
+    poses than the default clip mode."""
+    from piccolo_tpu.main import main
+
+    cfg = _write_cfg(str(tmp_path / "cfg.ini"), "Stanford2D-3D-S", synth_root)
+    log_a = str(tmp_path / "log_clip")
+    log_b = str(tmp_path / "log_wrap")
+    common = "num_iter=20,room_name=office_1"
+    main(["--config", cfg, "--log", log_a, "--no-tensorboard",
+          "--override", common])
+    main(["--config", cfg, "--log", log_b, "--no-tensorboard",
+          "--override", common + ",seam_wrap=True"])
+    _, rows_a = _read_results(os.path.join(log_a, "stanford_results.csv"))
+    _, rows_b = _read_results(os.path.join(log_b, "stanford_results.csv"))
+    assert len(rows_a) == len(rows_b) >= 2
+    # both succeed; the sampled loss differs at the seam band, so the
+    # final poses are close but not bitwise identical
+    t_cols = [r[5] for r in rows_a], [r[5] for r in rows_b]
+    assert t_cols[0] != t_cols[1]
+    for rows in (rows_a, rows_b):
+        for r in rows:
+            assert float(r[7]) < 0.2  # t_err column
