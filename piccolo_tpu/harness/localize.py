@@ -627,13 +627,19 @@ def _maybe_slab_plan(cfg, cache, grids, img_init, sync: bool = False):
                 _persist(holder["plan"], attempt)
                 return cache[key]
             if isinstance(err, PlanOverBudget) and not attempt:
-                continue  # demote f32 -> compact
+                # demote f32 -> compact; mark f32 failed so later queries
+                # don't respawn its build (regression: the popped pending
+                # entry left no trace and the f32 build re-ran per query)
+                cache[("slab_plan_failed",) + key[1:]] = True
+                continue
             print(f"slab plan build failed ({err}); using XLA stage 1",
                   flush=True)
             cache[("slab_plan_failed",) + key[1:]] = True
             return None
         if (("slab_plan_failed",) + key[1:]) in cache:
-            return None
+            if attempt:
+                return None
+            continue  # f32 failed earlier; fall through to compact
         if use_disk:
             plan = pc.load_plan(cache_dir, _disk_key(attempt))
             if plan is not None:

@@ -311,3 +311,53 @@ def test_tight_nb_retry_on_bucket_padding_overrun(scene, monkeypatch):
     # demotion chain: f32 bucketed -> compact bucketed -> compact tight
     # (1100 raw -> 1280 as a 256-multiple, under the 1536 bucket)
     assert calls == [None, None, 1280], calls
+
+
+def test_background_demotion_does_not_respawn_f32(scene, monkeypatch):
+    """After an f32 PlanOverBudget in a background build, later queries
+    must proceed to the compact attempt — not respawn the f32 build every
+    query, and not get stuck on the failed marker (regression)."""
+    import jax
+
+    import piccolo_tpu.kernels.slab_sampling as sm
+    from piccolo_tpu.harness.localize import _maybe_slab_plan
+
+    builds = []
+    real_build = sm.build_grid_plan
+
+    def fake_build(*a, compact=False, bytes_cap=None, nb=None, **k):
+        builds.append(("compact" if compact else "f32", nb))
+        if not compact:
+            raise sm.PlanOverBudget(100, 50)
+        return real_build(*a, compact=compact, nb=nb, **k)
+
+    monkeypatch.setattr(sm, "build_grid_plan", fake_build)
+    monkeypatch.setattr(sm, "slab_worthwhile", lambda *a, **k: True)
+    real_backend = jax.default_backend
+    jax.default_backend = lambda: "tpu"
+    try:
+        cfg = make_config(
+            dataset="Stanford2D-3D-S", slab_init="auto",
+            slab_plan_cache=False, slab_background_build=True,
+            slab_bytes_cap=10**12,
+        )
+        cache, grids = _room_state(scene)
+        img = np.asarray(scene["img"])
+        # q0: spawns the f32 build, serves XLA
+        assert _maybe_slab_plan(cfg, cache, grids, img) is None
+        for k in list(cache):
+            if isinstance(k, tuple) and k[0] == "slab_plan_pending":
+                cache[k]["thread"].join(timeout=60)
+        # q1: sees the f32 over-budget, demotes, spawns the compact build
+        assert _maybe_slab_plan(cfg, cache, grids, img) is None
+        for k in list(cache):
+            if isinstance(k, tuple) and k[0] == "slab_plan_pending":
+                cache[k]["thread"].join(timeout=60)
+        # q2: installs the compact plan
+        plan = _maybe_slab_plan(cfg, cache, grids, img)
+        assert plan is not None and plan.compact
+        # q3: cached; and exactly ONE f32 attempt ever ran
+        assert _maybe_slab_plan(cfg, cache, grids, img) is plan
+    finally:
+        jax.default_backend = real_backend
+    assert [b[0] for b in builds] == ["f32", "compact"], builds
