@@ -64,6 +64,15 @@ from .prefetch import AsyncWriter, Prefetcher
 
 __all__ = ["localize_stanford", "localize_omniscenes", "get_init_dict"]
 
+# One slab-plan build at a time, process-wide: when the loop moves to the
+# next room while a background build is still in flight, the orphaned
+# build keeps its HBM until it finishes — without the gate the next
+# room's build would run CONCURRENTLY and two near-cap plans could be
+# transiently resident (review r3 #1).
+import threading as _threading
+
+_PLAN_BUILD_GATE = _threading.Semaphore(1)
+
 
 def get_init_dict(cfg) -> Dict:
     """Materialise the init hyperparameters (reference localize.py:18-73)."""
@@ -652,11 +661,13 @@ def _maybe_slab_plan(cfg, cache, grids, img_init, sync: bool = False):
 
             def run(holder=holder, attempt=attempt):
                 try:
-                    holder["plan"] = _build(attempt)
+                    with _PLAN_BUILD_GATE:
+                        holder["plan"] = _build(attempt)
                 except PlanOverBudget as exc:
                     if attempt:  # compact: try the tight-nb fallback
                         try:
-                            holder["plan"] = _build_tight_compact()
+                            with _PLAN_BUILD_GATE:
+                                holder["plan"] = _build_tight_compact()
                         except Exception as exc2:
                             holder["error"] = exc2
                     else:
@@ -674,16 +685,21 @@ def _maybe_slab_plan(cfg, cache, grids, img_init, sync: bool = False):
             t.start()
             return None  # first queries run the XLA stage 1 meanwhile
         try:
-            cache[key] = _build(attempt)
+            with _PLAN_BUILD_GATE:
+                cache[key] = _build(attempt)
             _persist(cache[key], attempt)
             return cache[key]
         except PlanOverBudget:
             # exact size (known post-sizing) exceeded the estimate-admitted
             # cap; demote f32 -> compact -> tight-nb compact, then give up
-            # to the XLA stage 1
+            # to the XLA stage 1.  Mark the failed layout so later queries
+            # skip straight past it instead of re-running the full sizing
+            # pass every time (review r3 #2).
+            cache[("slab_plan_failed",) + key[1:]] = True
             if attempt:
                 try:
-                    cache[key] = _build_tight_compact()
+                    with _PLAN_BUILD_GATE:
+                        cache[key] = _build_tight_compact()
                     _persist(cache[key], attempt)
                     return cache[key]
                 except PlanOverBudget:

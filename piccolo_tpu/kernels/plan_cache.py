@@ -152,7 +152,10 @@ def load_plan(cache_dir: str, key: str) -> Optional[GridPlan]:
         except OSError:
             pass
         return None
-    os.utime(path)  # LRU touch
+    try:
+        os.utime(path)  # LRU touch
+    except OSError:
+        pass  # concurrently evicted: the data is already in memory
     n_pairs, compact, tp_is_pid, height, width, wrap = (
         int(v) for v in aux
     )
@@ -168,15 +171,31 @@ def load_plan(cache_dir: str, key: str) -> Optional[GridPlan]:
 def evict_lru(cache_dir: str, max_bytes: int) -> int:
     """Delete oldest-touched plans until the directory fits the budget.
 
-    Returns the number of entries removed.
+    Also sweeps .tmp orphans older than an hour — a process killed mid
+    np.savez (SIGKILL/OOM) leaves multi-GB temporaries that the '.npz'
+    budget would otherwise never see.  Returns the entries removed.
     """
+    import time as _time
+
+    try:
+        names = os.listdir(cache_dir)
+    except OSError:
+        return 0
+    for n in names:
+        if n.endswith(".tmp"):
+            p = os.path.join(cache_dir, n)
+            try:
+                if _time.time() - os.path.getmtime(p) > 3600:
+                    os.unlink(p)
+            except OSError:
+                pass
     try:
         entries = [
             (os.path.getmtime(p), os.path.getsize(p), p)
             for p in (
-                os.path.join(cache_dir, n) for n in os.listdir(cache_dir)
+                os.path.join(cache_dir, n) for n in names
             )
-            if p.endswith(".npz")
+            if p.endswith(".npz") and os.path.exists(p)
         ]
     except OSError:
         return 0

@@ -87,8 +87,9 @@ def init_distributed(
     ``query_shards=jax.process_count(), query_shard_index=jax.process_index()``.
 
     Three argument paths:
-      * explicit: all of ``coordinator_address``/``num_processes``/
-        ``process_id`` — initialization errors propagate;
+      * explicit: ``coordinator_address`` (alone — jax infers
+        num_processes/process_id on TPU pods — or with both) —
+        initialization errors propagate;
       * ``num_processes=1`` (no coordinator): explicit single-process no-op;
       * none: auto-detect.  If auto-init FAILS while cluster launch env vars
         are present (coordinator address, SLURM/TPU-pod markers), that is a
@@ -98,14 +99,11 @@ def init_distributed(
 
     Returns the process index.
     """
-    explicit = (coordinator_address is not None, process_id is not None)
-    if any(explicit) and not (
-        all(explicit) and num_processes is not None
-    ):
+    if process_id is not None and coordinator_address is None:
         raise ValueError(
-            "pass coordinator_address, num_processes and process_id "
-            "together (explicit cluster), num_processes=1 alone "
-            "(single process), or nothing (auto-detect)"
+            "process_id without coordinator_address is meaningless — pass "
+            "both (num_processes may be inferred on TPU pods), "
+            "num_processes=1 alone, or nothing (auto-detect)"
         )
     if coordinator_address is not None:
         jax.distributed.initialize(

@@ -66,6 +66,7 @@ class ServiceOverloaded(RuntimeError):
     get an explicit backpressure signal instead of growing latency.
     """
 
+
 _CFG_DEFAULTS = dict(
     dataset="Stanford2D-3D-S",
     sample_rate=1,
@@ -97,6 +98,14 @@ class LocalizeService:
                 "serving runs the fused pipeline only; drop "
                 "sample_rate_for_init / non-default criterion (or fused="
                 "False) from the config"
+            )
+        if cfg_get(cfg, "visualize", False):
+            # the fused pipeline CAN return trajectories (round 3), but
+            # serving has no per-iteration artifact surface — reject
+            # loudly rather than silently ignoring the key
+            raise ValueError(
+                "serving returns no per-iteration artifacts; drop "
+                "visualize=True from the config"
             )
         self.mesh = _maybe_mesh(cfg)
         # two locks: device compute is chip-serial; the room registry must
@@ -378,11 +387,13 @@ def serve_forever(service: LocalizeService, host: str = "127.0.0.1",
     paths_allowed = host in _LOOPBACK_HOSTS or data_root is not None
 
     class Handler(BaseHTTPRequestHandler):
-        def _reply(self, code: int, obj: Dict) -> None:
+        def _reply(self, code: int, obj: Dict, headers=None) -> None:
             body = json.dumps(obj).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            for k, v in (headers or {}).items():
+                self.send_header(k, v)
             self.end_headers()
             self.wfile.write(body)
 
@@ -437,15 +448,10 @@ def serve_forever(service: LocalizeService, host: str = "127.0.0.1",
             # errors subclass it, and "no room loaded" is server-side too.
             except ServiceOverloaded as exc:
                 # explicit backpressure: retryable, distinct from 4xx/5xx
-                body = json.dumps(
-                    {"error": f"ServiceOverloaded: {exc}"}
-                ).encode()
-                self.send_response(503)
-                self.send_header("Retry-After", "1")
-                self.send_header("Content-Type", "application/json")
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
+                self._reply(
+                    503, {"error": f"ServiceOverloaded: {exc}"},
+                    headers={"Retry-After": "1"},
+                )
             except (ValueError, KeyError, json.JSONDecodeError,
                     FileNotFoundError) as exc:
                 self._reply(400, {"error": f"{type(exc).__name__}: {exc}"})

@@ -41,10 +41,19 @@ def test_single_process_noop(fake_init):
     assert fake_init == []
 
 
+def test_coordinator_only_is_forwarded(fake_init):
+    """coordinator_address alone is a JAX-supported pod launch (the pod
+    environment infers num_processes/process_id) — it must be forwarded,
+    not rejected (review r3 #4)."""
+    init_distributed("10.0.0.1:1234")
+    assert fake_init == [dict(
+        coordinator_address="10.0.0.1:1234", num_processes=None,
+        process_id=None,
+    )]
+
+
 def test_partial_args_rejected(fake_init):
-    with pytest.raises(ValueError, match="together"):
-        init_distributed("10.0.0.1:1234")
-    with pytest.raises(ValueError, match="together"):
+    with pytest.raises(ValueError, match="process_id without"):
         init_distributed(process_id=0)
     with pytest.raises(ValueError, match="coordinator_address"):
         init_distributed(num_processes=4)

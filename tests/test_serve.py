@@ -128,9 +128,11 @@ def test_multi_room_lru_and_selection(scene):
 def test_service_rejects_staged_only_config():
     with pytest.raises(ValueError, match="fused"):
         LocalizeService(sample_rate_for_init=2, **_CFG)
-    # visualize no longer forces the staged path (round 3: the fused
-    # program returns trajectories), so serving accepts it (and ignores it)
-    LocalizeService(visualize=True, **_CFG)
+    # visualize rides the fused path in the batch CLI (round 3), but
+    # serving still has no per-iteration artifact surface — reject loudly
+    # rather than silently ignoring the key
+    with pytest.raises(ValueError, match="visualize"):
+        LocalizeService(visualize=True, **_CFG)
 
 
 def test_service_prep_matches_harness_semantics(scene):
