@@ -327,8 +327,8 @@ def _check_mesh_usable(mesh, fused: bool, vis: bool = False):
     """Surface (loudly) that multi-chip needs the (non-visualize) fused path.
 
     ``n_devices`` routes queries through the sharded fused program; configs
-    that force the staged path (sample_rate_for_init, non-default
-    criterion — see _use_fused) have no sharded equivalent, and the sharded
+    that force the staged path (sample_rate_for_init, unknown criterion
+    values — see _use_fused) have no sharded equivalent, and the sharded
     descent returns no per-iteration trajectories (visualize).  Silently
     running single-device would betray an explicit multi-chip request, so
     say it.
@@ -336,7 +336,7 @@ def _check_mesh_usable(mesh, fused: bool, vis: bool = False):
     if mesh is not None and (not fused or vis):
         print(
             "WARNING: n_devices requested but this config has no sharded "
-            "program (sample_rate_for_init / non-default criterion need "
+            "program (sample_rate_for_init / unknown criterion need "
             "the staged path; visualize needs per-iteration trajectories); "
             "running single-device.\n"
         )
@@ -358,14 +358,18 @@ def _use_fused(cfg, init_dict) -> bool:
 
     ``fused = True`` (default) routes queries through pipeline.localize_query
     — one device dispatch per query.  Falls back to the staged path when a
-    feature needs staged semantics: an init-only subsample mask or a
-    non-default criterion.  (``visualize`` no longer forces the staged
-    path — round 3: the fused program returns per-iteration trajectories.)
+    feature needs staged semantics: an init-only subsample mask or an
+    unknown criterion (both supported criteria — 'loss_histogram' and the
+    'loss' extension — run fused; unknown values take the staged path so
+    make_input raises its clear ValueError).  (``visualize`` no longer
+    forces the staged path — round 3: the fused program returns
+    per-iteration trajectories.)
     """
     return (
         cfg_get(cfg, "fused", True)
         and init_dict.get("sample_rate_for_init") is None
-        and cfg_get(cfg, "criterion", "loss_histogram") == "loss_histogram"
+        and cfg_get(cfg, "criterion", "loss_histogram")
+        in ("loss_histogram", "loss")
     )
 
 
@@ -730,6 +734,7 @@ def _run_fused(img_init, img_main, cache, rgb_used, cfg, init_dict, grids,
         lr=cfg_get(cfg, "lr", 0.1),
         patience=cfg_get(cfg, "patience", 5),
         factor=cfg_get(cfg, "factor", 0.9),
+        criterion=cfg_get(cfg, "criterion", "loss_histogram"),
     )
     descent_table = cfg_get(cfg, "descent_table", "auto")
     seam_wrap = bool(cfg_get(cfg, "seam_wrap", False))

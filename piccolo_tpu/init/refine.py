@@ -295,12 +295,19 @@ def make_input(
     Orchestration parity with reference make_input (utils.py:591-629).
     Returns numpy (num_input, 3) translation and rotation starting points.
 
-    Only criterion='loss_histogram' exists (the reference's other branch is
-    unreachable/broken — utils.py:625-627); anything else raises ValueError.
+    ``criterion='loss_histogram'`` (the default, and the only value that
+    works in the reference — every other value falls through its branch
+    ladder into an UnboundLocalError, utils.py:625-627) runs the loss trim
+    then the histogram trim.  ``criterion='loss'`` is a WORKING EXTENSION:
+    the top ``num_input`` pairs by sampling loss directly, skipping the
+    per-candidate pano render + histogram stage entirely
+    (``num_intermediate`` is unused) — a faster init at some robustness
+    cost in texture-ambiguous rooms.  Anything else raises ValueError.
     """
-    if criterion != "loss_histogram":
+    if criterion not in ("loss_histogram", "loss"):
         raise ValueError(
-            f"criterion={criterion!r} not supported (only 'loss_histogram')"
+            f"criterion={criterion!r} not supported "
+            "('loss_histogram' or 'loss')"
         )
 
     xyz_np_full = np.asarray(xyz)
@@ -333,6 +340,12 @@ def make_input(
         # Keep shapes static: drop points via the mask instead of gathering
         # a dynamic subset.
         in_mask = keep_j if point_mask is None else (point_mask & keep_j)
+
+    if criterion == "loss":
+        t2, r2 = trim_by_loss(
+            img, in_xyz, in_rgb, trans, rot, num_input, in_mask, wrap=wrap
+        )
+        return np.asarray(t2), np.asarray(r2)
 
     t1, r1 = trim_by_loss(
         img, in_xyz, in_rgb, trans, rot, num_intermediate, in_mask, wrap=wrap

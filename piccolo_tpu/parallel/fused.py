@@ -275,7 +275,7 @@ def _pad_clone_rows(a: jnp.ndarray, multiple: int) -> jnp.ndarray:
     static_argnames=(
         "mesh", "num_intermediate", "num_input", "num_split_h", "num_split_w",
         "num_iter", "lr", "patience", "factor", "grid_chunk", "hist_chunk",
-        "descent_table", "plan_refresh_rgb", "seam_wrap",
+        "descent_table", "plan_refresh_rgb", "seam_wrap", "criterion",
     ),
 )
 def _localize_query_sharded_jit(
@@ -284,6 +284,7 @@ def _localize_query_sharded_jit(
     *, mesh, num_intermediate, num_input, num_split_h, num_split_w,
     num_iter, lr, patience, factor, grid_chunk, hist_chunk,
     descent_table="auto", plan_refresh_rgb=False, seam_wrap=False,
+    criterion="loss_histogram",
 ):
     n_cand = mesh.shape["cand"]
     cloud_specs = (P(), P("point", None), P("point", None), P("point"))
@@ -408,7 +409,10 @@ def _localize_query_sharded_jit(
             out_specs=P("cand"),
         )(img_init, xyz, rgb, point_mask, pair_t, pair_r, pair_valid)
 
-    k1 = min(num_intermediate, T * R)
+    # criterion='loss' selects the final num_input directly from the table
+    # (pipeline.localize_query parity — the histogram stage is skipped)
+    k1 = min(num_intermediate if criterion == "loss_histogram" else num_input,
+             T * R)
     neg_top, idx1 = jax.lax.top_k(-scores, k1)
     # fewer than k1 valid pairs -> +inf rows slip in; carry their
     # (in)validity so stage 2 can never promote them (pipeline.py parity)
@@ -416,28 +420,31 @@ def _localize_query_sharded_jit(
     t1 = jnp.take(pair_t, idx1, axis=0)
     r1 = jnp.take(pair_r, idx1, axis=0)
 
-    # ---- stage 2: histogram intersection, 'cand'-sharded candidates,
-    # 'point'-sharded render combined by pmin
-    t1p = _pad_clone_rows(t1, n_cand * hist_chunk)
-    r1p = _pad_clone_rows(r1, n_cand * hist_chunk)
+    if criterion == "loss":
+        t2, r2, k2 = t1, r1, k1
+    else:
+        # ---- stage 2: histogram intersection, 'cand'-sharded candidates,
+        # 'point'-sharded render combined by pmin
+        t1p = _pad_clone_rows(t1, n_cand * hist_chunk)
+        r1p = _pad_clone_rows(r1, n_cand * hist_chunk)
 
-    def stage2(img, xyz_l, rgb_l, pm_l, t_l, y_l):
-        return hist_scores_core(
-            img, xyz_l, rgb_l, t_l, y_l, pm_l,
-            num_split_h, num_split_w, hist_chunk, point_axis="point",
-        )
+        def stage2(img, xyz_l, rgb_l, pm_l, t_l, y_l):
+            return hist_scores_core(
+                img, xyz_l, rgb_l, t_l, y_l, pm_l,
+                num_split_h, num_split_w, hist_chunk, point_axis="point",
+            )
 
-    hs = shard_map(
-        stage2,
-        mesh=mesh,
-        in_specs=cloud_specs + (P("cand", None), P("cand", None)),
-        out_specs=P("cand"),
-    )(img_init, xyz, rgb, point_mask, t1p, r1p)[:k1]
-    hs = jnp.where(sel_valid, hs, -jnp.inf)
-    k2 = min(num_input, k1)
-    _, idx2 = jax.lax.top_k(hs, k2)
-    t2 = jnp.take(t1, idx2, axis=0)
-    r2 = jnp.take(r1, idx2, axis=0)
+        hs = shard_map(
+            stage2,
+            mesh=mesh,
+            in_specs=cloud_specs + (P("cand", None), P("cand", None)),
+            out_specs=P("cand"),
+        )(img_init, xyz, rgb, point_mask, t1p, r1p)[:k1]
+        hs = jnp.where(sel_valid, hs, -jnp.inf)
+        k2 = min(num_input, k1)
+        _, idx2 = jax.lax.top_k(hs, k2)
+        t2 = jnp.take(t1, idx2, axis=0)
+        r2 = jnp.take(r1, idx2, axis=0)
 
     # ---- stage 3: sharded multi-start descent
     t2p = _pad_clone_rows(t2, n_cand)
@@ -490,6 +497,7 @@ def localize_query_sharded(
     plan: "Optional[ShardedGridPlan]" = None,
     plan_refresh_rgb: bool = False,
     seam_wrap: bool = False,
+    criterion: str = "loss_histogram",
 ) -> LocalizeResult:
     """Localize one panorama end-to-end over a ('cand', 'point') device mesh.
 
@@ -504,7 +512,16 @@ def localize_query_sharded(
     to f32 summation order (guarded in tests/test_parallel.py).  Set
     ``plan_refresh_rgb=True`` when ``rgb`` differs from the colors the
     plan was built with (sharpen_color rebinds).
+
+    ``criterion``: ``'loss_histogram'`` (parity default) or ``'loss'``
+    (working extension — top ``num_input`` by sampling loss, stage 2
+    skipped; pipeline.localize_query semantics).
     """
+    if criterion not in ("loss_histogram", "loss"):
+        raise ValueError(
+            f"criterion={criterion!r} not supported "
+            "('loss_histogram' or 'loss')"
+        )
     if plan is not None:
         from ..kernels.slab_sampling import _check_refresh
 
@@ -545,5 +562,5 @@ def localize_query_sharded(
         lr=lr, patience=patience, factor=factor,
         grid_chunk=grid_chunk, hist_chunk=hist_chunk,
         descent_table=descent_table, plan_refresh_rgb=plan_refresh_rgb,
-        seam_wrap=seam_wrap,
+        seam_wrap=seam_wrap, criterion=criterion,
     )

@@ -126,7 +126,7 @@ def _descend(img, xyz, rgb, t0s, ypr0s, lo, hi, point_mask,
         "num_intermediate", "num_input", "num_split_h", "num_split_w",
         "num_iter", "lr", "patience", "factor", "masked",
         "grid_chunk", "hist_chunk", "plan_refresh_rgb", "descent_table",
-        "seam_wrap", "trajectory",
+        "seam_wrap", "trajectory", "criterion",
     ),
 )
 def localize_query(
@@ -157,6 +157,7 @@ def localize_query(
     descent_table: str = "auto",
     seam_wrap: bool = False,
     trajectory: bool = False,
+    criterion: str = "loss_histogram",
 ) -> LocalizeResult:
     """Localize one panorama end-to-end on device.
 
@@ -187,7 +188,18 @@ def localize_query(
     same scores up to f32 summation order, ~16x faster at large image
     sizes.  Set ``plan_refresh_rgb=True`` when ``rgb`` differs from the
     colors the plan was built with (per-query sharpen_color rebinds).
+
+    ``criterion``: ``'loss_histogram'`` (reference parity — the only value
+    the reference's branch ladder survives, utils.py:625-627) runs the
+    loss-table trim then the histogram trim; ``'loss'`` (working
+    extension, same semantics as init.make_input's) selects the top
+    ``num_input`` pairs by sampling loss directly and skips stage 2.
     """
+    if criterion not in ("loss_histogram", "loss"):
+        raise ValueError(
+            f"criterion={criterion!r} not supported "
+            "('loss_histogram' or 'loss')"
+        )
     pm = point_mask if masked else None
     descent_table = resolve_descent_table(
         descent_table, img_main.shape[0], img_main.shape[1]
@@ -235,7 +247,9 @@ def localize_query(
             img_init, xyz, rgb, pair_t, pair_r, pair_valid, pm, grid_chunk,
             wrap=seam_wrap,
         )
-    k1 = min(num_intermediate, T * R)
+    # criterion='loss' selects the final num_input directly from the table
+    k1 = min(num_intermediate if criterion == "loss_histogram" else num_input,
+             T * R)
     # smallest-k via top_k on negated scores (stable, same order as argsort)
     neg_top, idx1 = jax.lax.top_k(-scores, k1)
     # when fewer than k1 valid pairs exist, +inf padding rows slip in here;
@@ -244,18 +258,21 @@ def localize_query(
     t1 = jnp.take(pair_t, idx1, axis=0)
     r1 = jnp.take(pair_r, idx1, axis=0)
 
-    # ---- stage 2: histogram intersection (reference utils.py:510-588)
-    padh = (-k1) % hist_chunk
-    t1p = jnp.concatenate([t1, jnp.broadcast_to(t1[:1], (padh, 3))]) if padh else t1
-    r1p = jnp.concatenate([r1, jnp.broadcast_to(r1[:1], (padh, 3))]) if padh else r1
-    hs = hist_scores_core(
-        img_init, xyz, rgb, t1p, r1p, pm, num_split_h, num_split_w, hist_chunk
-    )[:k1]
-    hs = jnp.where(sel_valid, hs, -jnp.inf)
-    k2 = min(num_input, k1)
-    _, idx2 = jax.lax.top_k(hs, k2)
-    t2 = jnp.take(t1, idx2, axis=0)
-    r2 = jnp.take(r1, idx2, axis=0)
+    if criterion == "loss":
+        t2, r2 = t1, r1
+    else:
+        # ---- stage 2: histogram intersection (reference utils.py:510-588)
+        padh = (-k1) % hist_chunk
+        t1p = jnp.concatenate([t1, jnp.broadcast_to(t1[:1], (padh, 3))]) if padh else t1
+        r1p = jnp.concatenate([r1, jnp.broadcast_to(r1[:1], (padh, 3))]) if padh else r1
+        hs = hist_scores_core(
+            img_init, xyz, rgb, t1p, r1p, pm, num_split_h, num_split_w, hist_chunk
+        )[:k1]
+        hs = jnp.where(sel_valid, hs, -jnp.inf)
+        k2 = min(num_input, k1)
+        _, idx2 = jax.lax.top_k(hs, k2)
+        t2 = jnp.take(t1, idx2, axis=0)
+        r2 = jnp.take(r1, idx2, axis=0)
 
     # ---- stage 3: multi-start descent (reference omniloc.py)
     out = _descend(

@@ -92,11 +92,11 @@ class LocalizeService:
         self.init_dict = get_init_dict(cfg)
         if not _use_fused(cfg, self.init_dict):
             # loud instead of silently diverging from the CLI: the staged
-            # path's extras (init-only subsample, non-default criterion)
+            # path's extras (init-only subsample, unknown criterion values)
             # have no serving counterpart
             raise ValueError(
                 "serving runs the fused pipeline only; drop "
-                "sample_rate_for_init / non-default criterion (or fused="
+                "sample_rate_for_init / unknown criterion (or fused="
                 "False) from the config"
             )
         if cfg_get(cfg, "visualize", False):

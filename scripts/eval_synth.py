@@ -84,6 +84,10 @@ def main(argv=None) -> dict:
                          "configs/omniscenes.ini budget)")
     ap.add_argument("--descent-table", default="float32",
                     choices=["auto", "float32", "bfloat16", "uint8"])
+    ap.add_argument("--criterion", default="loss_histogram",
+                    choices=["loss_histogram", "loss"],
+                    help="init trim criterion ('loss' = working extension: "
+                         "top num_input by stage-1 loss, no histogram trim)")
     ap.add_argument("--sharpen", action="store_true",
                     help="apply the harness's sharpen_color prep per query "
                          "(color_mod on the init image + cloud-color "
@@ -209,6 +213,7 @@ def main(argv=None) -> dict:
                 lr=0.1, patience=5, factor=0.8, masked=True, plan=plan,
                 plan_refresh_rgb=refresh,
                 descent_table=args.descent_table,
+                criterion=args.criterion,
             )
             t = np.asarray(res.t)
             elapsed = time.time() - t0

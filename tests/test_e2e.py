@@ -102,6 +102,20 @@ def test_cli_omniscenes_end_to_end(synth_root, tmp_path):
         assert float(r[6]) < 0.5, rows
 
 
+def test_cli_criterion_loss(synth_root, tmp_path):
+    """criterion=loss (working extension) end-to-end: fused path, top
+    num_input by stage-1 loss, no histogram trim — still recovers poses."""
+    from piccolo_tpu.main import main
+
+    cfg = _write_cfg(str(tmp_path / "cfg.ini"), "Stanford2D-3D-S", synth_root)
+    log = str(tmp_path / "log")
+    acc = main(["--config", cfg, "--log", log, "--no-tensorboard",
+                "--override", "criterion=loss"])
+    header, rows = _read_results(os.path.join(log, "stanford_results.csv"))
+    assert len(rows) == 2
+    assert acc == 1.0, rows
+
+
 def test_cli_area_filter(synth_root, tmp_path):
     """area = 1 (explicit) selects only that area's panos."""
     from piccolo_tpu.main import main

@@ -197,6 +197,39 @@ def test_fused_sharded_matches_single_device(fused_scene, n_cand, n_point):
     )
 
 
+def test_fused_sharded_criterion_loss_matches_single_device(fused_scene):
+    """criterion='loss' over the mesh: identical starts (the top num_input
+    by stage-1 loss; no stage 2) and winner vs the single-device fused
+    program with the same criterion."""
+    from piccolo_tpu.parallel import localize_query_sharded
+    from piccolo_tpu.pipeline import localize_query
+
+    xyz, rgb, img, lo, hi, trans, rot, valid, gt_t = fused_scene
+    kw = dict(
+        num_intermediate=12, num_input=4, num_iter=5, lr=0.1, patience=5,
+        factor=0.8, grid_chunk=8, hist_chunk=4, criterion="loss",
+    )
+    ref = localize_query(
+        jnp.asarray(img), jnp.asarray(img), jnp.asarray(xyz), jnp.asarray(rgb),
+        jnp.asarray(trans), jnp.asarray(rot), jnp.asarray(valid),
+        jnp.asarray(lo), jnp.asarray(hi), masked=False, **kw,
+    )
+    mesh = make_mesh(2, 4)
+    res = localize_query_sharded(
+        mesh, img, img, xyz, rgb, trans, rot, valid, lo, hi, **kw,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res.start_t), np.asarray(ref.start_t)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res.start_ypr), np.asarray(ref.start_ypr)
+    )
+    assert int(res.winner) == int(ref.winner)
+    np.testing.assert_allclose(
+        np.asarray(res.cand_t), np.asarray(ref.cand_t), atol=2e-3
+    )
+
+
 def test_fused_sharded_recovers_pose(fused_scene):
     from piccolo_tpu.parallel import localize_query_sharded
 

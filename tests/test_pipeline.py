@@ -124,7 +124,8 @@ def test_make_input_subsample_with_padded_mask(rng):
     np.testing.assert_allclose(t, t2, atol=1e-6)
 
 
-def test_fused_padding_rows_never_win(rng):
+@pytest.mark.parametrize("criterion", ["loss_histogram", "loss"])
+def test_fused_padding_rows_never_win(rng, criterion):
     xyz, rgb, img, trans, rot, lo, hi, gt_t = _setup(rng)
     # pad the grid with rows sitting exactly on the GT — but marked invalid
     bad = np.broadcast_to(gt_t, (8, 3)).copy()
@@ -134,7 +135,7 @@ def test_fused_padding_rows_never_win(rng):
         jnp.asarray(img), jnp.asarray(img), jnp.asarray(xyz), jnp.asarray(rgb),
         jnp.asarray(trans_p), jnp.asarray(rot),
         jnp.asarray(valid), jnp.asarray(lo), jnp.asarray(hi),
-        num_intermediate=10, num_input=4, num_iter=5,
+        num_intermediate=10, num_input=4, num_iter=5, criterion=criterion,
     )
     # none of the selected starts may be a padding row
     for s in np.asarray(res.start_t):
@@ -293,6 +294,81 @@ def test_localize_query_batch_matches_single(rng):
             np.asarray(batch.cand_loss[q]), np.asarray(single.cand_loss),
             atol=1e-5,
         )
+
+
+def test_fused_criterion_loss_matches_staged(rng):
+    """criterion='loss' (working extension): the final starts are the top
+    num_input pairs by sampling loss — identical to the staged
+    trim_by_loss — and the histogram stage never runs."""
+    xyz, rgb, img, trans, rot, lo, hi, gt_t = _setup(rng)
+    kw = dict(num_iter=20, lr=0.1, patience=5, factor=0.8)
+
+    t2, r2 = trim_by_loss(
+        jnp.asarray(img), jnp.asarray(xyz), jnp.asarray(rgb),
+        jnp.asarray(trans), jnp.asarray(rot), 4,
+    )
+    staged = descend(
+        jnp.asarray(img), jnp.asarray(xyz), jnp.asarray(rgb),
+        t2, r2, jnp.asarray(lo), jnp.asarray(hi), **kw,
+    )
+    res = localize_query(
+        jnp.asarray(img), jnp.asarray(img), jnp.asarray(xyz), jnp.asarray(rgb),
+        jnp.asarray(trans), jnp.asarray(rot),
+        jnp.ones(trans.shape[0], bool), jnp.asarray(lo), jnp.asarray(hi),
+        num_intermediate=10, num_input=4, criterion="loss", **kw,
+    )
+    staged_starts = {tuple(np.round(r, 5)) for r in np.asarray(t2)}
+    fused_starts = {tuple(np.round(r, 5)) for r in np.asarray(res.start_t)}
+    assert staged_starts == fused_starts
+    k = int(np.argmin(np.asarray(staged.loss)))
+    np.testing.assert_allclose(
+        np.asarray(res.t), np.asarray(staged.t[k]), atol=1e-4
+    )
+
+    # the two criteria are allowed to pick different starts (that is the
+    # point); both must still have the right shape
+    assert res.start_t.shape == (4, 3)
+
+    with pytest.raises(ValueError, match="criterion"):
+        localize_query(
+            jnp.asarray(img), jnp.asarray(img), jnp.asarray(xyz),
+            jnp.asarray(rgb), jnp.asarray(trans), jnp.asarray(rot),
+            jnp.ones(trans.shape[0], bool), jnp.asarray(lo), jnp.asarray(hi),
+            num_input=4, criterion="histogram", **kw,
+        )
+
+
+def test_make_input_criterion_loss(rng):
+    """Staged make_input criterion='loss': top num_input by the stage-1
+    loss table, no histogram stage (the reference's non-default criterion
+    branches all crash — utils.py:625-627; this one works)."""
+    from piccolo_tpu.init import default_init_dict, make_input
+    from piccolo_tpu.init.refine import score_pose_grid
+
+    xyz, rgb = make_room(rng, n_per_wall=300, texture="checker")
+    img = render_at(xyz, rgb, np.zeros(3, np.float32),
+                    np.zeros(3, np.float32), (32, 64))
+    d = default_init_dict(xy_only=True, num_trans=8, yaw_only=True,
+                          num_yaw=4, z_prior=None)
+    t, r = make_input(img, jnp.asarray(xyz), jnp.asarray(rgb), 3, d,
+                      criterion="loss", num_intermediate=6)
+    assert t.shape == (3, 3) and r.shape == (3, 3)
+    # manual oracle: the 3 lowest-loss (trans, rot) pairs, in loss order
+    from piccolo_tpu.init.candidates import (
+        generate_rot_points, generate_trans_points,
+    )
+    trans = jnp.asarray(generate_trans_points(xyz, d))
+    rot = jnp.asarray(generate_rot_points(d))
+    scores = np.asarray(score_pose_grid(
+        jnp.asarray(img), jnp.asarray(xyz), jnp.asarray(rgb), trans, rot
+    ))
+    order = np.argsort(scores)[:3]
+    np.testing.assert_allclose(
+        t, np.asarray(trans)[order // rot.shape[0]], atol=1e-6
+    )
+    np.testing.assert_allclose(
+        r, np.asarray(rot)[order % rot.shape[0]], atol=1e-6
+    )
 
 
 def test_fused_trajectory_matches_plain(rng):
