@@ -35,6 +35,7 @@ from ..color import color_match, color_mod
 from ..config import cfg_get
 from ..init import make_input
 from ..init.candidates import generate_rot_points, generate_trans_points
+from ..init.refine import SUPPORTED_CRITERIA
 from ..ops.pano import render_pano
 from ..ops.quantile import cloud_bounds, outside_box
 from ..ops.rotation import rot_from_ypr
@@ -368,8 +369,7 @@ def _use_fused(cfg, init_dict) -> bool:
     return (
         cfg_get(cfg, "fused", True)
         and init_dict.get("sample_rate_for_init") is None
-        and cfg_get(cfg, "criterion", "loss_histogram")
-        in ("loss_histogram", "loss")
+        and cfg_get(cfg, "criterion", "loss_histogram") in SUPPORTED_CRITERIA
     )
 
 

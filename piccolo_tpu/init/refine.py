@@ -100,6 +100,24 @@ def score_pose_grid(
     return scores
 
 
+# The one definition of which init criteria exist — imported by the fused
+# (pipeline.py), sharded (parallel/fused.py), and harness (_use_fused)
+# paths so validation and routing can never drift apart.  The reference
+# only survives 'loss_histogram' (every other value falls into an
+# UnboundLocalError, utils.py:625-627); 'loss' is this repo's working
+# extension (top num_input by stage-1 loss, histogram stage skipped).
+SUPPORTED_CRITERIA = ("loss_histogram", "loss")
+
+
+def check_criterion(criterion: str) -> None:
+    """Raise a clear ValueError for criteria outside SUPPORTED_CRITERIA."""
+    if criterion not in SUPPORTED_CRITERIA:
+        raise ValueError(
+            f"criterion={criterion!r} not supported "
+            "('loss_histogram' or 'loss')"
+        )
+
+
 def trim_by_loss(
     img, xyz, rgb, trans, rot, num_keep: int, point_mask=None, valid=None,
     wrap=False,
@@ -304,11 +322,7 @@ def make_input(
     (``num_intermediate`` is unused) — a faster init at some robustness
     cost in texture-ambiguous rooms.  Anything else raises ValueError.
     """
-    if criterion not in ("loss_histogram", "loss"):
-        raise ValueError(
-            f"criterion={criterion!r} not supported "
-            "('loss_histogram' or 'loss')"
-        )
+    check_criterion(criterion)
 
     xyz_np_full = np.asarray(xyz)
     if point_mask is not None:

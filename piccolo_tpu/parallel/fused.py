@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..init.refine import hist_scores_core
+from ..init.refine import check_criterion, hist_scores_core
 from ..loss import Pose
 from ..ops.rotation import rot_from_ypr
 from ..ops.sampling import pack_bilinear_blocks
@@ -517,11 +517,7 @@ def localize_query_sharded(
     (working extension — top ``num_input`` by sampling loss, stage 2
     skipped; pipeline.localize_query semantics).
     """
-    if criterion not in ("loss_histogram", "loss"):
-        raise ValueError(
-            f"criterion={criterion!r} not supported "
-            "('loss_histogram' or 'loss')"
-        )
+    check_criterion(criterion)
     if plan is not None:
         from ..kernels.slab_sampling import _check_refresh
 

@@ -28,7 +28,7 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from .init.refine import hist_scores_core
+from .init.refine import check_criterion, hist_scores_core
 from .kernels.slab_sampling import GridPlan, make_pairs, slab_pair_scores
 from .loss import Pose, sampling_loss_packed
 from .ops.rotation import rot_from_ypr
@@ -195,11 +195,7 @@ def localize_query(
     extension, same semantics as init.make_input's) selects the top
     ``num_input`` pairs by sampling loss directly and skips stage 2.
     """
-    if criterion not in ("loss_histogram", "loss"):
-        raise ValueError(
-            f"criterion={criterion!r} not supported "
-            "('loss_histogram' or 'loss')"
-        )
+    check_criterion(criterion)
     pm = point_mask if masked else None
     descent_table = resolve_descent_table(
         descent_table, img_main.shape[0], img_main.shape[1]
