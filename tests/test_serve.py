@@ -43,6 +43,18 @@ def test_service_localizes_and_reuses_room(scene):
     assert np.linalg.norm(out2["t"] - gt_t) < 0.2
 
 
+def test_service_accepts_criterion_loss(scene):
+    """criterion='loss' runs fused, so serving accepts it; unknown
+    criteria are rejected loudly at construction."""
+    xyz, rgb, img, gt_t = scene
+    svc = LocalizeService(criterion="loss", **_CFG)
+    svc.load_room(xyz, rgb)
+    out = svc.localize(img)
+    assert np.linalg.norm(out["t"] - gt_t) < 0.2
+    with pytest.raises(ValueError, match="fused pipeline only"):
+        LocalizeService(criterion="histogram", **_CFG)
+
+
 def test_service_rejects_bad_image(scene):
     xyz, rgb, img, _ = scene
     svc = LocalizeService(**_CFG)
