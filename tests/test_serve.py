@@ -278,3 +278,24 @@ def test_backpressure_and_managed_overlap(scene, monkeypatch):
     t2.join(120)
     assert len(done) == 2 and all(np.isfinite(d["loss"]) for d in done)
     assert svc.pending == 0 and svc.busy is False
+
+
+def test_service_composes_with_mesh(scene):
+    """n_devices in the service config routes queries through the sharded
+    fused program (serve.py builds the mesh via harness._maybe_mesh) and
+    agrees with the single-device service up to psum reduction order."""
+    xyz, rgb, img, gt_t = scene
+    single = LocalizeService(**_CFG)
+    single.load_room(xyz, rgb, name="box")
+    ref = single.localize(img)
+
+    svc = LocalizeService(n_devices=4, **_CFG)
+    assert svc.mesh is not None and svc.mesh.devices.size == 4
+    svc.load_room(xyz, rgb, name="box")
+    out = svc.localize(img)
+    assert np.linalg.norm(out["t"] - gt_t) < 0.2
+    # same winner start; the pose matches within collective-reduction noise
+    # amplified by the 60-iter descent (tolerances as in tests/test_parallel)
+    assert out["winner"] == ref["winner"]
+    np.testing.assert_allclose(out["loss"], ref["loss"], atol=5e-3)
+    np.testing.assert_allclose(out["t"], ref["t"], atol=3e-2)
