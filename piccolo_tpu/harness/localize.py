@@ -20,6 +20,7 @@ TPU-shaped deltas (each flagged inline):
 
 from __future__ import annotations
 
+import functools
 import glob as globlib
 import os
 import random
@@ -324,6 +325,61 @@ def _maybe_mesh(cfg):
     )
 
 
+def _query_device(cfg, fused: bool = True):
+    """Resolve the ``device_index`` config key to a jax.Device (or None).
+
+    ``device_index = i`` pins THIS process's per-query compute to
+    ``jax.devices()[i]`` — the building block for collective-free
+    multi-chip sweep throughput: run one process per chip with
+    ``query_shards = N`` / ``query_shard_index = i`` / ``device_index = i``
+    and each chip owns a disjoint slice of the queries (queries are
+    independent, SURVEY §2.3 — no collectives needed).  Contrast with
+    ``n_devices``, which shards ONE query's stages over a mesh (lower
+    per-query latency); the two are mutually exclusive.  No reference
+    counterpart (the reference is single-GPU, ``cuda:0`` hardcoded —
+    reference localize.py:124,338).
+    """
+    i = cfg_get(cfg, "device_index")
+    if i is None:
+        return None
+    if cfg_get(cfg, "n_devices") not in (None, 0, 1):
+        raise ValueError(
+            "device_index (pin this process to one chip) and n_devices "
+            "(shard each query over a mesh) are mutually exclusive"
+        )
+    devices = jax.devices()
+    i = int(i)
+    if not 0 <= i < len(devices):
+        raise ValueError(
+            f"device_index={i} but only {len(devices)} devices are visible"
+        )
+    if not fused:
+        print(
+            "WARNING: device_index requested but this config forces the "
+            "staged path (sample_rate_for_init / unknown criterion); "
+            "running on the default device.\n"
+        )
+        return None
+    return devices[i]
+
+
+def _commit_room(room: Dict, dev) -> Dict:
+    """Commit a room cache's device arrays (cloud, grids) to ``dev``.
+
+    No-op when ``dev`` is None (default-device placement, the common
+    case).  Mutates and returns ``room``; ``_run_fused`` reads
+    ``room['device']`` to co-locate the per-query images.
+    """
+    if dev is None:
+        return room
+    for k in ("xyz", "rgb", "mask"):
+        room[k] = jax.device_put(room[k], dev)
+    if "grids" in room:
+        room["grids"] = room["grids"].to_device(dev)
+    room["device"] = dev
+    return room
+
+
 def _check_mesh_usable(mesh, fused: bool, vis: bool = False):
     """Surface (loudly) that multi-chip needs the (non-visualize) fused path.
 
@@ -396,6 +452,22 @@ class _FusedGrids:
         self.trans = jnp.asarray(trans, jnp.float32)
         self.rot = jnp.asarray(rot, jnp.float32)
         self.valid = jnp.asarray(valid)
+
+    def to_device(self, dev):
+        """A copy with the grid arrays committed to ``dev`` (self when None).
+
+        Used by the device-parallel query paths (harness ``device_index``,
+        serving ``query_devices``) so each device holds its own grid copy.
+        """
+        if dev is None:
+            return self
+        import copy
+
+        g = copy.copy(self)
+        g.trans = jax.device_put(self.trans, dev)
+        g.rot = jax.device_put(self.rot, dev)
+        g.valid = jax.device_put(self.valid, dev)
+        return g
 
 
 def _slab_admission(cfg, cache, grids, img_init):
@@ -656,6 +728,10 @@ def _maybe_slab_plan(cfg, cache, grids, img_init, sync: bool = False):
         if use_disk:
             plan = pc.load_plan(cache_dir, _disk_key(attempt))
             if plan is not None:
+                if cache.get("device") is not None:
+                    # load_plan lands on the default device; the
+                    # device-parallel modes need it next to the room
+                    plan = jax.device_put(plan, cache["device"])
                 cache[key] = plan
                 return plan
         if background:
@@ -763,10 +839,19 @@ def _run_fused(img_init, img_main, cache, rgb_used, cfg, init_dict, grids,
             **kw,
         )
     plan = _maybe_slab_plan(cfg, cache, grids, img_init, sync=sync_plans)
+    # device-parallel query modes (harness device_index / serving
+    # query_devices) commit the room to one chip; co-locate the per-query
+    # inputs there (mixed-device jit arguments are an error)
+    dev = cache.get("device")
+    if dev is None:
+        put = jnp.asarray
+    else:
+        put = functools.partial(jax.device_put, device=dev)
+        rgb_used = rgb_used if rgb_used is cache["rgb"] else put(rgb_used)
     return localize_query(
-        jnp.asarray(img_init), jnp.asarray(img_main),
+        put(img_init), put(img_main),
         cache["xyz"], rgb_used, grids.trans, grids.rot, grids.valid,
-        jnp.asarray(cache["lo"]), jnp.asarray(cache["hi"]), cache["mask"],
+        put(cache["lo"]), put(cache["hi"]), cache["mask"],
         masked=True, plan=plan,
         plan_refresh_rgb=plan is not None and rgb_used is not cache["rgb"],
         descent_table=descent_table, seam_wrap=seam_wrap,
@@ -865,6 +950,7 @@ def localize_stanford(cfg, writer=None, log_dir: str = "./log") -> float:
     init_dict = get_init_dict(cfg)
     fused = _use_fused(cfg, init_dict)
     mesh = _check_mesh_usable(mesh, fused, vis)
+    qdev = _query_device(cfg, fused)
     # Host work for query k+1 (decode, resizes, color prep, cloud/grid load)
     # runs on a prepare thread while the device computes query k; artifact
     # encodes run on a writer thread.  Order-preserving — outputs identical
@@ -890,6 +976,7 @@ def localize_stanford(cfg, writer=None, log_dir: str = "./log") -> float:
             )
             if fused:
                 room["grids"] = _FusedGrids(xyz_np, init_dict)
+            _commit_room(room, qdev)
             prep_cache.clear()
             prep_cache.update(pcd=pcd_name, room=room)
         room = prep_cache["room"]
@@ -1084,6 +1171,7 @@ def localize_omniscenes(cfg, writer=None, log_dir: str = "./log") -> float:
     init_dict = get_init_dict(cfg)
     fused = _use_fused(cfg, init_dict)
     mesh = _check_mesh_usable(mesh, fused)
+    qdev = _query_device(cfg, fused)
     prefetch_on = cfg_get(cfg, "host_prefetch", True)
     prep_cache = {"pcd": None}
 
@@ -1106,6 +1194,7 @@ def localize_omniscenes(cfg, writer=None, log_dir: str = "./log") -> float:
             )
             if fused:
                 room["grids"] = _FusedGrids(xyz_np, init_dict)
+            _commit_room(room, qdev)
             prep_cache.clear()
             prep_cache.update(pcd=pcd_name, room=room)
         room = prep_cache["room"]

@@ -108,10 +108,20 @@ class LocalizeService:
                 "visualize=True from the config"
             )
         self.mesh = _maybe_mesh(cfg)
-        # two locks: device compute is chip-serial; the room registry must
-        # stay consistent for health checks / loads WITHOUT waiting out a
-        # ~0.4 s in-flight query
-        self._compute_lock = threading.Lock()
+        # query_devices = N|'all': round-robin whole queries over N chips,
+        # each with its own room replica and compute lock — N requests
+        # compute CONCURRENTLY (queries are independent; no collectives).
+        # Mutually exclusive with n_devices, which shards ONE query over a
+        # mesh for latency; query_devices scales THROUGHPUT.
+        self._devices = self._resolve_query_devices(cfg)
+        # per-device compute locks (chip-serial per chip); the room
+        # registry must stay consistent for health checks / loads WITHOUT
+        # waiting out a ~0.4 s in-flight query
+        self._compute_locks = [threading.Lock() for _ in self._devices]
+        # back-compat alias (device 0) — tests and older callers poke it
+        self._compute_lock = self._compute_locks[0]
+        self._rr_lock = threading.Lock()
+        self._rr = 0
         self._rooms_lock = threading.Lock()
         # LRU of resident rooms; slab plans are GBs of HBM, so eviction
         # drops them promptly (harness._drop_slab_plans).  A room evicted
@@ -129,12 +139,48 @@ class LocalizeService:
         self._pending = 0
         self._pending_lock = threading.Lock()
 
+    @staticmethod
+    def _resolve_query_devices(cfg):
+        """[device|None, ...] — one entry per query-parallel chip.
+
+        The single-entry ``[None]`` default keeps today's default-device
+        placement (no device_put anywhere on that path).
+        """
+        qd = cfg_get(cfg, "query_devices")
+        if qd in (None, 0, 1):
+            return [None]
+        if cfg_get(cfg, "n_devices") not in (None, 0, 1):
+            raise ValueError(
+                "query_devices (round-robin queries over chips) and "
+                "n_devices (shard each query over a mesh) are mutually "
+                "exclusive"
+            )
+        import jax
+
+        devices = jax.devices()
+        n = len(devices) if qd == "all" else int(qd)
+        if not 2 <= n <= len(devices):
+            raise ValueError(
+                f"query_devices={qd} but {len(devices)} devices are visible"
+            )
+        return list(devices[:n])
+
     # -- health ------------------------------------------------------------
 
     @property
     def busy(self) -> bool:
-        """True while a request holds the chip (device compute in flight)."""
-        return self._compute_lock.locked()
+        """True while a request holds a chip (device compute in flight)."""
+        return any(l.locked() for l in self._compute_locks)
+
+    @property
+    def devices(self) -> int:
+        """Query-parallel device count (1 = single default device)."""
+        return len(self._devices)
+
+    @property
+    def busy_devices(self) -> int:
+        """How many of the query-parallel chips are computing right now."""
+        return sum(l.locked() for l in self._compute_locks)
 
     @property
     def pending(self) -> int:
@@ -158,28 +204,44 @@ class LocalizeService:
         at LOAD time — the first real query then runs at steady-state
         latency instead of paying seconds (plan) to minutes (cold jit).
         """
+        import jax
+
         xyz = np.asarray(xyz, np.float32)
         rgb = np.asarray(rgb, np.float32)
         xyz_d, rgb_d, mask_d = _pad_cloud(xyz, rgb)
         lo, hi = _order_bounds(
             xyz, cfg_get(self.cfg, "out_of_room_quantile", 0.05)
         )
-        cache = dict(
-            xyz_np=xyz, rgb_np=rgb, xyz=xyz_d, rgb=rgb_d, mask=mask_d,
-            lo=lo, hi=hi, grids=_FusedGrids(xyz, self.init_dict),
-        )
+        grids = _FusedGrids(xyz, self.init_dict)
+        caches = []
+        for dev in self._devices:  # one room replica per query chip
+            if dev is None:
+                caches.append(dict(
+                    xyz_np=xyz, rgb_np=rgb, xyz=xyz_d, rgb=rgb_d,
+                    mask=mask_d, lo=lo, hi=hi, grids=grids,
+                ))
+            else:
+                caches.append(dict(
+                    xyz_np=xyz, rgb_np=rgb,
+                    xyz=jax.device_put(xyz_d, dev),
+                    rgb=jax.device_put(rgb_d, dev),
+                    mask=jax.device_put(mask_d, dev),
+                    lo=lo, hi=hi, grids=grids.to_device(dev), device=dev,
+                ))
         with self._rooms_lock:
             self._rooms.pop(name, None)
-            self._rooms[name] = cache
+            self._rooms[name] = caches
             while len(self._rooms) > self._max_rooms:
                 _, evicted = self._rooms.popitem(last=False)
-                _drop_slab_plans(evicted)
+                for c in evicted:
+                    _drop_slab_plans(c)
         if warm_shape is not None:
             H, W = warm_shape
             noise = np.random.default_rng(0).integers(
                 0, 256, (int(H), int(W), 3), dtype=np.uint8
             )
-            self.localize(noise, room=name)  # result discarded
+            for di in range(len(self._devices)):  # every chip compiles
+                self._localize_checked(noise, room=name, device_index=di)
 
     def load_room_pcd(self, path: str, dataset: Optional[str] = None) -> None:
         """Load a room from an ``x y z r g b`` text cloud (either dataset's
@@ -218,10 +280,15 @@ class LocalizeService:
         resize/downsample semantics, color match/sharpen, synth ablations.
         Returns a dict with the winner pose (``t`` (3,), ``rot`` (3, 3)),
         its ``loss``, all candidate losses, ``time_s`` (the reference's
-        CSV-parity timed window: main resize + solve) and ``total_s``
+        CSV-parity timed window: main resize + solve), ``total_s``
         (full in-service latency incl. all preprocessing and the result
-        fetch).
+        fetch) and ``device_index`` (which query-parallel chip answered;
+        0 on the single-device default).
         """
+        return self._localize_checked(image, room)
+
+    def _localize_checked(self, image: np.ndarray, room: Optional[str],
+                          device_index: Optional[int] = None) -> Dict:
         if not self._rooms:
             raise RuntimeError("no room loaded — call load_room[_pcd] first")
         img = np.asarray(image)
@@ -239,18 +306,24 @@ class LocalizeService:
                 )
             self._pending += 1
         try:
-            return self._localize_admitted(img, room)
+            return self._localize_admitted(img, room, device_index)
         finally:
             with self._pending_lock:
                 self._pending -= 1
 
-    def _localize_admitted(self, img: np.ndarray,
-                           room: Optional[str]) -> Dict:
+    def _localize_admitted(self, img: np.ndarray, room: Optional[str],
+                           device_index: Optional[int] = None) -> Dict:
         cfg = self.cfg
         t_start = time.time()
+        if device_index is None:
+            # round-robin chip assignment (load_room's warm path pins it
+            # instead so every chip compiles)
+            with self._rr_lock:
+                device_index = self._rr % len(self._devices)
+                self._rr += 1
         # room resolution under the registry lock; the (host-side,
-        # possibly hundreds-of-ms) image prep runs outside BOTH locks so
-        # it can overlap another request's device compute
+        # possibly hundreds-of-ms) image prep runs outside the compute
+        # locks so it can overlap other requests' device compute
         with self._rooms_lock:
             if room is None:
                 room = next(reversed(self._rooms))
@@ -259,7 +332,7 @@ class LocalizeService:
                     f"room {room!r} not resident (have: {list(self._rooms)})"
                 )
             self._rooms.move_to_end(room)
-            cache = self._rooms[room]
+            cache = self._rooms[room][device_index]
 
         if "mni" in cfg_get(cfg, "dataset", "Stanford2D-3D-S"):
             _, img_init, img_main, rgb_used, prep_timed = (
@@ -270,7 +343,7 @@ class LocalizeService:
                 prepare_stanford_images(cfg, img, cache)
             )
 
-        with self._compute_lock:
+        with self._compute_locks[device_index]:
             t0 = time.time()
             # sync_plans: serving builds plans synchronously (the warm
             # path exists precisely to take this hit at load time; a
@@ -302,6 +375,7 @@ class LocalizeService:
             t=t, rot=rot, loss=loss, cand_loss=cand_loss,
             winner=int(winner), time_s=elapsed,
             total_s=time.time() - t_start, room=room,
+            device_index=device_index,
         )
 
 
@@ -407,6 +481,8 @@ def serve_forever(service: LocalizeService, host: str = "127.0.0.1",
                         {"ok": True, "room": service.room,
                          "rooms": service.rooms,
                          "busy": service.busy,
+                         "devices": service.devices,
+                         "busy_devices": service.busy_devices,
                          "pending": service.pending,
                          "max_pending": service.max_pending},
                     )
@@ -505,7 +581,8 @@ def main(argv=None) -> None:
         )
         for name in svc.rooms:
             t0 = time.time()
-            svc.localize(noise, room=name)
+            for di in range(svc.devices):  # every query-parallel chip
+                svc._localize_checked(noise, room=name, device_index=di)
             print(f"warmed {name} at {H}x{W} in {time.time() - t0:.1f}s",
                   flush=True)
     print(f"serving on {args.host}:{args.port} (room: {svc.room})", flush=True)

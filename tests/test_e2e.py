@@ -305,3 +305,28 @@ def test_cli_seam_wrap_runs_and_differs(synth_root, tmp_path):
     for rows in (rows_a, rows_b):
         for r in rows:
             assert float(r[7]) < 0.2  # t_err column
+
+
+def test_cli_device_index_matches_default_device(synth_root, tmp_path):
+    """device_index=1 pins the whole sweep to the second chip (the
+    per-process half of the collective-free multi-chip sweep recipe:
+    one process per chip + query_shards) and reproduces the default
+    device's CSV."""
+    from piccolo_tpu.main import main
+
+    cfg = _write_cfg(str(tmp_path / "cfg.ini"), "Stanford2D-3D-S", synth_root)
+    log0 = str(tmp_path / "log_dev0")
+    acc0 = main(["--config", cfg, "--log", log0, "--no-tensorboard"])
+    log1 = str(tmp_path / "log_dev1")
+    acc1 = main([
+        "--config", cfg, "--log", log1, "--no-tensorboard",
+        "--override", "device_index=1",
+    ])
+
+    _, rows0 = _read_results(os.path.join(log0, "stanford_results.csv"))
+    _, rows1 = _read_results(os.path.join(log1, "stanford_results.csv"))
+    assert acc1 == acc0 == 1.0
+    assert len(rows1) == len(rows0) == 2
+    for r0, r1 in zip(rows0, rows1):
+        assert r0[1] == r1[1]  # same query order
+        assert abs(float(r0[7]) - float(r1[7])) < 5e-2  # same pose basin

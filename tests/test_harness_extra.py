@@ -267,3 +267,71 @@ def test_prepare_omniscenes_images_synth_ablations():
     orig_g, _, _, _, _ = prepare_omniscenes_images(cfg, raw, room)
     expect = ((_rs(raw, (2048, 1024)) / 255.0) ** 2.0 * 255).astype(np.uint8)
     np.testing.assert_array_equal(orig_g, expect)
+
+
+def test_device_index_commit_and_equality(rng):
+    """device_index pins a process's fused queries to one chip: the room
+    commits to jax.devices()[i] and _run_fused co-locates the per-query
+    images there, with results identical to default placement."""
+    import jax
+
+    from piccolo_tpu.harness.localize import (
+        _commit_room,
+        _FusedGrids,
+        _order_bounds,
+        _pad_cloud,
+        _query_device,
+        _run_fused,
+        get_init_dict,
+    )
+
+    cfg = make_config(
+        dataset="Stanford2D-3D-S", xy_only=True, num_trans=16,
+        yaw_only=True, num_yaw=4, z_prior=None,
+        num_split_h=4, num_split_w=4, num_intermediate=8, num_input=4,
+        num_iter=40, device_index=1,
+    )
+    init_dict = get_init_dict(cfg)
+    xyz, rgb = make_room(rng, n_per_wall=1200, texture="checker")
+    img = np.asarray(
+        render_at(xyz, rgb, np.zeros(3, np.float32),
+                  np.array([0.7, 0, 0], np.float32), (128, 256))
+    )
+
+    def build_room(dev):
+        xyz_d, rgb_d, mask_d = _pad_cloud(xyz, rgb)
+        lo, hi = _order_bounds(xyz, 0.05)
+        room = dict(xyz_np=xyz, rgb_np=rgb, xyz=xyz_d, rgb=rgb_d,
+                    mask=mask_d, lo=lo, hi=hi,
+                    grids=_FusedGrids(xyz, init_dict))
+        return _commit_room(room, dev)
+
+    dev = _query_device(cfg)
+    assert dev is jax.devices()[1]
+    room1 = build_room(dev)
+    assert room1["xyz"].devices() == {dev}
+    assert room1["grids"].trans.devices() == {dev}
+    res1 = _run_fused(img, img, room1, room1["rgb"], cfg, init_dict,
+                      room1["grids"])
+    assert res1.t.devices() == {dev}
+
+    room0 = build_room(None)
+    res0 = _run_fused(img, img, room0, room0["rgb"], cfg, init_dict,
+                      room0["grids"])
+    assert int(res1.winner) == int(res0.winner)
+    np.testing.assert_allclose(np.asarray(res1.t), np.asarray(res0.t),
+                               atol=3e-2)
+    np.testing.assert_allclose(float(res1.loss), float(res0.loss), atol=5e-3)
+
+
+def test_device_index_validation():
+    import pytest
+
+    from piccolo_tpu.harness.localize import _query_device
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        _query_device(make_config(device_index=0, n_devices=2))
+    with pytest.raises(ValueError, match="devices are visible"):
+        _query_device(make_config(device_index=64))
+    # staged-path configs fall back loudly to the default device
+    assert _query_device(make_config(device_index=1), fused=False) is None

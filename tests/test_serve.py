@@ -87,7 +87,8 @@ def test_http_roundtrip(scene, tmp_path):
             health = json.loads(r.read())
         assert health == {
             "ok": True, "room": "box", "rooms": ["box"],
-            "busy": False, "pending": 0, "max_pending": 8,
+            "busy": False, "devices": 1, "busy_devices": 0,
+            "pending": 0, "max_pending": 8,
         }
 
         req = urllib.request.Request(
@@ -299,3 +300,69 @@ def test_service_composes_with_mesh(scene):
     assert out["winner"] == ref["winner"]
     np.testing.assert_allclose(out["loss"], ref["loss"], atol=5e-3)
     np.testing.assert_allclose(out["t"], ref["t"], atol=3e-2)
+
+
+def test_query_devices_round_robin_and_equality(scene):
+    """query_devices=2 replicates the room on two chips and round-robins
+    requests; per-chip results are deterministic and agree across chips."""
+    xyz, rgb, img, gt_t = scene
+    svc = LocalizeService(query_devices=2, **_CFG)
+    assert svc.devices == 2 and svc.busy_devices == 0
+    svc.load_room(xyz, rgb, name="box")
+    outs = [svc.localize(img) for _ in range(3)]
+    assert [o["device_index"] for o in outs] == [0, 1, 0]
+    for o in outs:
+        assert np.linalg.norm(o["t"] - gt_t) < 0.2
+    # same chip, same input -> bit-identical (one executable, no rng)
+    np.testing.assert_array_equal(outs[0]["t"], outs[2]["t"])
+    # across chips the executables are compiled separately; require
+    # agreement at descent-amplified-noise tolerance (cf. the mesh test)
+    assert outs[0]["winner"] == outs[1]["winner"]
+    np.testing.assert_allclose(outs[0]["t"], outs[1]["t"], atol=3e-2)
+    np.testing.assert_allclose(outs[0]["loss"], outs[1]["loss"], atol=5e-3)
+
+
+def test_query_devices_concurrent_compute(scene):
+    """Two admitted requests hold DIFFERENT device locks at the same time —
+    the compute itself overlaps, not just the host prep."""
+    import threading
+
+    from piccolo_tpu import serve as serve_mod
+
+    xyz, rgb, img, _ = scene
+    svc = LocalizeService(query_devices=2, **_CFG)
+    svc.load_room(xyz, rgb, name="box")
+    svc.localize(img)  # compile device 0
+    svc.localize(img)  # compile device 1
+
+    real = serve_mod._run_fused
+    barrier = threading.Barrier(2, timeout=60)
+
+    def gated(*a, **kw):
+        barrier.wait()  # passes only if both computes are in flight
+        return real(*a, **kw)
+
+    done = []
+    orig = serve_mod._run_fused
+    serve_mod._run_fused = gated
+    try:
+        ts = [threading.Thread(target=lambda: done.append(svc.localize(img)))
+              for _ in range(2)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(120)
+    finally:
+        serve_mod._run_fused = orig
+    assert len(done) == 2
+    assert sorted(d["device_index"] for d in done) == [0, 1]
+    assert svc.busy_devices == 0
+
+
+def test_query_devices_validation():
+    import pytest
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        LocalizeService(query_devices=2, n_devices=2, **_CFG)
+    with pytest.raises(ValueError, match="devices are visible"):
+        LocalizeService(query_devices=64, **_CFG)
