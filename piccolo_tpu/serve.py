@@ -507,6 +507,7 @@ def serve_forever(service: LocalizeService, host: str = "127.0.0.1",
                         "winner": out["winner"],
                         "time_s": out["time_s"],
                         "room": out["room"],
+                        "device_index": out["device_index"],
                     })
                 elif self.path == "/room":
                     service.load_room_pcd(
