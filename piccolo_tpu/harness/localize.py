@@ -476,7 +476,25 @@ def _slab_admission(cfg, cache, grids, img_init):
     Returns None when stage 1 should stay on the XLA gather path (slab off,
     CPU auto mode, plan over the HBM budget even compact, or not worth the
     per-query sharpen re-bake), else a dict of the admission decision.
+    Memoized per (room, init-image shape): the inputs are room-static and
+    the auto path touches ``device.memory_stats()`` (a host↔device RPC on
+    remote frontends) — the per-query hit path must stay free.
     """
+    memo_key = (
+        "slab_adm", img_init.shape[0], img_init.shape[1],
+        cfg_get(cfg, "slab_init", "auto"),
+        bool(cfg_get(cfg, "sharpen_color", False)),
+        bool(cfg_get(cfg, "slab_compact", False)),
+        cfg_get(cfg, "slab_bytes_cap"),
+        bool(cfg_get(cfg, "seam_wrap", False)),
+    )
+    if memo_key not in cache:
+        cache[memo_key] = _slab_admission_uncached(cfg, cache, grids,
+                                                   img_init)
+    return cache[memo_key]
+
+
+def _slab_admission_uncached(cfg, cache, grids, img_init):
     mode = cfg_get(cfg, "slab_init", "auto")
     if mode is False:
         return None
@@ -719,7 +737,7 @@ def _maybe_slab_plan(cfg, cache, grids, img_init, sync: bool = False):
                 continue
             print(f"slab plan build failed ({err}); using XLA stage 1",
                   flush=True)
-            cache[("slab_plan_failed",) + key[1:]] = True
+            _mark_plan_failed(cache, key, sharpen)
             return None
         if (("slab_plan_failed",) + key[1:]) in cache:
             if attempt:
@@ -784,7 +802,26 @@ def _maybe_slab_plan(cfg, cache, grids, img_init, sync: bool = False):
                     return cache[key]
                 except PlanOverBudget:
                     return None
+        except Exception as exc:
+            # any other build failure (e.g. transient device OOM): mark the
+            # room failed and demote to the XLA stage 1, exactly like the
+            # background path — without the marker, serving (always
+            # sync_plans=True) would re-run the ~10 s failing build under
+            # the compute lock on EVERY request to this room
+            print(f"slab plan build failed ({exc}); using XLA stage 1",
+                  flush=True)
+            _mark_plan_failed(cache, key, sharpen)
+            return None
     return None
+
+
+def _mark_plan_failed(cache, key, sharpen) -> None:
+    """Mark BOTH plan layouts failed for this (room, shape): a non-budget
+    build failure (OOM, compile error) is not layout-specific, so the
+    compact retry would pay the same failing build once more per room."""
+    _, H_, W_, _, _, wrap_ = key
+    for a in (False, True):
+        cache[("slab_plan_failed", H_, W_, a, a and sharpen, wrap_)] = True
 
 
 def _drop_slab_plans(room) -> None:
@@ -794,7 +831,7 @@ def _drop_slab_plans(room) -> None:
     if room is None:
         return
     drop = ("slab_plan", "slab_plan_pending", "slab_plan_failed",
-            "slab_plan_sharded", "slab_dkey")
+            "slab_plan_sharded", "slab_dkey", "slab_adm")
     for k in [k for k in room if isinstance(k, tuple) and k and k[0] in drop]:
         room.pop(k)
 

@@ -138,19 +138,27 @@ def load_plan(cache_dir: str, key: str) -> Optional[GridPlan]:
     path = _path(cache_dir, key)
     if not os.path.exists(path):
         return None
+    import zipfile
+
     try:
         with np.load(path) as z:
             fields = z["fields"]
             windows = z["windows"]
             tps = z["tps"]
             aux = z["aux"]
-    except Exception:
-        # half-written or foreign file: treat as a miss (the atomic rename
-        # makes this unlikely, but a corrupt cache must never crash queries)
+    except (zipfile.BadZipFile, KeyError, ValueError, EOFError):
+        # half-written or foreign file: treat as a miss AND delete (the
+        # atomic rename makes this unlikely, but a corrupt cache must
+        # never crash queries)
         try:
             os.unlink(path)
         except OSError:
             pass
+        return None
+    except Exception:
+        # transient failure (host memory pressure, interrupted read):
+        # miss WITHOUT deleting — the multi-GB entry is likely fine and
+        # unlinking it would force every future process to rebuild
         return None
     try:
         os.utime(path)  # LRU touch
@@ -189,16 +197,19 @@ def evict_lru(cache_dir: str, max_bytes: int) -> int:
                     os.unlink(p)
             except OSError:
                 pass
-    try:
-        entries = [
-            (os.path.getmtime(p), os.path.getsize(p), p)
-            for p in (
-                os.path.join(cache_dir, n) for n in names
-            )
-            if p.endswith(".npz") and os.path.exists(p)
-        ]
-    except OSError:
-        return 0
+    entries = []
+    for n in names:
+        if not n.endswith(".npz"):
+            continue
+        p = os.path.join(cache_dir, n)
+        try:
+            entries.append((os.path.getmtime(p), os.path.getsize(p), p))
+        except OSError:
+            # raced with another process's eviction/replace of THIS file;
+            # skip it rather than aborting the whole pass (a shared cache
+            # dir is supported — one lost stat must not leave the
+            # directory over budget)
+            continue
     total = sum(s for _, s, _ in entries)
     removed = 0
     for _, size, path in sorted(entries):

@@ -629,7 +629,7 @@ def _check_refresh(compact: bool, tp_is_pid: bool, rgb) -> None:
 
 def slab_group_partials(tables, fields, windows, compact: bool,
                         rgb: Optional[jnp.ndarray] = None,
-                        vma=None, tps: Optional[jnp.ndarray] = None):
+                        tps: Optional[jnp.ndarray] = None):
     """(loss_sum, valid_count) per pair of ONE candidate group.
 
     ``tables``: the 3-way bf16 split from :func:`_slab_tables`;
@@ -640,9 +640,9 @@ def slab_group_partials(tables, fields, windows, compact: bool,
     mean — exactness carries over because the mean's numerator and
     denominator are both plain sums over samples.
 
-    ``vma``: set of mesh axis names the output varies over — required when
-    calling from inside ``shard_map`` with replication checking on (the
-    pallas_call's out_shape must declare its varying axes).
+    NOTE: inside ``shard_map`` this must run under ``check_vma=False``
+    (the sanctioned slab stage-1 exception — pallas_call cannot yet
+    propagate varying-axis metadata; see CLAUDE.md / parallel/fused.py).
     """
     t1, t2, t3 = tables
     nf = 3 if compact else 8
@@ -683,12 +683,7 @@ def slab_group_partials(tables, fields, windows, compact: bool,
         out_specs=pl.BlockSpec((1, 8, GROUP), lambda b, wr: (b, 0, 0),
                                memory_space=pltpu.VMEM),
     )
-    if vma is None:
-        out_shape = jax.ShapeDtypeStruct((nb, 8, GROUP), jnp.float32)
-    else:
-        out_shape = jax.ShapeDtypeStruct(
-            (nb, 8, GROUP), jnp.float32, vma=frozenset(vma)
-        )
+    out_shape = jax.ShapeDtypeStruct((nb, 8, GROUP), jnp.float32)
     out = pl.pallas_call(
         _kernel_compact if compact else _kernel,
         grid_spec=grid_spec,

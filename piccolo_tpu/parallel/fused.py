@@ -421,7 +421,7 @@ def _localize_query_sharded_jit(
     r1 = jnp.take(pair_r, idx1, axis=0)
 
     if criterion == "loss":
-        t2, r2, k2 = t1, r1, k1
+        t2, r2, k2, final_valid = t1, r1, k1, sel_valid
     else:
         # ---- stage 2: histogram intersection, 'cand'-sharded candidates,
         # 'point'-sharded render combined by pmin
@@ -445,6 +445,11 @@ def _localize_query_sharded_jit(
         _, idx2 = jax.lax.top_k(hs, k2)
         t2 = jnp.take(t1, idx2, axis=0)
         r2 = jnp.take(r1, idx2, axis=0)
+        final_valid = jnp.take(sel_valid, idx2)
+    # garbage-padding poses must not descend (pipeline.py parity): slots
+    # beyond the valid pair count duplicate the best valid start instead
+    t2 = jnp.where(final_valid[:, None], t2, t2[0])
+    r2 = jnp.where(final_valid[:, None], r2, r2[0])
 
     # ---- stage 3: sharded multi-start descent
     t2p = _pad_clone_rows(t2, n_cand)

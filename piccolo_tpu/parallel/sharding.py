@@ -49,7 +49,18 @@ try:  # jax >= 0.4.31 exposes shard_map at top level
 
     shard_map = _shard_map_mod.shard_map if hasattr(_shard_map_mod, "shard_map") else _shard_map_mod
 except ImportError:  # pragma: no cover
-    from jax.experimental.shard_map import shard_map
+    from functools import wraps as _wraps
+
+    from jax.experimental.shard_map import shard_map as _legacy_shard_map
+
+    @_wraps(_legacy_shard_map)
+    def shard_map(*args, check_vma=None, **kwargs):
+        # the legacy entry point spells the replication check `check_rep`;
+        # translate so callers can use the modern kwarg (the slab stage-1
+        # shard_map passes check_vma=False) on either jax version
+        if check_vma is not None:
+            kwargs["check_rep"] = check_vma
+        return _legacy_shard_map(*args, **kwargs)
 
 __all__ = [
     "make_mesh",
@@ -244,17 +255,18 @@ def descent_local(
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "num_iter", "lr", "patience", "factor",
-                     "table_dtype"),
+                     "table_dtype", "wrap"),
 )
 def _solve_sharded_jit(
     img, xyz, rgb, trans0, ypr0, lo, hi, point_mask,
     *, mesh, num_iter, lr, patience, factor, table_dtype="auto",
+    wrap=False,
 ):
     t, ypr, losses, lrs = shard_map(
         functools.partial(
             descent_local,
             num_iter=num_iter, lr=lr, patience=patience, factor=factor,
-            table_dtype=table_dtype,
+            table_dtype=table_dtype, wrap=wrap,
         ),
         mesh=mesh,
         in_specs=(
@@ -300,6 +312,7 @@ def solve_sharded(
     patience: int = 5,
     factor: float = 0.9,
     table_dtype: str = "auto",
+    wrap: bool = False,
 ):
     """Multi-chip multi-start descent; same contract as solver.solve.
 
@@ -343,7 +356,7 @@ def solve_sharded(
     res = _solve_sharded_jit(
         img, xyz, rgb, trans0, ypr0, lo, hi, point_mask,
         mesh=mesh, num_iter=num_iter, lr=lr, patience=patience, factor=factor,
-        table_dtype=table_dtype,
+        table_dtype=table_dtype, wrap=wrap,
     )
     res = SolveResult(
         t=res.t[:b], ypr=res.ypr[:b], rot=res.rot[:b],

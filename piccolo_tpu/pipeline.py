@@ -255,7 +255,7 @@ def localize_query(
     r1 = jnp.take(pair_r, idx1, axis=0)
 
     if criterion == "loss":
-        t2, r2 = t1, r1
+        t2, r2, final_valid = t1, r1, sel_valid
     else:
         # ---- stage 2: histogram intersection (reference utils.py:510-588)
         padh = (-k1) % hist_chunk
@@ -269,6 +269,13 @@ def localize_query(
         _, idx2 = jax.lax.top_k(hs, k2)
         t2 = jnp.take(t1, idx2, axis=0)
         r2 = jnp.take(r1, idx2, axis=0)
+        final_valid = jnp.take(sel_valid, idx2)
+    # fewer valid pairs than starts (tiny manual grids): the trailing
+    # slots would otherwise descend from garbage padding poses, which can
+    # out-descend the genuine candidates and win — duplicate the BEST
+    # valid start instead (row 0: both selections rank valid rows first)
+    t2 = jnp.where(final_valid[:, None], t2, t2[0])
+    r2 = jnp.where(final_valid[:, None], r2, r2[0])
 
     # ---- stage 3: multi-start descent (reference omniloc.py)
     out = _descend(

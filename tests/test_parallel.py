@@ -422,3 +422,57 @@ def test_fused_sharded_slab_refresh_matches(fused_scene):
         np.asarray(res.start_t), np.asarray(ref.start_t)
     )
     assert int(res.winner) == int(ref.winner)
+
+
+def test_solve_sharded_wrap_matches_single_device(scene):
+    """seam_wrap on the descent-only sharded surface (docs/PARITY.md lists
+    it for the sharded path): wrap=True threads through to the per-shard
+    packed table and matches the single-device wrapped descent."""
+    xyz, rgb, img, lo, hi, t0, ypr0, gt_t = scene
+    mesh = make_mesh(2, 4)
+    ref = descend(
+        jnp.asarray(img), jnp.asarray(xyz), jnp.asarray(rgb),
+        jnp.asarray(t0), jnp.asarray(ypr0), jnp.asarray(lo), jnp.asarray(hi),
+        num_iter=3, lr=0.1, patience=5, factor=0.8, wrap=True,
+    )
+    _, _, _, res = solve_sharded(
+        mesh, img, xyz, rgb, t0, ypr0, lo, hi,
+        num_iter=3, lr=0.1, patience=5, factor=0.8, wrap=True,
+    )
+    np.testing.assert_allclose(np.asarray(res.t), np.asarray(ref.t),
+                               atol=2e-2)
+    np.testing.assert_allclose(np.asarray(res.loss), np.asarray(ref.loss),
+                               atol=1e-3)
+    # and the wrapped run differs from clip mode (the flag reaches the
+    # sampler, it is not silently dropped)
+    _, _, _, clip = solve_sharded(
+        mesh, img, xyz, rgb, t0, ypr0, lo, hi,
+        num_iter=3, lr=0.1, patience=5, factor=0.8,
+    )
+    assert not np.allclose(np.asarray(res.loss), np.asarray(clip.loss))
+
+
+@pytest.mark.parametrize("criterion", ["loss_histogram", "loss"])
+def test_fused_sharded_scarce_valid_pairs_duplicate_best(fused_scene,
+                                                          criterion):
+    """Sharded mirror of the pipeline scarce-valid guard: with fewer valid
+    pairs than num_input, surplus start slots duplicate the best valid
+    start instead of descending from garbage padding poses."""
+    from piccolo_tpu.parallel import localize_query_sharded
+
+    xyz, rgb, img, lo, hi, trans, rot, valid, gt_t = fused_scene
+    # 1 valid translation x 8 rots = 8 pairs < num_input forces the edge
+    bad = np.broadcast_to(gt_t, (7, 3)).copy()
+    trans_p = np.concatenate([trans[:1], bad]).astype(np.float32)
+    valid_p = np.concatenate([np.ones(1, bool), np.zeros(7, bool)])
+    mesh = make_mesh(2, 4)
+    res = localize_query_sharded(
+        mesh, img, img, xyz, rgb, trans_p, rot, valid_p, lo, hi,
+        num_intermediate=10, num_input=10, num_split_h=4, num_split_w=4,
+        num_iter=3, lr=0.1, patience=5, factor=0.8,
+        grid_chunk=8, hist_chunk=4, criterion=criterion,
+    )
+    starts = np.asarray(res.start_t)
+    for s in starts:
+        assert not np.allclose(s, gt_t, atol=1e-6), starts
+        np.testing.assert_allclose(s, trans_p[0], atol=1e-6)

@@ -393,3 +393,28 @@ def test_fused_trajectory_matches_plain(rng):
     np.testing.assert_array_equal(
         np.asarray(traj.t[:, -1]), np.asarray(res.cand_t)
     )
+
+
+@pytest.mark.parametrize("criterion", ["loss_histogram", "loss"])
+def test_fused_scarce_valid_pairs_duplicate_best_start(rng, criterion):
+    """Fewer valid pairs than num_input: the surplus start slots must
+    duplicate the best valid start instead of descending from garbage
+    padding poses (which can out-descend the genuine candidates)."""
+    xyz, rgb, img, trans, rot, lo, hi, gt_t = _setup(rng)
+    # 1 valid translation x 4 rots = 4 pairs < num_input=6; padding rows
+    # sit exactly on the GT so a leak would (wrongly) win the descent
+    bad = np.broadcast_to(gt_t, (7, 3)).copy()
+    trans_p = np.concatenate([trans[:1], bad]).astype(np.float32)
+    valid = np.concatenate([np.ones(1, bool), np.zeros(7, bool)])
+    res = localize_query(
+        jnp.asarray(img), jnp.asarray(img), jnp.asarray(xyz), jnp.asarray(rgb),
+        jnp.asarray(trans_p), jnp.asarray(rot),
+        jnp.asarray(valid), jnp.asarray(lo), jnp.asarray(hi),
+        num_intermediate=8, num_input=6, num_iter=5, criterion=criterion,
+    )
+    starts = np.asarray(res.start_t)
+    for s in starts:
+        assert not np.allclose(s, gt_t, atol=1e-6), starts
+        np.testing.assert_allclose(s, trans_p[0], atol=1e-6)
+    # slots 4..5 duplicate the best valid start (4 real pairs only)
+    np.testing.assert_array_equal(starts[4], starts[0])

@@ -361,3 +361,92 @@ def test_background_demotion_does_not_respawn_f32(scene, monkeypatch):
     finally:
         jax.default_backend = real_backend
     assert [b[0] for b in builds] == ["f32", "compact"], builds
+
+
+def test_load_transient_error_keeps_entry(tmp_path, monkeypatch):
+    """A transient load failure (host memory pressure, interrupted read)
+    must NOT delete the multi-GB cache entry; only real corruption purges."""
+    p = tmp_path / "plan_cafe.npz"
+    p.write_bytes(b"whatever")
+
+    def boom(path):
+        raise MemoryError("host OOM while materialising arrays")
+
+    monkeypatch.setattr(pc.np, "load", boom)
+    assert pc.load_plan(str(tmp_path), "cafe") is None
+    assert p.exists()  # still there for the next (healthy) process
+
+
+def test_evict_lru_survives_concurrent_unlink(tmp_path, monkeypatch):
+    """A file disappearing between listdir and stat (another process's
+    eviction) must not abort the whole pass (shared cache dirs are
+    supported)."""
+    for i in range(4):
+        p = tmp_path / f"plan_{i}.npz"
+        p.write_bytes(b"x" * 1000)
+        os.utime(p, (time.time() - 100 + i, time.time() - 100 + i))
+
+    real_getmtime = os.path.getmtime
+
+    def racy(path):
+        if path.endswith("plan_1.npz"):
+            raise OSError("raced: unlinked by another process")
+        return real_getmtime(path)
+
+    monkeypatch.setattr(pc.os.path, "getmtime", racy)
+    removed = pc.evict_lru(str(tmp_path), 1500)  # 3 visible files, keep 1
+    assert removed == 2
+    left = sorted(p.name for p in tmp_path.glob("plan_*.npz"))
+    assert left == ["plan_1.npz", "plan_3.npz"]  # skipped + newest survive
+
+
+def test_sync_build_failure_marks_room_failed(scene, monkeypatch):
+    """A non-budget build failure on the SYNCHRONOUS path (serving always
+    builds sync) must mark the room failed and demote to the XLA stage 1
+    — not re-run the failing ~10 s build on every request."""
+    cfg = make_config(
+        dataset="Stanford2D-3D-S", slab_init=True,
+        slab_plan_cache=False, slab_background_build=False,
+    )
+    cache, grids = _room_state(scene)
+    img = np.asarray(scene["img"])
+    calls = []
+
+    def boom(*a, **k):
+        calls.append(1)
+        raise RuntimeError("transient device OOM")
+
+    monkeypatch.setattr(
+        "piccolo_tpu.kernels.slab_sampling.build_grid_plan", boom
+    )
+    assert _maybe_slab_plan(cfg, cache, grids, img) is None
+    assert len(calls) == 1
+    # second query: failed marker short-circuits, no rebuild attempt
+    assert _maybe_slab_plan(cfg, cache, grids, img) is None
+    assert len(calls) == 1
+
+
+def test_slab_admission_memoized_per_room(scene, monkeypatch):
+    """The admission decision (which touches device memory_stats in auto
+    mode) runs once per (room, shape, cfg knobs), not per query."""
+    import piccolo_tpu.harness.localize as hl
+
+    cfg = make_config(dataset="Stanford2D-3D-S", slab_init="auto")
+    cache, grids = _room_state(scene)
+    img = np.asarray(scene["img"])
+    calls = []
+    real = hl._slab_admission_uncached
+
+    def counting(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(hl, "_slab_admission_uncached", counting)
+    hl._slab_admission(cfg, cache, grids, img)
+    hl._slab_admission(cfg, cache, grids, img)
+    assert len(calls) == 1
+    # a different budget knob is a different decision — not served stale
+    cfg2 = make_config(dataset="Stanford2D-3D-S", slab_init="auto",
+                       slab_bytes_cap=12345)
+    hl._slab_admission(cfg2, cache, grids, img)
+    assert len(calls) == 2
