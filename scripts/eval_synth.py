@@ -88,6 +88,13 @@ def main(argv=None) -> dict:
                     choices=["loss_histogram", "loss"],
                     help="init trim criterion ('loss' = working extension: "
                          "top num_input by stage-1 loss, no histogram trim)")
+    ap.add_argument("--full-rot", action="store_true",
+                    help="the reference stanford.ini rotation budget: a "
+                         "FULL 4x4x4 yaw/pitch/roll grid (deduped, "
+                         "reference utils.py:321-360) with GT poses drawn "
+                         "with nonzero pitch/roll — exercises the "
+                         "rotation-dedup init path end-to-end (the "
+                         "default arm is yaw-only like the bench)")
     ap.add_argument("--sharpen", action="store_true",
                     help="apply the harness's sharpen_color prep per query "
                          "(color_mod on the init image + cloud-color "
@@ -131,10 +138,21 @@ def main(argv=None) -> dict:
             xyz.astype(np.float32), rgb.astype(np.float32)
         )
         lo, hi = _order_bounds(xyz, 0.05)
-        init_dict = default_init_dict(
-            xy_only=True, num_trans=num_trans, yaw_only=True, num_yaw=8,
-            z_prior=None, num_split_h=4, num_split_w=4,
-        )
+        if args.full_rot:
+            # the FULL reference configs/stanford.ini init budget:
+            # 3-D translation grid (xy_only=False), 4x4x4 ypr rotations
+            # (deduped), top-50 intermediate
+            num_intermediate = 50
+            init_dict = default_init_dict(
+                xy_only=False, num_trans=num_trans, yaw_only=False,
+                num_yaw=4, num_pitch=4, num_roll=4,
+                z_prior=None, num_split_h=4, num_split_w=4,
+            )
+        else:
+            init_dict = default_init_dict(
+                xy_only=True, num_trans=num_trans, yaw_only=True, num_yaw=8,
+                z_prior=None, num_split_h=4, num_split_w=4,
+            )
         trans_grid = generate_trans_points(xyz, init_dict)
         rot_grid = generate_rot_points(init_dict)
         pad = (-trans_grid.shape[0]) % 64
@@ -182,7 +200,9 @@ def main(argv=None) -> dict:
                 )
 
         for qi in range(args.queries):
-            gt_t, gt_ypr = pose_outside_occluders(rng, occ, size)
+            gt_t, gt_ypr = pose_outside_occluders(
+                rng, occ, size, yaw_only=not args.full_rot
+            )
             img_main = render_at(
                 xyz, rgb, gt_t, gt_ypr, (args.height, 2 * args.height)
             )
@@ -255,6 +275,7 @@ def main(argv=None) -> dict:
             )
     summary = dict(
         profile=args.profile,
+        full_rot=bool(args.full_rot),
         descent_table=args.descent_table,
         sharpen=bool(args.sharpen),
         queries=n,
