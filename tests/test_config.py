@@ -133,3 +133,22 @@ def test_cfg_get_defaults():
     cfg = make_config(dataset="OmniScenes")
     assert cfg_get(cfg, "num_iter", 100) == 100
     assert cfg_get(cfg, "dataset") == "OmniScenes"
+
+
+def test_python_m_piccolo_tpu_entry():
+    """`python -m piccolo_tpu` is the packaged CLI (reference main.py)."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (
+        os.path.join(os.path.dirname(__file__), "..")
+        + os.pathsep + env.get("PYTHONPATH", "")
+    )
+    out = subprocess.run(
+        [sys.executable, "-m", "piccolo_tpu", "--help"],
+        capture_output=True, text=True, env=env, timeout=120,
+    )
+    assert out.returncode == 0
+    assert "--config" in out.stdout and "--override" in out.stdout
