@@ -566,12 +566,18 @@ def main(argv=None) -> None:
                          "directory (required for path payloads on a "
                          "non-loopback --host; loopback binds trust local "
                          "clients)")
+    ap.add_argument("--override", type=str, default=None,
+                    help="config overrides, e.g. "
+                         "'query_devices=4,descent_table=float32' (the "
+                         "batch CLI's grammar, main.py)")
     args = ap.parse_args(argv)
 
+    from .config import apply_overrides
     from .utils import enable_compilation_cache
 
     enable_compilation_cache()
-    svc = LocalizeService(parse_ini(args.config), max_rooms=args.max_rooms,
+    cfg = apply_overrides(parse_ini(args.config), args.override)
+    svc = LocalizeService(cfg, max_rooms=args.max_rooms,
                           max_pending=args.max_pending)
     for pcd in args.pcd:
         svc.load_room_pcd(pcd)

@@ -366,3 +366,20 @@ def test_query_devices_validation():
         LocalizeService(query_devices=2, n_devices=2, **_CFG)
     with pytest.raises(ValueError, match="devices are visible"):
         LocalizeService(query_devices=64, **_CFG)
+
+
+def test_serve_cli_override_reaches_config(tmp_path):
+    """--override on the serving CLI applies the batch CLI's grammar
+    before service construction (proved by tripping its validation)."""
+    from piccolo_tpu import serve as serve_mod
+
+    ini = tmp_path / "cfg.ini"
+    ini.write_text(
+        "[Default]\ndataset = Stanford2D-3D-S\nnum_trans = 8\n"
+        "yaw_only = True\nnum_yaw = 4\n"
+    )
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        serve_mod.main([
+            "--config", str(ini),
+            "--override", "query_devices=2,n_devices=2",
+        ])
