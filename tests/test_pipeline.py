@@ -418,3 +418,38 @@ def test_fused_scarce_valid_pairs_duplicate_best_start(rng, criterion):
         np.testing.assert_allclose(s, trans_p[0], atol=1e-6)
     # slots 4..5 duplicate the best valid start (4 real pairs only)
     np.testing.assert_array_equal(starts[4], starts[0])
+
+
+def test_fused_all_black_image_degrades_gracefully(rng):
+    """A query image with no valid samples anywhere (all black): every
+    candidate scores +inf (the reference NaNs via an empty mean,
+    omniloc.py:198), the pipeline must return a finite in-room pose and
+    an inf loss — never NaN, never a crash."""
+    xyz, rgb, img, trans, rot, lo, hi, gt_t = _setup(rng)
+    black = jnp.zeros_like(jnp.asarray(img))
+    res = localize_query(
+        black, black, jnp.asarray(xyz), jnp.asarray(rgb),
+        jnp.asarray(trans), jnp.asarray(rot),
+        jnp.ones(trans.shape[0], bool), jnp.asarray(lo), jnp.asarray(hi),
+        num_intermediate=10, num_input=4, num_iter=5,
+    )
+    assert np.all(np.isfinite(np.asarray(res.t)))
+    assert np.all(np.asarray(res.t) >= lo - 1e-6)
+    assert np.all(np.asarray(res.t) <= hi + 1e-6)
+    assert np.isinf(float(res.loss))
+    assert not np.any(np.isnan(np.asarray(res.cand_loss)))
+
+
+def test_fused_empty_point_mask_degrades_gracefully(rng):
+    """point_mask all False (an empty cloud after filtering) likewise
+    yields inf losses and finite poses."""
+    xyz, rgb, img, trans, rot, lo, hi, gt_t = _setup(rng)
+    res = localize_query(
+        jnp.asarray(img), jnp.asarray(img), jnp.asarray(xyz),
+        jnp.asarray(rgb), jnp.asarray(trans), jnp.asarray(rot),
+        jnp.ones(trans.shape[0], bool), jnp.asarray(lo), jnp.asarray(hi),
+        point_mask=jnp.zeros(xyz.shape[0], bool), masked=True,
+        num_intermediate=10, num_input=4, num_iter=5,
+    )
+    assert np.all(np.isfinite(np.asarray(res.t)))
+    assert np.isinf(float(res.loss))
