@@ -25,7 +25,7 @@ import glob as globlib
 import os
 import random
 import time
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -607,7 +607,6 @@ def _maybe_slab_plan(cfg, cache, grids, img_init, sync: bool = False):
     if adm is None:
         return None
     from ..kernels.slab_sampling import (
-        GROUP,
         PlanOverBudget,
         build_grid_plan,
         plan_required_blocks,

@@ -19,7 +19,7 @@ fixes vs the reference (SURVEY §2 "latent bugs"):
 from __future__ import annotations
 
 import math
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

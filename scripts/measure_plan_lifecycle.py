@@ -42,7 +42,6 @@ from piccolo_tpu.harness.localize import (  # noqa: E402
     _run_fused,
     get_init_dict,
 )
-from piccolo_tpu.init import default_init_dict  # noqa: E402
 from piccolo_tpu.testing import make_room, random_pose_inside, render_at  # noqa: E402
 from piccolo_tpu.utils import enable_compilation_cache  # noqa: E402
 
