@@ -44,7 +44,8 @@ __all__ = [
 
 # Bump whenever the on-disk layout OR the plan semantics change (field
 # order, packing, window math) — old entries then miss by construction.
-PLAN_FORMAT_VERSION = 2
+# v3: per-plan window/block geometry (round 3).
+PLAN_FORMAT_VERSION = 3
 
 
 def default_plan_cache_dir() -> str:
@@ -71,6 +72,8 @@ def plan_key(
     compact: bool,
     tp_is_pid: bool,
     wrap: bool = False,
+    window=None,
+    block=None,
 ) -> str:
     """Content digest of everything a plan is a function of.
 
@@ -90,6 +93,11 @@ def plan_key(
     h.update(
         f"{height}x{width}:{int(compact)}{int(tp_is_pid)}{int(wrap)}".encode()
     )
+    if window is not None or block is not None:
+        # explicit geometry overrides change plan contents; the auto
+        # geometry is a pure function of the hashed inputs, so None (the
+        # common case) needs no key contribution
+        h.update(f"g{window}x{block}".encode())
     return h.hexdigest()
 
 
@@ -113,7 +121,8 @@ def save_plan(cache_dir: str, key: str, plan: GridPlan,
            if plan.tps else np.zeros((0,), np.float32))
     aux = np.array(
         [plan.n_pairs, int(plan.compact), int(plan.tp_is_pid),
-         plan.height, plan.width, int(plan.wrap)],
+         plan.height, plan.width, int(plan.wrap),
+         plan.window, plan.block],
         np.int64,
     )
     path = _path(cache_dir, key)
@@ -164,7 +173,7 @@ def load_plan(cache_dir: str, key: str) -> Optional[GridPlan]:
         os.utime(path)  # LRU touch
     except OSError:
         pass  # concurrently evicted: the data is already in memory
-    n_pairs, compact, tp_is_pid, height, width, wrap = (
+    n_pairs, compact, tp_is_pid, height, width, wrap, window, block = (
         int(v) for v in aux
     )
     return GridPlan(
@@ -173,6 +182,7 @@ def load_plan(cache_dir: str, key: str) -> Optional[GridPlan]:
         tps=[jnp.asarray(t) for t in tps] if tps.size else (),
         n_pairs=n_pairs, compact=bool(compact), tp_is_pid=bool(tp_is_pid),
         height=height, width=width, wrap=bool(wrap),
+        window=window, block=block,
     )
 
 

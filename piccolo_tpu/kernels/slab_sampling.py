@@ -60,14 +60,41 @@ __all__ = [
     "nb_bucket",
     "default_plan_bytes_cap",
     "plan_exact_bytes",
+    "resolve_plan_geometry",
     "WINDOW",
     "BLOCK",
     "GROUP",
 ]
 
-WINDOW = 512  # table rows per aligned slab window (VMEM-resident per block)
-BLOCK = 1024  # samples per kernel block (~half the typical window occupancy)
+WINDOW = 512  # default table rows per aligned slab window (see resolver)
+BLOCK = 1024  # default samples per kernel block (see resolver)
 GROUP = 128   # candidate pairs per group (one-hot accumulator width)
+
+
+def resolve_plan_geometry(n_points: int, height: int, width: int,
+                          window=None, block=None):
+    """(window, block) for a plan — auto-tuned to SAMPLE DENSITY when unset.
+
+    The kernel's per-block cost is the window one-hot (WINDOW x BLOCK
+    compares + 3 bf16 (12, WINDOW) @ (WINDOW, BLOCK) dots), so smaller
+    windows are cheaper PER BLOCK — but sparse tables (few points per
+    window row) then leave blocks underfilled and block padding blows the
+    plan up.  Measured sweep on TPU v5e (round 3, exactness-checked):
+
+      dense  (60k pts / 131k-row Stanford table, density 0.5):
+        (128, 1024) 38.8 ms vs shipped (512, 1024) 57.9 ms  (-33%)
+      sparse (60k pts / 2.1M-row OmniScenes table, density 0.03):
+        (256, 512) 134 ms vs (512, 1024) 145 ms (-8%); 128-row windows
+        REGRESS (164-208 ms) with up to 2x plan bytes.
+
+    The density threshold 0.25 splits the measured regimes with margin
+    (padded-bucket point counts put the bench at ~0.5 and every
+    OmniScenes-scale workload below 0.13).  Explicit values override.
+    """
+    if window is None and block is None:
+        density = n_points / float(_table_rows(height, width))
+        return (128, 1024) if density >= 0.25 else (256, 512)
+    return (int(window or WINDOW), int(block or BLOCK))
 
 # Fallback HBM budget for a plan's sorted streams when the backend reports
 # no memory stats — the harness's ``slab_bytes_cap`` default and
@@ -124,10 +151,11 @@ class PlanOverBudget(RuntimeError):
         self.cap = cap
 
 
-def plan_exact_bytes(n_groups: int, nb: int, compact: bool) -> int:
+def plan_exact_bytes(n_groups: int, nb: int, compact: bool,
+                     block: int = BLOCK) -> int:
     """Exact HBM footprint of a plan once the padded block count is known."""
     per = 16 if compact else 32
-    return n_groups * (nb * BLOCK * per + nb * 4)
+    return n_groups * (nb * block * per + nb * 4)
 
 # field order in the packed (8, BLOCK) sample block; _F_PID rides the spare
 # sublane as an exactly-representable small int (cloud sizes < 2^24)
@@ -172,6 +200,7 @@ class GridPlan:
     def __init__(self, fields, windows, n_pairs: int,
                  compact: bool = False, tp_is_pid: bool = False,
                  height: int = 0, width: int = 0, wrap: bool = False,
+                 window: int = WINDOW, block: int = BLOCK,
                  tps=()):
         self.fields = tuple(fields)
         self.windows = tuple(windows)
@@ -182,12 +211,14 @@ class GridPlan:
         self.height = int(height)
         self.width = int(width)
         self.wrap = bool(wrap)
+        self.window = int(window)
+        self.block = int(block)
 
     def tree_flatten(self):
         return (
             (self.fields, self.windows, self.tps),
             (self.n_pairs, self.compact, self.tp_is_pid,
-             self.height, self.width, self.wrap),
+             self.height, self.width, self.wrap, self.window, self.block),
         )
 
     @classmethod
@@ -258,9 +289,9 @@ def _table_rows(height: int, width: int) -> int:
     return (height + 1) * (width + 1)
 
 
-def _rpad(height: int, width: int) -> int:
+def _rpad(height: int, width: int, window: int = WINDOW) -> int:
     rows = _table_rows(height, width)
-    return ((rows + WINDOW - 1) // WINDOW) * WINDOW
+    return ((rows + window - 1) // window) * window
 
 
 def _nb_bucket(n: int) -> int:
@@ -292,28 +323,29 @@ def _project_group(xyz, point_mask, t_g, ypr_g, height, width, wrap=False):
     return row, wx1, wy1
 
 
-@functools.partial(jax.jit, static_argnames=("height", "width", "wrap"))
+@functools.partial(jax.jit, static_argnames=("height", "width", "wrap",
+                                             "window", "block"))
 def _plan_sizes(xyz, point_mask, pair_t, pair_ypr, *, height, width,
-                wrap=False):
+                wrap=False, window=WINDOW, block=BLOCK):
     """Padded block count per group (no sort — window histograms).
 
     ``pair_t``/``pair_ypr`` are (n_groups, GROUP, 3); one program sizes every
     group (the projection's unused fractions dead-code-eliminate)."""
-    n_win = _rpad(height, width) // WINDOW
+    n_win = _rpad(height, width, window) // window
 
     def one(t_g, ypr_g):
         row, _, _ = _project_group(xyz, point_mask, t_g, ypr_g, height, width,
                                    wrap)
-        window = row.reshape(-1) // WINDOW
-        counts = jnp.zeros(n_win, jnp.int32).at[window].add(1)
-        return jnp.sum((counts + BLOCK - 1) // BLOCK)
+        win = row.reshape(-1) // window
+        counts = jnp.zeros(n_win, jnp.int32).at[win].add(1)
+        return jnp.sum((counts + block - 1) // block)
 
     return jax.vmap(one)(pair_t, pair_ypr)
 
 
 def plan_required_blocks(
     xyz, point_mask, trans_grid, rot_grid, height: int, width: int,
-    wrap: bool = False,
+    wrap: bool = False, window=None, block=None,
 ) -> int:
     """Raw (pre-bucket) max padded block count a plan for these inputs needs.
 
@@ -332,10 +364,13 @@ def plan_required_blocks(
             [pair_r, jnp.broadcast_to(pair_r[:1], (pad, 3))]
         )
     n_groups = pair_t.shape[0] // GROUP
+    window, block = resolve_plan_geometry(
+        xyz.shape[0], height, width, window, block
+    )
     totals = _plan_sizes(
         xyz, point_mask,
         pair_t.reshape(n_groups, GROUP, 3), pair_r.reshape(n_groups, GROUP, 3),
-        height=height, width=width, wrap=wrap,
+        height=height, width=width, wrap=wrap, window=window, block=block,
     )
     return int(np.max(np.asarray(totals)))
 
@@ -357,12 +392,14 @@ def pack_rgb24(rgb: jnp.ndarray) -> jnp.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("height", "width", "nb", "compact", "tp_is_pid", "wrap"),
+    static_argnames=("height", "width", "nb", "compact", "tp_is_pid", "wrap",
+                     "window", "block"),
 )
 def _plan_group(xyz, rgb, point_mask, t_g, ypr_g, *, height, width, nb,
-                compact=False, tp_is_pid=False, wrap=False):
+                compact=False, tp_is_pid=False, wrap=False,
+                window=WINDOW, block=BLOCK):
     """Sorted, window-padded sample blocks for one candidate group."""
-    n_win = _rpad(height, width) // WINDOW
+    n_win = _rpad(height, width, window) // window
     N = xyz.shape[0]
     row, wx1, wy1 = _project_group(xyz, point_mask, t_g, ypr_g, height, width,
                                    wrap)
@@ -390,18 +427,18 @@ def _plan_group(xyz, rgb, point_mask, t_g, ypr_g, *, height, width, nb,
     srt = jax.lax.sort((row.reshape(-1),) + vals, num_keys=1)
     row_s = srt[0]
 
-    window = row_s // WINDOW
-    edges = jnp.arange(n_win + 1, dtype=row_s.dtype) * WINDOW
+    win = row_s // window
+    edges = jnp.arange(n_win + 1, dtype=row_s.dtype) * window
     starts = jnp.searchsorted(row_s, edges, side="left")
     counts = jnp.diff(starts)
-    blocks_w = (counts + BLOCK - 1) // BLOCK
+    blocks_w = (counts + block - 1) // block
     block_off = jnp.concatenate(
         [jnp.zeros(1, blocks_w.dtype), jnp.cumsum(blocks_w)[:-1]]
     )
 
     i = jnp.arange(row_s.shape[0], dtype=jnp.int32)
-    positions = i - starts[window] + block_off[window] * BLOCK
-    lidx = (row_s - window * WINDOW).astype(jnp.float32)
+    positions = i - starts[win] + block_off[win] * block
+    lidx = (row_s - win * window).astype(jnp.float32)
 
     if compact:
         _, wx_s, wy_s, cid_s, tp_s = srt
@@ -419,9 +456,9 @@ def _plan_group(xyz, rgb, point_mask, t_g, ypr_g, *, height, width, nb,
         # (NB, 1, BLOCK): the middle singleton keeps Mosaic's block-shape
         # rule satisfied (second-to-last block dim == array dim)
         tps = (
-            jnp.zeros(nb * BLOCK, jnp.float32)
+            jnp.zeros(nb * block, jnp.float32)
             .at[positions].set(tp_s)
-            .reshape(nb, 1, BLOCK)
+            .reshape(nb, 1, block)
         )
     else:
         payload = jnp.stack((lidx,) + srt[1:], axis=-1)  # (M, 8)
@@ -433,11 +470,11 @@ def _plan_group(xyz, rgb, point_mask, t_g, ypr_g, *, height, width, nb,
         width_f = 8
         tps = None
     flat = (
-        jnp.broadcast_to(empty, (nb * BLOCK, width_f))
+        jnp.broadcast_to(empty, (nb * block, width_f))
         .at[positions].set(payload)
     )
-    fields = flat.reshape(nb, BLOCK, width_f).transpose(0, 2, 1)
-    windows = jnp.zeros(nb, jnp.int32).at[positions // BLOCK].max(window)
+    fields = flat.reshape(nb, block, width_f).transpose(0, 2, 1)
+    windows = jnp.zeros(nb, jnp.int32).at[positions // block].max(win)
     return fields, windows, tps
 
 
@@ -454,6 +491,8 @@ def build_grid_plan(
     bytes_cap: Optional[int] = None,
     nb: Optional[int] = None,
     wrap: bool = False,
+    window: Optional[int] = None,
+    block: Optional[int] = None,
 ) -> GridPlan:
     """Build the room-static sorted sample streams (once per room+image size).
 
@@ -471,6 +510,12 @@ def build_grid_plan(
     maximum so all shards share one static shape; see
     parallel.fused.shard_grid_plan).
 
+    ``window``/``block``: kernel geometry (table rows per VMEM window /
+    samples per kernel block).  Default None auto-tunes to sample density
+    (:func:`resolve_plan_geometry` — measured 8-33%% faster stage 1 than
+    one fixed geometry); when forcing ``nb`` the caller must pass the same
+    geometry its sizing used.
+
     Host driver around two jitted phases: a histogram-only sizing pass whose
     scalar result (max padded block count, bucketed) fixes the static shapes,
     then one sort+scatter program per candidate group — groups are built
@@ -484,6 +529,9 @@ def build_grid_plan(
         pair_t = jnp.concatenate([pair_t, jnp.broadcast_to(pair_t[:1], (pad, 3))])
         pair_r = jnp.concatenate([pair_r, jnp.broadcast_to(pair_r[:1], (pad, 3))])
     n_groups = pair_t.shape[0] // GROUP
+    window, block = resolve_plan_geometry(
+        xyz.shape[0], height, width, window, block
+    )
 
     def group_args(g):
         return (
@@ -497,10 +545,11 @@ def build_grid_plan(
             pair_t.reshape(n_groups, GROUP, 3),
             pair_r.reshape(n_groups, GROUP, 3),
             height=height, width=width, wrap=wrap,
+            window=window, block=block,
         )
         nb = _nb_bucket(int(np.max(np.asarray(totals))))
     if bytes_cap is not None:
-        exact = plan_exact_bytes(n_groups, nb, compact)
+        exact = plan_exact_bytes(n_groups, nb, compact, block)
         if exact > bytes_cap:
             raise PlanOverBudget(exact, bytes_cap)
 
@@ -510,6 +559,7 @@ def build_grid_plan(
             xyz, rgb, point_mask, *group_args(g),
             height=height, width=width, nb=nb,
             compact=compact, tp_is_pid=tp_is_pid, wrap=wrap,
+            window=window, block=block,
         )
         fields.append(f)
         windows.append(w)
@@ -517,17 +567,19 @@ def build_grid_plan(
             tps.append(t)
     return GridPlan(fields=fields, windows=windows, n_pairs=P,
                     compact=compact, tp_is_pid=tp_is_pid,
-                    height=height, width=width, wrap=wrap, tps=tps)
+                    height=height, width=width, wrap=wrap,
+                    window=window, block=block, tps=tps)
 
 
-def _score_core(t1, t2, t3, li, x1, y1, tgt, cidf):
+def _score_core(t1, t2, t3, li, x1, y1, tgt, cidf, *, window):
     """Shared scoring core of both kernel variants (exactness-critical).
 
-    (li, x1, y1, tgt, cidf) are (1|3, BLOCK) f32 rows; returns the (8, GROUP)
+    (li, x1, y1, tgt, cidf) are (1|3, block) f32 rows; returns the (8, GROUP)
     output block: per-pair loss sum + valid count (+ zero padding rows).
     """
+    block = li.shape[-1]
     oh = (
-        jax.lax.broadcasted_iota(jnp.int32, (WINDOW, BLOCK), 0)
+        jax.lax.broadcasted_iota(jnp.int32, (window, block), 0)
         == li.astype(jnp.int32)
     ).astype(jnp.bfloat16)
     dn = (((1,), (0,)), ((), ()))
@@ -547,7 +599,7 @@ def _score_core(t1, t2, t3, li, x1, y1, tgt, cidf):
     per = jnp.sqrt(jnp.where(pos, sq, 1.0)) * pos          # safe_norm
     contrib = per * valid
     ohc = (
-        jax.lax.broadcasted_iota(jnp.int32, (GROUP, BLOCK), 0)
+        jax.lax.broadcasted_iota(jnp.int32, (GROUP, block), 0)
         == cidf.astype(jnp.int32)
     ).astype(jnp.bfloat16)
     dnc = (((1,), (1,)), ((), ()))
@@ -566,18 +618,19 @@ def _score_core(t1, t2, t3, li, x1, y1, tgt, cidf):
     )
 
 
-def _kernel(w_ref, t1, t2, t3, f_ref, out_ref):
-    f = f_ref[0]                         # (8, BLOCK) f32
+def _kernel(w_ref, t1, t2, t3, f_ref, out_ref, *, window):
+    f = f_ref[0]                         # (8, block) f32
     out_ref[0] = _score_core(
         t1, t2, t3,
         f[_F_LIDX:_F_LIDX + 1],
         f[_F_WX1:_F_WX1 + 1], f[_F_WY1:_F_WY1 + 1],
         f[_F_TR:_F_TB + 1],
         f[_F_CID:_F_CID + 1],
+        window=window,
     )
 
 
-def _kernel_compact(w_ref, t1, t2, t3, f_ref, tp_ref, out_ref):
+def _kernel_compact(w_ref, t1, t2, t3, f_ref, tp_ref, out_ref, *, window):
     """Compact-plan variant: decode [lc, wx1, wy1] + split tp, same core.
 
     All decodes are EXACT f32 arithmetic: lc/tp are ints < 2^24, the
@@ -594,15 +647,16 @@ def _kernel_compact(w_ref, t1, t2, t3, f_ref, tp_ref, out_ref):
     rem = tp - tr * 65536.0
     tg = jnp.floor(rem * (1.0 / 256.0))
     tb = rem - tg * 256.0
-    tgt = jnp.concatenate([tr, tg, tb], axis=0) / 255.0    # (3, BLOCK)
-    out_ref[0] = _score_core(t1, t2, t3, li, f[1:2], f[2:3], tgt, cidf)
+    tgt = jnp.concatenate([tr, tg, tb], axis=0) / 255.0    # (3, block)
+    out_ref[0] = _score_core(t1, t2, t3, li, f[1:2], f[2:3], tgt, cidf,
+                             window=window)
 
 
 def _slab_tables(img: jnp.ndarray, height: int, width: int,
-                 wrap: bool = False):
+                 wrap: bool = False, window: int = WINDOW):
     """Packed sampling table, transposed and exactly split into 3 bf16 parts."""
     blocks = pack_bilinear_blocks(img, wrap=wrap)           # (rows, 12)
-    rp = _rpad(height, width)
+    rp = _rpad(height, width, window)
     pad = rp - blocks.shape[0]
     if pad:
         blocks = jnp.concatenate([blocks, jnp.zeros((pad, 12), blocks.dtype)])
@@ -629,7 +683,8 @@ def _check_refresh(compact: bool, tp_is_pid: bool, rgb) -> None:
 
 def slab_group_partials(tables, fields, windows, compact: bool,
                         rgb: Optional[jnp.ndarray] = None,
-                        tps: Optional[jnp.ndarray] = None):
+                        tps: Optional[jnp.ndarray] = None,
+                        window: int = WINDOW):
     """(loss_sum, valid_count) per pair of ONE candidate group.
 
     ``tables``: the 3-way bf16 split from :func:`_slab_tables`;
@@ -662,17 +717,17 @@ def slab_group_partials(tables, fields, windows, compact: bool,
                 axis=1,
             )  # (NB, 3, BLOCK)
             fields = fields.at[:, _F_TR:_F_TB + 1, :].set(tgt)
-    nb = fields.shape[0]
+    nb, block = fields.shape[0], fields.shape[-1]
     table_spec = lambda: pl.BlockSpec(
-        (12, WINDOW), lambda b, wr: (0, wr[b]), memory_space=pltpu.VMEM
+        (12, window), lambda b, wr: (0, wr[b]), memory_space=pltpu.VMEM
     )
     in_specs = [table_spec(), table_spec(), table_spec(),
-                pl.BlockSpec((1, nf, BLOCK), lambda b, wr: (b, 0, 0),
+                pl.BlockSpec((1, nf, block), lambda b, wr: (b, 0, 0),
                              memory_space=pltpu.VMEM)]
     args = [windows, t1, t2, t3, fields]
     if compact:
         in_specs.append(
-            pl.BlockSpec((1, 1, BLOCK), lambda b, wr: (b, 0, 0),
+            pl.BlockSpec((1, 1, block), lambda b, wr: (b, 0, 0),
                          memory_space=pltpu.VMEM)
         )
         args.append(tps)
@@ -685,7 +740,9 @@ def slab_group_partials(tables, fields, windows, compact: bool,
     )
     out_shape = jax.ShapeDtypeStruct((nb, 8, GROUP), jnp.float32)
     out = pl.pallas_call(
-        _kernel_compact if compact else _kernel,
+        functools.partial(
+            _kernel_compact if compact else _kernel, window=window
+        ),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=jax.default_backend() == "cpu",
@@ -714,12 +771,13 @@ def slab_pair_scores(
             f"but the query image is {H}x{W} — its table rows index a "
             "different sampling table (stale plan?)"
         )
-    tables = _slab_tables(img, H, W, wrap=plan.wrap)
+    tables = _slab_tables(img, H, W, wrap=plan.wrap, window=plan.window)
     _check_refresh(plan.compact, plan.tp_is_pid, rgb)
 
     def group_scores(fields, windows, tps):
         tot, cnt = slab_group_partials(tables, fields, windows,
-                                       plan.compact, rgb, tps=tps)
+                                       plan.compact, rgb, tps=tps,
+                                       window=plan.window)
         mean = tot / jnp.maximum(cnt, 1.0)
         return jnp.where(cnt > 0, mean, jnp.inf)
 

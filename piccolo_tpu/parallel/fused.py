@@ -67,22 +67,25 @@ class ShardedGridPlan:
 
     def __init__(self, fields, windows, n_pairs: int, compact: bool,
                  tp_is_pid: bool, height: int, width: int,
-                 wrap: bool = False, tps=None):
+                 wrap: bool = False, window: int = 512, block: int = 1024,
+                 tps=None):
         self.fields = fields
         self.windows = windows
-        self.tps = tps  # (n_point, n_cand, Gc, NB, BLOCK) or None (f32)
+        self.tps = tps  # (n_point, n_cand, Gc, NB, block) or None (f32)
         self.n_pairs = int(n_pairs)
         self.compact = bool(compact)
         self.tp_is_pid = bool(tp_is_pid)
         self.height = int(height)
         self.width = int(width)
         self.wrap = bool(wrap)
+        self.window = int(window)
+        self.block = int(block)
 
     def tree_flatten(self):
         return (
             (self.fields, self.windows, self.tps),
             (self.n_pairs, self.compact, self.tp_is_pid,
-             self.height, self.width, self.wrap),
+             self.height, self.width, self.wrap, self.window, self.block),
         )
 
     @classmethod
@@ -131,10 +134,10 @@ def shard_grid_plan(
     contract as build_grid_plan).
     """
     from ..kernels.slab_sampling import (
-        BLOCK,
         build_grid_plan,
         nb_bucket,
         plan_required_blocks,
+        resolve_plan_geometry,
     )
 
     n_point = mesh.shape["point"]
@@ -152,6 +155,10 @@ def shard_grid_plan(
         rgb = np.concatenate([rgb, np.zeros((pad, 3), np.float32)])
         point_mask = np.concatenate([point_mask, np.zeros(pad, bool)])
     per = xyz.shape[0] // n_point
+    # one geometry for ALL shards (equal padded shard sizes make the
+    # density-based auto resolve identically, but fix it explicitly so the
+    # stacked streams can never disagree on shape)
+    window, block = resolve_plan_geometry(per, height, width)
 
     def shard_args(s):
         sl = slice(s * per, (s + 1) * per)
@@ -164,7 +171,8 @@ def shard_grid_plan(
     def required(s):
         xyz_s, _, mask_s = shard_args(s)
         return plan_required_blocks(
-            xyz_s, mask_s, trans_grid, rot_grid, height, width, wrap=wrap
+            xyz_s, mask_s, trans_grid, rot_grid, height, width, wrap=wrap,
+            window=window, block=block,
         )
 
     nb = nb_bucket(max(required(s) for s in range(n_point)))
@@ -175,6 +183,7 @@ def shard_grid_plan(
         plan = build_grid_plan(
             *shard_args(s), trans_grid, rot_grid, height, width,
             compact=compact, tp_is_pid=tp_is_pid, nb=nb, wrap=wrap,
+            window=window, block=block,
         )
         n_pairs = plan.n_pairs
         f = np.stack([np.asarray(x) for x in plan.fields])  # (G, NB, nf, B)
@@ -187,7 +196,7 @@ def shard_grid_plan(
             empty = np.broadcast_to(
                 np.array([-1, 0, 0] if compact
                          else [-1, 0, 0, 0, 0, 0, -1, 0], np.float32)[:, None],
-                (f.shape[2], BLOCK),
+                (f.shape[2], block),
             )
             f = np.concatenate(
                 [f, np.broadcast_to(empty, (gpad,) + f.shape[1:])]
@@ -219,7 +228,8 @@ def shard_grid_plan(
     )
     return ShardedGridPlan(
         fields=fields, windows=windows, n_pairs=n_pairs, compact=compact,
-        tp_is_pid=tp_is_pid, height=height, width=width, wrap=wrap, tps=tps,
+        tp_is_pid=tp_is_pid, height=height, width=width, wrap=wrap,
+        window=window, block=block, tps=tps,
     )
 
 
@@ -330,7 +340,8 @@ def _localize_query_sharded_jit(
         from ..kernels.slab_sampling import _slab_tables, slab_group_partials
 
         H, W, _ = img.shape
-        tables = _slab_tables(img, H, W, wrap=plan.wrap)
+        tables = _slab_tables(img, H, W, wrap=plan.wrap,
+                              window=plan.window)
         fl = fields_l[0, 0]                    # (Gc, NB, nf, BLOCK)
         wl = windows_l[0, 0]
         tl = tps_l[0, 0] if tps_l is not None else None
@@ -338,7 +349,7 @@ def _localize_query_sharded_jit(
         parts = [
             slab_group_partials(
                 tables, fl[g], wl[g], plan.compact, ref,
-                tps=tl[g] if tl is not None else None,
+                tps=tl[g] if tl is not None else None, window=plan.window,
             )
             for g in range(fl.shape[0])
         ]

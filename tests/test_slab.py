@@ -197,11 +197,13 @@ def test_plan_exact_budget_check(scene):
         scene["xyz"], scene["rgb"], scene["mask"],
         scene["trans"], scene["rot"], 32, 64, bytes_cap=10**9,
     )
-    from piccolo_tpu.kernels.slab_sampling import BLOCK, plan_exact_bytes
+    from piccolo_tpu.kernels.slab_sampling import plan_exact_bytes
 
     n_groups = len(plan.fields)
     nb = plan.fields[0].shape[0]
-    assert plan_exact_bytes(n_groups, nb, compact=False) == plan.nbytes
+    assert plan_exact_bytes(
+        n_groups, nb, compact=False, block=plan.block
+    ) == plan.nbytes
 
 
 def test_default_plan_bytes_cap_from_device_stats():
@@ -233,3 +235,36 @@ def test_default_plan_bytes_cap_from_device_stats():
             raise RuntimeError("unsupported")
 
     assert default_plan_bytes_cap(Broken()) == DEFAULT_PLAN_BYTES_CAP
+
+
+def test_plan_geometry_resolver_and_overrides(scene):
+    """Auto geometry follows sample density (dense -> small windows);
+    explicit overrides build plans whose scores match the default exactly
+    (selection is one-hot-exact at ANY window/block)."""
+    from piccolo_tpu.kernels.slab_sampling import (
+        build_grid_plan,
+        resolve_plan_geometry,
+        slab_pair_scores,
+    )
+
+    # density >= 0.25 -> (128, 1024); sparse -> (256, 512)
+    # (bench Stanford: 65k pts / 257x513-row table ~ 0.5 -> dense;
+    #  bench OmniScenes: 65k pts / 2.1M rows ~ 0.03 -> sparse)
+    assert resolve_plan_geometry(65536, 256, 512) == (128, 1024)
+    assert resolve_plan_geometry(65536, 1024, 2048) == (256, 512)
+    assert resolve_plan_geometry(1, 31, 63, window=512, block=256) == (512, 256)
+
+    base = build_grid_plan(
+        scene["xyz"], scene["rgb"], scene["mask"],
+        scene["trans"], scene["rot"], 32, 64,
+    )
+    s0 = np.asarray(slab_pair_scores(scene["img"], base))
+    for window, block in ((512, 1024), (256, 512)):
+        plan = build_grid_plan(
+            scene["xyz"], scene["rgb"], scene["mask"],
+            scene["trans"], scene["rot"], 32, 64,
+            window=window, block=block,
+        )
+        assert (plan.window, plan.block) == (window, block)
+        s = np.asarray(slab_pair_scores(scene["img"], plan))
+        np.testing.assert_allclose(s, s0, atol=2e-6)
