@@ -5,7 +5,7 @@ dataset sweep, reference ``localize.py:76,300``); production deployments
 instead keep a chip warm and answer single localization queries.  This
 module holds a room's device state resident — padded cloud, candidate
 grids, sorted-slab plan, jitted programs — so after the first (compiling)
-query each call runs at steady-state latency (~0.31 s at the Stanford
+query each call runs at steady-state latency (~0.30 s at the Stanford
 budget on one TPU v5e chip), and layers a minimal stdlib HTTP JSON API on
 top for cross-process serving.
 
