@@ -84,30 +84,40 @@ def histogram_pallas(
     return out.reshape(num_bins)
 
 
-def _block_hist_kernel(ids_ref, mask_ref, out_ref, *, num_bins: int,
-                       num_blocks: int):
+_LO_BITS = 4  # factored one-hot: bin = hi * 16 + lo
+
+
+def _block_hist_kernel(ids_bn_ref, ids_nb_ref, mask_bn_ref, out_ref, *,
+                       num_blocks: int, hi: int):
+    lo = 1 << _LO_BITS
     tile = pl.program_id(0)
 
     @pl.when(tile == 0)
     def _init():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    ids = ids_ref[:]  # (TILE, num_blocks)
-    mask = mask_ref[:]  # (TILE, num_blocks)
-    bins = jax.lax.broadcasted_iota(jnp.int32, (_TILE, num_bins), 1)
-    # one (1, TILE) @ (TILE, num_bins) dot per block column (num_blocks is
-    # small and static — the loop unrolls; the one-hot tile is reused VMEM)
+    ids_bn = ids_bn_ref[:]   # (num_blocks, TILE)
+    ids_nb = ids_nb_ref[:]   # (TILE, num_blocks)
+    mask_bn = mask_bn_ref[:]  # (num_blocks, TILE)
+    hi_iota = jax.lax.broadcasted_iota(jnp.int32, (hi, _TILE), 0)
+    lo_iota = jax.lax.broadcasted_iota(jnp.int32, (_TILE, lo), 1)
+    # per block: one_hot(bin, hi*lo) factors into the outer product
+    # one_hot(bin>>4, hi) (x) one_hot(bin&15, lo), so the masked histogram
+    # is ONE (hi, TILE) @ (TILE, lo) MXU dot — compares drop from
+    # num_bins/pixel to (hi+lo)/pixel and the MXU output tile count drops
+    # num_bins/128 -> 1.  Each one-hot is built in its natural orientation
+    # (hi transposed, lo direct) from the two input layouts, so no
+    # in-kernel transpose is needed (Mosaic would reject the shape casts).
     rows = []
     for b in range(num_blocks):
-        onehot = (ids[:, b : b + 1] == bins).astype(jnp.float32)
+        oh_hiT = ((ids_bn[b:b + 1, :] >> _LO_BITS) == hi_iota).astype(
+            jnp.float32) * mask_bn[b:b + 1, :]            # (hi, TILE)
+        oh_lo = ((ids_nb[:, b:b + 1] & (lo - 1)) == lo_iota).astype(
+            jnp.float32)                                   # (TILE, lo)
         rows.append(
-            jnp.dot(
-                mask[:, b].reshape(1, _TILE),
-                onehot,
-                preferred_element_type=jnp.float32,
-            )
+            jnp.dot(oh_hiT, oh_lo, preferred_element_type=jnp.float32)
         )
-    out_ref[:] = out_ref[:] + jnp.concatenate(rows, axis=0)
+    out_ref[:] = out_ref[:] + jnp.concatenate(rows, axis=0)  # (B*hi, lo)
 
 
 @functools.partial(jax.jit, static_argnames=("num_bins",))
@@ -116,17 +126,26 @@ def block_histogram_pallas(
 ) -> jnp.ndarray:
     """Batched masked histograms: (B, N) int32 ids -> (B, num_bins) counts.
 
-    Pixels are laid out (N, B) on the wire — Pallas TPU block shapes must
-    tile the last two dims, and (TILE, B) with B equal to the full minor
-    dim satisfies that for any small block count. Grid steps over N tiles
-    accumulate into the (B, num_bins) output (sequential on TPU,
-    race-free). Counting is exact: the one-hot is 0/1 in f32 and the MXU
-    accumulates in f32 (counts < 2^24).
+    Factored one-hot formulation: one_hot(bin, 512) is the outer product
+    one_hot(bin >> 4, 32) (x) one_hot(bin & 15, 16), so each block's masked
+    histogram is a single (32, TILE) @ (TILE, 16) MXU dot whose (hi, lo)
+    output reshapes to the bin axis.  Versus the full-width one-hot
+    ((TILE, 512) compare + (1, TILE) @ (TILE, 512) dot) this cuts VPU
+    compares ~10x nominal (~2x after 128-lane padding) and MXU output
+    tiles 4x — measured 1.35x at the OmniScenes trim shape, 1.13x at the
+    Stanford shape, bit-exact (docs/PERFORMANCE.md).  Counting is exact:
+    one-hots are 0/1 in f32 and the MXU accumulates in f32 (counts < 2^24).
+
+    The ids ship in BOTH layouts — (B, N) for the transposed hi one-hot,
+    (N, B) for the lo one-hot — so neither needs an in-kernel transpose
+    (int32 duplication is trivial next to the compare/dot work).  Grid
+    steps over N tiles accumulate into the (B*hi, lo) output (sequential
+    on TPU, race-free); the caller reshapes to (B, num_bins).
 
     This is the large-image fast path for the init histogram trim: the XLA
-    scatter-add formulation is row-count-bound (~1.1e8 rows/s at 2M-pixel
-    images), while the one-hot compare runs at VPU width
-    (docs/PERFORMANCE.md).
+    scatter-add formulation is row-count-bound (measured 5.2 ms vs this
+    kernel's 0.72 ms at the 16x32k Stanford trim shape, 19.0 vs 1.1 ms at
+    the 16x131k OmniScenes shape; docs/PERFORMANCE.md).
     """
     B, n = bin_ids.shape
     pad = (-n) % _TILE
@@ -136,19 +155,22 @@ def block_histogram_pallas(
         )
         mask = jnp.concatenate([mask, jnp.zeros((B, pad), mask.dtype)], axis=1)
     n_tiles = bin_ids.shape[1] // _TILE
+    lo = 1 << _LO_BITS
+    hi = -(-num_bins // lo)
+    ids_bn = bin_ids.astype(jnp.int32)
 
-    return pl.pallas_call(
-        functools.partial(
-            _block_hist_kernel, num_bins=num_bins, num_blocks=B
-        ),
+    out = pl.pallas_call(
+        functools.partial(_block_hist_kernel, num_blocks=B, hi=hi),
         grid=(n_tiles,),
         in_specs=[
+            pl.BlockSpec((B, _TILE), lambda t: (0, t), memory_space=pltpu.VMEM),
             pl.BlockSpec((_TILE, B), lambda t: (t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TILE, B), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, _TILE), lambda t: (0, t), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (B, num_bins), lambda t: (0, 0), memory_space=pltpu.VMEM
+            (B * hi, lo), lambda t: (0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((B, num_bins), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B * hi, lo), jnp.float32),
         interpret=jax.default_backend() == "cpu",
-    )(bin_ids.astype(jnp.int32).T, mask.astype(jnp.float32).T)
+    )(ids_bn, ids_bn.T, mask.astype(jnp.float32))
+    return out.reshape(B, hi * lo)[:, :num_bins]

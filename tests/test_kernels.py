@@ -47,6 +47,23 @@ def test_block_histogram_pallas_matches_scatter(rng):
     np.testing.assert_array_equal(out, ref)
 
 
+def test_block_histogram_pallas_ragged_bins(rng):
+    # num_bins not a multiple of the factored lo digit (16): the hi side
+    # rounds up and the caller-side slice must drop the phantom bins.
+    from piccolo_tpu.kernels import block_histogram_pallas
+
+    B, N, nb = 3, 4097, 100
+    ids = rng.integers(0, nb, size=(B, N)).astype(np.int32)
+    mask = (rng.random((B, N)) > 0.5).astype(np.float32)
+    ref = np.zeros((B, nb), np.float32)
+    for b in range(B):
+        np.add.at(ref[b], ids[b], mask[b])
+    out = np.asarray(
+        block_histogram_pallas(jnp.asarray(ids), jnp.asarray(mask), nb)
+    )
+    np.testing.assert_array_equal(out, ref)
+
+
 def test_hist_scores_mxu_path_matches_scatter(rng):
     """hist_scores_core with the MXU block-hist must be bit-identical to the
     scatter-add formulation (interpret mode on CPU; validated on real TPU
