@@ -16,6 +16,10 @@ Modes:
   --breakdown   per-stage fetch-forced timings (stage1/stage2/descent) on
                 the staged dispatch path — reproduces the
                 docs/PERFORMANCE.md "Where the time goes" numbers.
+  --prune       descent-prune speed mode (30, 2): all 6 starts run 30
+                iterations, the 2 current-best finish the budget (opt-in;
+                the default matches the reference's full multi-start
+                descent).
 
 ``vs_baseline`` compares against the PyTorch reference running the SAME
 workload (same synthetic scene generator, same budgets) measured on this
@@ -132,6 +136,10 @@ def main() -> None:
         else "float32" if "--f32-descent" in sys.argv
         else "auto"
     )
+    # --prune enables the descent-prune speed mode (NOT the default: the
+    # reference descends every start for the full budget; gating eval in
+    # docs/ROUND3.md)
+    prune = (30, 2) if "--prune" in sys.argv else None
     plan = None
     if use_fused and "--no-slab" not in sys.argv:
         from piccolo_tpu.kernels.slab_sampling import build_grid_plan
@@ -230,7 +238,7 @@ def main() -> None:
                 trans_valid, lo_d, hi_d, mask_d,
                 num_intermediate=num_intermediate, num_input=6, num_iter=100,
                 lr=0.1, patience=5, factor=0.8, masked=True, plan=plan,
-                descent_table=descent_table,
+                descent_table=descent_table, descent_prune=prune,
             )
             t = np.asarray(res.t)
         else:
@@ -245,7 +253,7 @@ def main() -> None:
             res = descend(
                 img_main, xyz_d, rgb_d, t2, r2, lo_d, hi_d, mask_d,
                 num_iter=100, lr=0.1, patience=5, factor=0.8, masked=True,
-                table_dtype=descent_table,
+                table_dtype=descent_table, prune=prune,
             )
             k = int(jnp.argmin(res.loss))
             t = np.asarray(res.t[k])

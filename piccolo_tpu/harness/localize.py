@@ -25,6 +25,7 @@ import glob as globlib
 import os
 import random
 import time
+import warnings
 from typing import Dict, Tuple
 
 import jax
@@ -175,6 +176,41 @@ def _result_render(t, R, xyz, rgb, mask, resolution) -> np.ndarray:
     return np.asarray(img).astype(np.uint8)
 
 
+_prune_warned: set = set()
+
+
+def _cfg_prune(cfg, want_traj: bool = False, mesh=None):
+    """Resolve the ``descent_prune_iter``/``descent_prune_keep`` config keys
+    to a ``(prune_iter, prune_keep)`` tuple, or None when off.
+
+    The prune speed mode (solver._descend_pruned) is a single-device,
+    non-trajectory knob: on the mesh path and for visualize queries the
+    harness falls back to the full (reference-parity) descent with a
+    one-time warning rather than erroring a whole batch run.
+    """
+    k = int(cfg_get(cfg, "descent_prune_iter", 0) or 0)
+    if k <= 0:
+        return None
+    m = int(cfg_get(cfg, "descent_prune_keep", 2) or 0)
+    if mesh is not None:
+        if "mesh" not in _prune_warned:
+            _prune_warned.add("mesh")
+            warnings.warn(
+                "descent_prune_* is a single-device speed mode — the "
+                "n_devices mesh path runs the full descent instead"
+            )
+        return None
+    if want_traj:
+        if "traj" not in _prune_warned:
+            _prune_warned.add("traj")
+            warnings.warn(
+                "visualize queries run the full descent (pruned candidates "
+                "have no per-iteration frames) — descent_prune_* ignored"
+            )
+        return None
+    return (k, m)
+
+
 def _solve_query(img_main, xyz, rgb, mask, lo, hi, trans0, ypr0, cfg,
                  want_traj: bool):
     kw = dict(
@@ -186,6 +222,7 @@ def _solve_query(img_main, xyz, rgb, mask, lo, hi, trans0, ypr0, cfg,
         trajectory=want_traj,
         table_dtype=cfg_get(cfg, "descent_table", "auto"),
         wrap=cfg_get(cfg, "seam_wrap", False),
+        prune=_cfg_prune(cfg, want_traj=want_traj),
     )
     out = descend(
         img_main, xyz, rgb,
@@ -848,6 +885,7 @@ def _run_fused(img_init, img_main, cache, rgb_used, cfg, init_dict, grids,
         factor=cfg_get(cfg, "factor", 0.9),
         criterion=cfg_get(cfg, "criterion", "loss_histogram"),
     )
+    prune = _cfg_prune(cfg, want_traj=want_traj, mesh=mesh)
     descent_table = cfg_get(cfg, "descent_table", "auto")
     seam_wrap = bool(cfg_get(cfg, "seam_wrap", False))
     if mesh is not None:
@@ -891,7 +929,7 @@ def _run_fused(img_init, img_main, cache, rgb_used, cfg, init_dict, grids,
         masked=True, plan=plan,
         plan_refresh_rgb=plan is not None and rgb_used is not cache["rgb"],
         descent_table=descent_table, seam_wrap=seam_wrap,
-        trajectory=want_traj,
+        trajectory=want_traj, descent_prune=prune,
         **kw,
     )
 

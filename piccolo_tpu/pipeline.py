@@ -23,7 +23,7 @@ practice selections match).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -38,6 +38,7 @@ from .ops.sampling import (
     resolve_descent_table,
 )
 from .optim import adam_plateau_step, init_adam_plateau
+from .solver import _check_prune, _descend_pruned
 
 __all__ = ["LocalizeResult", "localize_query", "localize_query_batch"]
 
@@ -78,7 +79,7 @@ def _grid_scores(img, xyz, rgb, pair_t, pair_ypr, pair_valid, point_mask,
 
 def _descend(img, xyz, rgb, t0s, ypr0s, lo, hi, point_mask,
              num_iter, lr, patience, factor, table_dtype=jnp.float32,
-             wrap=False, trajectory=False):
+             wrap=False, trajectory=False, prune=None):
     H, W, _ = img.shape
     # bf16/u8 tables shrink the descent's gather table 2x/4x (the dominant
     # query cost at large panoramas — docs/PERFORMANCE.md "gather rate vs
@@ -87,6 +88,16 @@ def _descend(img, xyz, rgb, t0s, ypr0s, lo, hi, point_mask,
     # reference.
     blocks = cast_packed_table(pack_bilinear_blocks(img, wrap=wrap),
                                table_dtype)
+
+    prune = _check_prune(prune, num_iter, t0s.shape[0], trajectory)
+    if prune is not None:
+        # two-phase prune speed mode (solver._descend_pruned): all starts
+        # for prune[0] iters, the prune[1] best finish the budget
+        params, losses, _ = _descend_pruned(
+            blocks, H, W, xyz, rgb, t0s, ypr0s, lo, hi, point_mask,
+            num_iter, lr, patience, factor, wrap, prune[0], prune[1],
+        )
+        return params, losses
 
     def one(t0, y0):
         params = Pose(t=t0, yaw=y0[0], pitch=y0[1], roll=y0[2])
@@ -126,7 +137,7 @@ def _descend(img, xyz, rgb, t0s, ypr0s, lo, hi, point_mask,
         "num_intermediate", "num_input", "num_split_h", "num_split_w",
         "num_iter", "lr", "patience", "factor", "masked",
         "grid_chunk", "hist_chunk", "plan_refresh_rgb", "descent_table",
-        "seam_wrap", "trajectory", "criterion",
+        "seam_wrap", "trajectory", "criterion", "descent_prune",
     ),
 )
 def localize_query(
@@ -158,6 +169,7 @@ def localize_query(
     seam_wrap: bool = False,
     trajectory: bool = False,
     criterion: str = "loss_histogram",
+    descent_prune: Optional[Tuple[int, int]] = None,
 ) -> LocalizeResult:
     """Localize one panorama end-to-end on device.
 
@@ -194,6 +206,14 @@ def localize_query(
     loss-table trim then the histogram trim; ``'loss'`` (working
     extension, same semantics as init.make_input's) selects the top
     ``num_input`` pairs by sampling loss directly and skips stage 2.
+
+    ``descent_prune``: optional ``(prune_iter, prune_keep)`` descent speed
+    mode — all starts run ``prune_iter`` iterations, then only the
+    ``prune_keep`` current-best finish the budget with their optimizer
+    state carried across the split (solver._descend_pruned; measured 1.5x
+    on the descent stage at bench scale).  Off by default: the reference
+    descends every start for the full budget.  Incompatible with
+    ``trajectory=True``.
     """
     check_criterion(criterion)
     pm = point_mask if masked else None
@@ -281,7 +301,7 @@ def localize_query(
     out = _descend(
         img_main, xyz, rgb, t2, r2, lo, hi, pm, num_iter, lr, patience,
         factor, table_dtype=jnp.dtype(descent_table), wrap=seam_wrap,
-        trajectory=trajectory,
+        trajectory=trajectory, prune=descent_prune,
     )
     if trajectory:
         params, losses, traj = out

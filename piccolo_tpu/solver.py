@@ -45,6 +45,54 @@ class SolveResult(NamedTuple):
     lr: jnp.ndarray  # (B,) final learning rates (diagnostics)
 
 
+def _check_prune(prune, num_iter: int, n_cand: int, trajectory: bool):
+    """Validate/normalise the descent-prune knob.
+
+    Returns None when pruning is a no-op (off, or keeping every candidate,
+    or no iterations would be saved); raises on nonsensical combinations.
+    """
+    if prune is None:
+        return None
+    k, m = int(prune[0]), int(prune[1])
+    if k <= 0 or m >= n_cand or k >= num_iter:
+        return None  # nothing to prune / nothing saved — run the full path
+    if m < 1:
+        raise ValueError(f"descent prune must keep >= 1 candidate, got {m}")
+    if trajectory:
+        raise ValueError(
+            "trajectory=True is incompatible with descent pruning (pruned "
+            "candidates have no post-prune states to visualize) — disable "
+            "one of the two"
+        )
+    return (k, m)
+
+
+def _make_step(blocks, height, width, xyz, rgb, lo, hi, point_mask,
+               patience, factor, trajectory, wrap):
+    """One fused loss+Adam+plateau+clamp transition for the descent scan.
+
+    The image is constant across the scan: the packed-neighbourhood table
+    (built once by the caller) makes each loss evaluation one gather
+    instead of four, bit-identically.
+    """
+    loss_fn = lambda p: sampling_loss_packed(
+        p, xyz, rgb, blocks, height, width, point_mask, wrap=wrap
+    )
+    value_and_grad = jax.value_and_grad(loss_fn)
+
+    def step(carry, _):
+        params, state = carry
+        loss, grads = value_and_grad(params)
+        params, state = adam_plateau_step(
+            params, grads, state, loss, patience, factor
+        )
+        params = params._replace(t=jnp.clip(params.t, lo, hi))
+        ys = (loss, params) if trajectory else loss
+        return (params, state), ys
+
+    return step
+
+
 def _descend_single(
     blocks: jnp.ndarray,
     height: int,
@@ -65,24 +113,8 @@ def _descend_single(
 ):
     params = Pose(t=t0, yaw=ypr0[0], pitch=ypr0[1], roll=ypr0[2])
     state = init_adam_plateau(params, lr)
-
-    # The image is constant across the scan: the packed-neighbourhood table
-    # (built once by the caller) makes each loss evaluation one gather
-    # instead of four, bit-identically.
-    loss_fn = lambda p: sampling_loss_packed(
-        p, xyz, rgb, blocks, height, width, point_mask, wrap=wrap
-    )
-    value_and_grad = jax.value_and_grad(loss_fn)
-
-    def step(carry, _):
-        params, state = carry
-        loss, grads = value_and_grad(params)
-        params, state = adam_plateau_step(
-            params, grads, state, loss, patience, factor
-        )
-        params = params._replace(t=jnp.clip(params.t, lo, hi))
-        ys = (loss, params) if trajectory else loss
-        return (params, state), ys
+    step = _make_step(blocks, height, width, xyz, rgb, lo, hi, point_mask,
+                      patience, factor, trajectory, wrap)
 
     (params, state), ys = jax.lax.scan(
         step, (params, state), None, length=num_iter
@@ -93,11 +125,73 @@ def _descend_single(
     return params, ys[-1], state.lr, None
 
 
+def _descend_pruned(
+    blocks, height, width, xyz, rgb, trans0, ypr0, lo, hi, point_mask,
+    num_iter, lr, patience, factor, wrap, prune_iter: int, prune_keep: int,
+):
+    """Two-phase multi-start descent: all B candidates for ``prune_iter``
+    steps, then only the ``prune_keep`` lowest-loss survivors finish the
+    remaining ``num_iter - prune_iter`` steps (Adam + plateau state carried
+    across the split, so a survivor's trajectory is the continuation of its
+    phase-1 trajectory).
+
+    This is a SPEED MODE with no reference counterpart (the reference
+    descends every candidate for the full budget, omniloc.py:44-58): by the
+    prune point the eventual winner is almost always already ahead, and the
+    dropped candidates' remaining iterations are the bulk of the descent's
+    gather cost.  Rows that were pruned report their phase-1 state/loss in
+    the result (ordered as [survivors..., pruned...]); the winner argmin is
+    effectively over the survivors.  Note the scan split recompiles the
+    loss reduction, so even survivors' trajectories carry f32
+    reduction-order noise vs the unpruned program — the same noise class as
+    the point-sharded descent's psum (docs/PERFORMANCE.md); use the
+    unpruned path when torch-trajectory parity matters.
+    """
+    step = _make_step(blocks, height, width, xyz, rgb, lo, hi, point_mask,
+                      patience, factor, False, wrap)
+
+    def seg1(t0, y0):
+        params = Pose(t=t0, yaw=y0[0], pitch=y0[1], roll=y0[2])
+        state = init_adam_plateau(params, lr)
+        (params, state), losses = jax.lax.scan(
+            step, (params, state), None, length=prune_iter
+        )
+        return params, state, losses[-1]
+
+    params1, state1, loss1 = jax.vmap(seg1)(trans0, ypr0)
+    # one stable argsort gives disjoint survivor/pruned sets even on ties
+    order = jnp.argsort(loss1)
+    keep_idx = order[:prune_keep]
+    take = lambda tree: jax.tree.map(lambda x: x[keep_idx], tree)
+
+    def seg2(params, state):
+        (params, state), losses = jax.lax.scan(
+            step, (params, state), None, length=num_iter - prune_iter
+        )
+        return params, losses[-1], state.lr
+
+    params2, loss2, lr2 = jax.vmap(seg2)(take(params1), take(state1))
+
+    # scatter back to input-candidate order (pruned rows report their
+    # frozen phase-1 state/loss, so per-candidate outputs still align with
+    # the starting poses)
+    drop_idx = order[prune_keep:]
+    drop = lambda tree: jax.tree.map(lambda x: x[drop_idx], tree)
+    inv = jnp.argsort(order)
+    cat = lambda a, b: jax.tree.map(
+        lambda x, y: jnp.concatenate([x, y], axis=0)[inv], a, b
+    )
+    params = cat(params2, drop(params1))
+    losses = jnp.concatenate([loss2, drop(loss1)])[inv]
+    lrs = jnp.concatenate([lr2, drop(state1).lr])[inv]
+    return params, losses, lrs
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "num_iter", "lr", "patience", "factor", "masked", "trajectory",
-        "table_dtype", "wrap",
+        "table_dtype", "wrap", "prune",
     ),
 )
 def descend(
@@ -118,6 +212,7 @@ def descend(
     trajectory: bool = False,
     table_dtype: str = "auto",
     wrap: bool = False,
+    prune: Optional[Tuple[int, int]] = None,
 ):
     """Descend all candidates in parallel.
 
@@ -130,6 +225,11 @@ def descend(
       num_iter/lr/patience/factor: optimisation budget
         (reference defaults: omniloc.py:25-30; shipped configs use
         factor=0.8).
+      prune:  optional ``(prune_iter, prune_keep)`` speed mode — after
+        ``prune_iter`` steps only the ``prune_keep`` lowest-loss candidates
+        finish the budget (state carried exactly across the split; see
+        ``_descend_pruned``).  Pruned rows report their frozen phase-1
+        state.  Off (None) = reference-parity full descent.
 
     Returns:
       SolveResult over the B candidates.
@@ -145,13 +245,22 @@ def descend(
     blocks = cast_packed_table(pack_bilinear_blocks(img, wrap=wrap),
                                table_dtype)
 
-    def one(t0, y0):
-        return _descend_single(
-            blocks, H, W, xyz, rgb, t0, y0, lo, hi, pm,
-            num_iter, lr, patience, factor, trajectory, wrap,
+    prune = _check_prune(prune, num_iter, trans0.shape[0], trajectory)
+    if prune is not None:
+        params, losses, lrs = _descend_pruned(
+            blocks, H, W, xyz, rgb, trans0, ypr0, lo, hi, pm,
+            num_iter, lr, patience, factor, wrap, prune[0], prune[1],
         )
+        traj = None
+    else:
 
-    params, losses, lrs, traj = jax.vmap(one)(trans0, ypr0)
+        def one(t0, y0):
+            return _descend_single(
+                blocks, H, W, xyz, rgb, t0, y0, lo, hi, pm,
+                num_iter, lr, patience, factor, trajectory, wrap,
+            )
+
+        params, losses, lrs, traj = jax.vmap(one)(trans0, ypr0)
     ypr = jnp.stack([params.yaw, params.pitch, params.roll], axis=-1)
     rot = pose_rotation(params)
     result = SolveResult(t=params.t, ypr=ypr, rot=rot, loss=losses, lr=lrs)

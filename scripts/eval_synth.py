@@ -100,6 +100,10 @@ def main(argv=None) -> dict:
                          "(color_mod on the init image + cloud-color "
                          "rebind with slab-plan target refresh) — widens "
                          "the eval to the color-processed path")
+    ap.add_argument("--prune", default=None, metavar="K,M",
+                    help="descent-prune speed mode: all starts run K "
+                         "iterations, the M best finish the budget "
+                         "(e.g. 30,2; default off = full descent)")
     ap.add_argument("--slab-cap", type=float, default=None,
                     help="HBM budget for slab-plan sorted streams "
                          "(default: the harness slab_bytes_cap default)")
@@ -107,6 +111,10 @@ def main(argv=None) -> dict:
                     help="score stage 1 with the XLA gather path instead "
                          "of the sorted-slab kernel")
     args = ap.parse_args(argv)
+    prune = None
+    if args.prune:
+        k, m = (int(v) for v in args.prune.split(","))
+        prune = (k, m)
     if args.profile == "omniscenes":
         args.height = args.height or 1024
         num_trans, num_intermediate, init_step = 150, 50, 1
@@ -234,6 +242,7 @@ def main(argv=None) -> dict:
                 plan_refresh_rgb=refresh,
                 descent_table=args.descent_table,
                 criterion=args.criterion,
+                descent_prune=prune,
             )
             t = np.asarray(res.t)
             elapsed = time.time() - t0
@@ -278,6 +287,7 @@ def main(argv=None) -> dict:
         full_rot=bool(args.full_rot),
         descent_table=args.descent_table,
         sharpen=bool(args.sharpen),
+        prune=prune,
         queries=n,
         stanford_accuracy=float(stanford_ok / n),
         omniscenes_accuracy=float(omni_ok / n),

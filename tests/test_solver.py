@@ -132,3 +132,64 @@ def test_loss_decreases(rng):
         num_iter=50, lr=0.1, patience=5, factor=0.8,
     )
     assert float(res.loss[0]) < initial
+
+
+# ---- descent prune speed mode (solver._descend_pruned) ----
+
+
+def test_check_prune_normalisation():
+    import pytest
+
+    from piccolo_tpu.solver import _check_prune
+
+    assert _check_prune(None, 50, 4, False) is None
+    assert _check_prune((0, 2), 50, 4, False) is None  # off
+    assert _check_prune((50, 2), 50, 4, False) is None  # nothing saved
+    assert _check_prune((10, 4), 50, 4, False) is None  # keeps everyone
+    assert _check_prune((10, 2), 50, 4, False) == (10, 2)
+    with pytest.raises(ValueError):
+        _check_prune((10, 0), 50, 4, False)
+    with pytest.raises(ValueError):
+        _check_prune((10, 2), 50, 4, True)  # trajectory + prune
+
+
+def test_descend_prune_recovers_and_aligns(rng):
+    """Pruned descent recovers the pose, keeps per-candidate row order, and
+    freezes pruned rows at their phase-1 state."""
+    xyz, rgb = make_room(rng, n_per_wall=2000)
+    gt_ypr = np.array([1.0, 0.0, 0.0], np.float32)
+    img = render_at(xyz, rgb, np.zeros(3, np.float32), gt_ypr,
+                    resolution=(128, 256))
+    lo, hi = cloud_bounds(jnp.asarray(xyz), 0.05)
+    t0 = jnp.zeros((4, 3))
+    ypr0 = jnp.asarray(
+        np.stack(
+            [np.array([y, 0, 0], np.float32) for y in (1.2, 2.5, 4.0, 5.5)]
+        )
+    )
+    kw = dict(num_iter=60, lr=0.1, patience=5, factor=0.8)
+    full = descend(img, jnp.asarray(xyz), jnp.asarray(rgb), t0, ypr0, lo, hi,
+                   **kw)
+    pruned = descend(img, jnp.asarray(xyz), jnp.asarray(rgb), t0, ypr0,
+                     lo, hi, prune=(15, 2), **kw)
+
+    # the near start (row 0) wins either way and lands on the same pose
+    assert int(jnp.argmin(pruned.loss)) == 0
+    np.testing.assert_allclose(
+        np.asarray(pruned.t[0]), np.asarray(full.t[0]), atol=1e-3
+    )
+
+    # pruned rows report their phase-1 (iteration-15) state
+    phase1 = descend(img, jnp.asarray(xyz), jnp.asarray(rgb), t0, ypr0,
+                     lo, hi, num_iter=15, lr=0.1, patience=5, factor=0.8)
+    l1 = np.asarray(phase1.loss)
+    survivors = set(np.argsort(l1)[:2].tolist())
+    for i in range(4):
+        if i in survivors:
+            continue
+        np.testing.assert_allclose(
+            np.asarray(pruned.t[i]), np.asarray(phase1.t[i]), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            float(pruned.loss[i]), float(l1[i]), atol=1e-6
+        )
