@@ -179,27 +179,19 @@ def _result_render(t, R, xyz, rgb, mask, resolution) -> np.ndarray:
 _prune_warned: set = set()
 
 
-def _cfg_prune(cfg, want_traj: bool = False, mesh=None):
+def _cfg_prune(cfg, want_traj: bool = False):
     """Resolve the ``descent_prune_iter``/``descent_prune_keep`` config keys
     to a ``(prune_iter, prune_keep)`` tuple, or None when off.
 
-    The prune speed mode (solver._descend_pruned) is a single-device,
-    non-trajectory knob: on the mesh path and for visualize queries the
-    harness falls back to the full (reference-parity) descent with a
-    one-time warning rather than erroring a whole batch run.
+    The prune speed mode (solver._descend_pruned; composed with the mesh in
+    parallel.sharding.descent_local) is a non-trajectory knob: for
+    visualize queries the harness falls back to the full (reference-parity)
+    descent with a one-time warning rather than erroring a whole batch run.
     """
     k = int(cfg_get(cfg, "descent_prune_iter", 0) or 0)
     if k <= 0:
         return None
     m = int(cfg_get(cfg, "descent_prune_keep", 2) or 0)
-    if mesh is not None:
-        if "mesh" not in _prune_warned:
-            _prune_warned.add("mesh")
-            warnings.warn(
-                "descent_prune_* is a single-device speed mode — the "
-                "n_devices mesh path runs the full descent instead"
-            )
-        return None
     if want_traj:
         if "traj" not in _prune_warned:
             _prune_warned.add("traj")
@@ -885,7 +877,7 @@ def _run_fused(img_init, img_main, cache, rgb_used, cfg, init_dict, grids,
         factor=cfg_get(cfg, "factor", 0.9),
         criterion=cfg_get(cfg, "criterion", "loss_histogram"),
     )
-    prune = _cfg_prune(cfg, want_traj=want_traj, mesh=mesh)
+    prune = _cfg_prune(cfg, want_traj=want_traj)
     descent_table = cfg_get(cfg, "descent_table", "auto")
     seam_wrap = bool(cfg_get(cfg, "seam_wrap", False))
     if mesh is not None:
@@ -910,6 +902,7 @@ def _run_fused(img_init, img_main, cache, rgb_used, cfg, init_dict, grids,
             cache["lo"], cache["hi"], mask_s,
             descent_table=descent_table, seam_wrap=seam_wrap, plan=plan,
             plan_refresh_rgb=plan is not None and rgb_used is not cache["rgb"],
+            descent_prune=prune,
             **kw,
         )
     plan = _maybe_slab_plan(cfg, cache, grids, img_init, sync=sync_plans)

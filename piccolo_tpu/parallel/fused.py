@@ -286,6 +286,7 @@ def _pad_clone_rows(a: jnp.ndarray, multiple: int) -> jnp.ndarray:
         "mesh", "num_intermediate", "num_input", "num_split_h", "num_split_w",
         "num_iter", "lr", "patience", "factor", "grid_chunk", "hist_chunk",
         "descent_table", "plan_refresh_rgb", "seam_wrap", "criterion",
+        "descent_prune",
     ),
 )
 def _localize_query_sharded_jit(
@@ -294,7 +295,7 @@ def _localize_query_sharded_jit(
     *, mesh, num_intermediate, num_input, num_split_h, num_split_w,
     num_iter, lr, patience, factor, grid_chunk, hist_chunk,
     descent_table="auto", plan_refresh_rgb=False, seam_wrap=False,
-    criterion="loss_histogram",
+    criterion="loss_histogram", descent_prune=None,
 ):
     n_cand = mesh.shape["cand"]
     cloud_specs = (P(), P("point", None), P("point", None), P("point"))
@@ -463,6 +464,9 @@ def _localize_query_sharded_jit(
     r2 = jnp.where(final_valid[:, None], r2, r2[0])
 
     # ---- stage 3: sharded multi-start descent
+    from ..solver import _check_prune
+
+    descent_prune = _check_prune(descent_prune, num_iter, k2, False)
     t2p = _pad_clone_rows(t2, n_cand)
     r2p = _pad_clone_rows(r2, n_cand)
     t, ypr, losses, lrs = shard_map(
@@ -470,6 +474,7 @@ def _localize_query_sharded_jit(
             descent_local,
             num_iter=num_iter, lr=lr, patience=patience, factor=factor,
             table_dtype=descent_table, wrap=seam_wrap,
+            prune=descent_prune, n_valid=k2, n_cand=n_cand,
         ),
         mesh=mesh,
         in_specs=cloud_specs + (P("cand", None), P("cand", None), P(), P()),
@@ -514,6 +519,7 @@ def localize_query_sharded(
     plan_refresh_rgb: bool = False,
     seam_wrap: bool = False,
     criterion: str = "loss_histogram",
+    descent_prune=None,
 ) -> LocalizeResult:
     """Localize one panorama end-to-end over a ('cand', 'point') device mesh.
 
@@ -532,6 +538,12 @@ def localize_query_sharded(
     ``criterion``: ``'loss_histogram'`` (parity default) or ``'loss'``
     (working extension — top ``num_input`` by sampling loss, stage 2
     skipped; pipeline.localize_query semantics).
+
+    ``descent_prune=(k, m)``: the descent-prune speed mode composed with
+    the mesh (descent_local) — phase-1 losses/states all_gather along
+    'cand', the m globally-best survivors redistribute evenly across the
+    cand groups, survivor finals scatter back into the original rows.
+    Default None = full reference-parity descent.
     """
     check_criterion(criterion)
     if plan is not None:
@@ -575,4 +587,5 @@ def localize_query_sharded(
         grid_chunk=grid_chunk, hist_chunk=hist_chunk,
         descent_table=descent_table, plan_refresh_rgb=plan_refresh_rgb,
         seam_wrap=seam_wrap, criterion=criterion,
+        descent_prune=descent_prune,
     )

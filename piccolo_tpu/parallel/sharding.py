@@ -200,6 +200,7 @@ def _point_sharded_loss(pose: Pose, xyz, rgb, blocks, height, width,
 def descent_local(
     img_l, xyz_l, rgb_l, mask_l, t0_l, ypr0_l, lo_l, hi_l,
     *, num_iter, lr, patience, factor, table_dtype="auto", wrap=False,
+    prune=None, n_valid=None, n_cand=1,
 ):
     """Per-shard multi-start descent body (runs INSIDE shard_map).
 
@@ -208,6 +209,17 @@ def descent_local(
     candidate's Adam state stays bit-identical across its point-group
     replicas.  Shared by solve_sharded and the fused sharded pipeline
     (parallel/fused.py).
+
+    ``prune=(k, m)`` composes the descent-prune speed mode
+    (solver._descend_pruned) with the mesh: after k iterations the local
+    phase-1 losses/states all_gather along 'cand' (a few hundred bytes),
+    the m globally-best survivors — trailing clone-padding rows beyond
+    ``n_valid`` are excluded — are re-distributed evenly across the cand
+    groups (slots padded with repeats of the best survivor), and each
+    shard finishes the budget on its slice.  A second small all_gather
+    scatters survivor finals back into the original candidate rows;
+    pruned rows report their frozen phase-1 state, exactly like the
+    single-device mode.  ``n_cand`` is the static 'cand'-axis size.
     """
     H, W, _ = img_l.shape
     # the image is replicated across the mesh, so every shard resolves
@@ -216,38 +228,101 @@ def descent_local(
     blocks_l = cast_packed_table(pack_bilinear_blocks(img_l, wrap=wrap),
                                  table_dtype)
 
-    def one(t0, y0):
+    # The scheduler scalars start as replicated constants but become
+    # 'cand'-varying after the first step (the loss differs per
+    # candidate); mark them varying up front so the scan carry type
+    # is stable under shard_map's replication tracking.
+    vary = lambda x: jax.lax.pcast(x, ("cand",), to="varying")
+    vg = jax.value_and_grad(
+        lambda p: _point_sharded_loss(
+            p, xyz_l, rgb_l, blocks_l, H, W, mask_l, wrap
+        )
+    )
+
+    def step(carry, _):
+        params, state = carry
+        loss, grads = vg(params)
+        params, state = adam_plateau_step(
+            params, grads, state, loss, patience, factor
+        )
+        params = params._replace(t=jnp.clip(params.t, lo_l, hi_l))
+        return (params, state), loss
+
+    def init_state(t0, y0):
         params = Pose(t=t0, yaw=y0[0], pitch=y0[1], roll=y0[2])
         state = init_adam_plateau(params, lr)
-        # The scheduler scalars start as replicated constants but become
-        # 'cand'-varying after the first step (the loss differs per
-        # candidate); mark them varying up front so the scan carry type
-        # is stable under shard_map's replication tracking.
-        vary = lambda x: jax.lax.pcast(x, ("cand",), to="varying")
-        state = state._replace(
-            lr=vary(state.lr), best=vary(state.best), num_bad=vary(state.num_bad)
-        )
-        vg = jax.value_and_grad(
-            lambda p: _point_sharded_loss(
-                p, xyz_l, rgb_l, blocks_l, H, W, mask_l, wrap
-            )
+        return params, state._replace(
+            lr=vary(state.lr), best=vary(state.best),
+            num_bad=vary(state.num_bad),
         )
 
-        def step(carry, _):
-            params, state = carry
-            loss, grads = vg(params)
-            params, state = adam_plateau_step(
-                params, grads, state, loss, patience, factor
-            )
-            params = params._replace(t=jnp.clip(params.t, lo_l, hi_l))
-            return (params, state), loss
-
+    def run(params, state, n):
         (params, state), losses = jax.lax.scan(
-            step, (params, state), None, length=num_iter
+            step, (params, state), None, length=n
         )
-        return params, losses[-1], state.lr
+        return params, state, losses[-1]
 
-    params, losses, lrs = jax.vmap(one)(t0_l, ypr0_l)
+    if prune is None:
+        def one(t0, y0):
+            params, state = init_state(t0, y0)
+            params, state, last = run(params, state, num_iter)
+            return params, last, state.lr
+
+        params, losses, lrs = jax.vmap(one)(t0_l, ypr0_l)
+        ypr = jnp.stack([params.yaw, params.pitch, params.roll], axis=-1)
+        return params.t, ypr, losses, lrs
+
+    k_it, m = prune
+    b_l = t0_l.shape[0]  # local candidates per cand group
+
+    def seg1(t0, y0):
+        params, state = init_state(t0, y0)
+        return run(params, state, k_it)
+
+    params1, state1, loss1 = jax.vmap(seg1)(t0_l, ypr0_l)
+
+    gather = lambda tree: jax.tree.map(
+        lambda x: jax.lax.all_gather(x, "cand", tiled=True), tree
+    )
+    all_loss = gather(loss1)  # (n_cand * b_l,)
+    gids = jnp.arange(all_loss.shape[0])
+    # trailing clone-padding rows must never claim survivor slots
+    if n_valid is not None:
+        all_loss = jnp.where(gids < n_valid, all_loss, jnp.inf)
+    order = jnp.argsort(all_loss)
+    per = -(-m // n_cand)  # survivors per cand group (slots pad the best)
+    surv_gids = jnp.concatenate(
+        [order[:m], jnp.broadcast_to(order[0], (per * n_cand - m,))]
+    )
+    all_params1, all_state1 = gather(params1), gather(state1)
+    ci = jax.lax.axis_index("cand")
+    my_slots = jax.lax.dynamic_slice_in_dim(surv_gids, ci * per, per)
+    take = lambda tree, idx: jax.tree.map(lambda x: x[idx], tree)
+
+    def seg2(params, state):
+        params, state, last = run(params, state, num_iter - k_it)
+        return params, last, state.lr
+
+    params2, loss2, lr2 = jax.vmap(seg2)(
+        take(all_params1, my_slots), take(all_state1, my_slots)
+    )
+    # gather survivor finals (rows ordered as surv_gids) and scatter them
+    # back into this shard's original candidate rows
+    allF = gather((params2, loss2, lr2))
+    my_gids = ci * b_l + jnp.arange(b_l)
+
+    def pick(gid, p1, l1, r1):
+        hit = surv_gids == gid
+        found = jnp.any(hit)
+        pos = jnp.argmax(hit)
+        sel = lambda a, b: jax.tree.map(
+            lambda x, y: jnp.where(found, x[pos], y), a, b
+        )
+        return sel(allF[0], p1), sel(allF[1], l1), sel(allF[2], r1)
+
+    params, losses, lrs = jax.vmap(pick)(
+        my_gids, params1, loss1, state1.lr
+    )
     ypr = jnp.stack([params.yaw, params.pitch, params.roll], axis=-1)
     return params.t, ypr, losses, lrs
 
@@ -255,18 +330,19 @@ def descent_local(
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "num_iter", "lr", "patience", "factor",
-                     "table_dtype", "wrap"),
+                     "table_dtype", "wrap", "prune", "n_valid"),
 )
 def _solve_sharded_jit(
     img, xyz, rgb, trans0, ypr0, lo, hi, point_mask,
     *, mesh, num_iter, lr, patience, factor, table_dtype="auto",
-    wrap=False,
+    wrap=False, prune=None, n_valid=None,
 ):
     t, ypr, losses, lrs = shard_map(
         functools.partial(
             descent_local,
             num_iter=num_iter, lr=lr, patience=patience, factor=factor,
             table_dtype=table_dtype, wrap=wrap,
+            prune=prune, n_valid=n_valid, n_cand=mesh.shape["cand"],
         ),
         mesh=mesh,
         in_specs=(
@@ -313,6 +389,7 @@ def solve_sharded(
     factor: float = 0.9,
     table_dtype: str = "auto",
     wrap: bool = False,
+    prune=None,
 ):
     """Multi-chip multi-start descent; same contract as solver.solve.
 
@@ -320,6 +397,9 @@ def solve_sharded(
     validity mask) to a multiple of the 'point' axis; the padding never
     influences results (padded candidates are clones whose losses are
     discarded; padded points are mask=False).
+
+    ``prune=(k, m)`` enables the descent-prune speed mode over the mesh
+    (see descent_local) — padding rows never claim survivor slots.
 
     Returns (t, R, loss, SolveResult-over-original-candidates).
     """
@@ -353,10 +433,14 @@ def solve_sharded(
     lo = jax.device_put(jnp.asarray(lo, jnp.float32), dev(P()))
     hi = jax.device_put(jnp.asarray(hi, jnp.float32), dev(P()))
 
+    from ..solver import _check_prune
+
+    prune = _check_prune(prune, num_iter, b, False)
     res = _solve_sharded_jit(
         img, xyz, rgb, trans0, ypr0, lo, hi, point_mask,
         mesh=mesh, num_iter=num_iter, lr=lr, patience=patience, factor=factor,
-        table_dtype=table_dtype, wrap=wrap,
+        table_dtype=table_dtype, wrap=wrap, prune=prune,
+        n_valid=b if prune is not None else None,
     )
     res = SolveResult(
         t=res.t[:b], ypr=res.ypr[:b], rot=res.rot[:b],

@@ -338,7 +338,7 @@ def test_device_index_validation():
 
 
 def test_cfg_prune_resolution():
-    """_cfg_prune: off by default; single-device only; visualize falls back."""
+    """_cfg_prune: off by default; visualize falls back to the full descent."""
     import warnings as _w
 
     from piccolo_tpu.config import make_config
@@ -350,6 +350,5 @@ def test_cfg_prune_resolution():
     assert _cfg_prune(on) == (30, 2)
     with _w.catch_warnings(record=True) as rec:
         _w.simplefilter("always")
-        assert _cfg_prune(on, mesh=object()) is None  # mesh -> full descent
         assert _cfg_prune(on, want_traj=True) is None  # GIFs -> full descent
-    assert any("single-device" in str(r.message) for r in rec) or True
+    assert any("full descent" in str(r.message) for r in rec)

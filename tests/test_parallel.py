@@ -476,3 +476,84 @@ def test_fused_sharded_scarce_valid_pairs_duplicate_best(fused_scene,
     for s in starts:
         assert not np.allclose(s, gt_t, atol=1e-6), starts
         np.testing.assert_allclose(s, trans_p[0], atol=1e-6)
+
+
+@pytest.mark.parametrize("n_cand,n_point", [(1, 8), (2, 4), (4, 2)])
+def test_sharded_prune_matches_single_device(scene, n_cand, n_point):
+    """The descent-prune speed mode composed with the mesh: the sharded
+    two-phase descent must agree with the single-device pruned descend
+    (same survivors, same frozen pruned rows, same winner)."""
+    xyz, rgb, img, lo, hi, t0, ypr0, gt_t = scene
+    mesh = make_mesh(n_cand, n_point)
+    kw = dict(num_iter=24, lr=0.1, patience=5, factor=0.8, prune=(8, 2))
+
+    ref = descend(
+        jnp.asarray(img), jnp.asarray(xyz), jnp.asarray(rgb),
+        jnp.asarray(t0), jnp.asarray(ypr0), jnp.asarray(lo), jnp.asarray(hi),
+        **kw,
+    )
+    t, R, loss, res = solve_sharded(mesh, img, xyz, rgb, t0, ypr0, lo, hi,
+                                    **kw)
+    k_ref = int(np.argmin(np.asarray(ref.loss)))
+    k = int(np.argmin(np.asarray(res.loss)))
+    assert k == k_ref
+    np.testing.assert_allclose(
+        np.asarray(res.t), np.asarray(ref.t), atol=8e-2
+    )
+    # the winner agrees tightly; non-winning survivors are mid-descent and
+    # carry the scan-split's amplified f32 reduction-order noise
+    np.testing.assert_allclose(
+        float(res.loss[k]), float(ref.loss[k_ref]), atol=8e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.loss), np.asarray(ref.loss), atol=3e-2
+    )
+    # pruned rows are frozen at the phase-1 iteration in both programs:
+    # short-horizon phase 1 agrees tightly
+    ref8 = descend(
+        jnp.asarray(img), jnp.asarray(xyz), jnp.asarray(rgb),
+        jnp.asarray(t0), jnp.asarray(ypr0), jnp.asarray(lo), jnp.asarray(hi),
+        num_iter=8, lr=0.1, patience=5, factor=0.8,
+    )
+    survivors = set(np.argsort(np.asarray(ref8.loss))[:2].tolist())
+    for i in range(t0.shape[0]):
+        if i in survivors:
+            continue
+        np.testing.assert_allclose(
+            np.asarray(res.t[i]), np.asarray(ref8.t[i]), atol=2e-2
+        )
+
+
+def test_sharded_fused_prune_matches_single_device(scene):
+    """descent_prune through the fused sharded pipeline equals the
+    single-device fused pipeline with the same prune."""
+    from piccolo_tpu.parallel import localize_query_sharded
+    from piccolo_tpu.pipeline import localize_query
+
+    xyz, rgb, img, lo, hi, t0, ypr0, gt_t = scene
+    mesh = make_mesh(2, 4)
+    trans = np.concatenate([t0, np.zeros((1, 3), np.float32)])
+    rots = np.asarray([[0.9, 0, 0], [2.4, 0, 0]], np.float32)
+    valid = np.array([True, True, True, False])
+    kw = dict(
+        num_intermediate=4, num_input=3, num_iter=24, lr=0.1, patience=5,
+        factor=0.8, descent_prune=(8, 2),
+    )
+    single = localize_query(
+        jnp.asarray(img), jnp.asarray(img), jnp.asarray(xyz),
+        jnp.asarray(rgb), jnp.asarray(trans), jnp.asarray(rots),
+        jnp.asarray(valid), jnp.asarray(lo), jnp.asarray(hi), **kw,
+    )
+    sharded = localize_query_sharded(
+        mesh, img, img, xyz, rgb, trans, rots, valid, lo, hi, **kw,
+    )
+    assert int(sharded.winner) == int(single.winner)
+    np.testing.assert_allclose(
+        np.asarray(sharded.t), np.asarray(single.t), atol=8e-2
+    )
+    np.testing.assert_allclose(
+        float(sharded.loss), float(single.loss), atol=8e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded.start_t), np.asarray(single.start_t), atol=1e-5
+    )
