@@ -193,9 +193,10 @@ def hist_scores_core(
     ``use_mxu_hist`` routes the per-block winner-bin histograms through the
     batched one-hot MXU kernel (kernels/histogram_mxu.py) instead of XLA's
     scatter-add — bit-exact (both sum exact 0/1 integers in f32).  Default
-    (None) auto-selects it on TPU for >=512k-pixel images (the Stanford
-    1024x512 init image included), where the scatter-add's row-count bound
-    dominates the whole stage (docs/PERFORMANCE.md).
+    (None) auto-selects it on TPU for >=128k-pixel images (the Stanford
+    512x256 init image included — measured 0.301 -> 0.274 s/pano end-to-
+    end), where the scatter-add's row-count bound dominates the whole
+    stage (docs/PERFORMANCE.md).
     """
     H, W, _ = img.shape
     sh, sw = num_split_h, num_split_w
@@ -203,7 +204,7 @@ def hist_scores_core(
     if use_mxu_hist is None:
         use_mxu_hist = (
             point_axis is None
-            and H * W >= (1 << 19)
+            and H * W >= (1 << 17)
             and jax.default_backend() == "tpu"
         )
 
