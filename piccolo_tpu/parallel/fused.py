@@ -469,6 +469,11 @@ def _localize_query_sharded_jit(
     descent_prune = _check_prune(descent_prune, num_iter, k2, False)
     t2p = _pad_clone_rows(t2, n_cand)
     r2p = _pad_clone_rows(r2, n_cand)
+    # scarce-valid duplicate-best rows (final_valid False) and the mesh's
+    # trailing clone padding must not claim prune survivor slots
+    v2p = jnp.concatenate([
+        final_valid, jnp.zeros(t2p.shape[0] - k2, bool)
+    ])
     t, ypr, losses, lrs = shard_map(
         functools.partial(
             descent_local,
@@ -477,9 +482,10 @@ def _localize_query_sharded_jit(
             prune=descent_prune, n_valid=k2, n_cand=n_cand,
         ),
         mesh=mesh,
-        in_specs=cloud_specs + (P("cand", None), P("cand", None), P(), P()),
+        in_specs=cloud_specs + (P("cand", None), P("cand", None), P(), P(),
+                                P("cand")),
         out_specs=(P("cand", None), P("cand", None), P("cand"), P("cand")),
-    )(img_main, xyz, rgb, point_mask, t2p, r2p, lo, hi)
+    )(img_main, xyz, rgb, point_mask, t2p, r2p, lo, hi, v2p)
     t, ypr, losses = t[:k2], ypr[:k2], losses[:k2]
 
     w = jnp.argmin(losses)

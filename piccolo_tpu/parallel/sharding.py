@@ -198,7 +198,7 @@ def _point_sharded_loss(pose: Pose, xyz, rgb, blocks, height, width,
 
 
 def descent_local(
-    img_l, xyz_l, rgb_l, mask_l, t0_l, ypr0_l, lo_l, hi_l,
+    img_l, xyz_l, rgb_l, mask_l, t0_l, ypr0_l, lo_l, hi_l, valid_l=None,
     *, num_iter, lr, patience, factor, table_dtype="auto", wrap=False,
     prune=None, n_valid=None, n_cand=1,
 ):
@@ -214,7 +214,9 @@ def descent_local(
     (solver._descend_pruned) with the mesh: after k iterations the local
     phase-1 losses/states all_gather along 'cand' (a few hundred bytes),
     the m globally-best survivors — trailing clone-padding rows beyond
-    ``n_valid`` are excluded — are re-distributed evenly across the cand
+    ``n_valid`` and rows whose 'cand'-sharded ``valid_l`` mask is False
+    (the fused path's scarce-valid duplicate-best clones) are excluded —
+    are re-distributed evenly across the cand
     groups (slots padded with repeats of the best survivor), and each
     shard finishes the budget on its slice.  A second small all_gather
     scatters survivor finals back into the original candidate rows;
@@ -286,9 +288,14 @@ def descent_local(
     )
     all_loss = gather(loss1)  # (n_cand * b_l,)
     gids = jnp.arange(all_loss.shape[0])
-    # trailing clone-padding rows must never claim survivor slots
+    # clone rows must never claim survivor slots: trailing mesh padding
+    # (>= n_valid) and the fused path's duplicate-best scarce-valid rows
+    # (valid_l False) would tie bit-identically with the best start and
+    # silently shrink the effective keep count
     if n_valid is not None:
         all_loss = jnp.where(gids < n_valid, all_loss, jnp.inf)
+    if valid_l is not None:
+        all_loss = jnp.where(gather(valid_l), all_loss, jnp.inf)
     order = jnp.argsort(all_loss)
     per = -(-m // n_cand)  # survivors per cand group (slots pad the best)
     surv_gids = jnp.concatenate(

@@ -38,7 +38,7 @@ from .ops.sampling import (
     resolve_descent_table,
 )
 from .optim import adam_plateau_step, init_adam_plateau
-from .solver import _check_prune, _descend_pruned
+from .solver import _check_prune, _descend_pruned, _make_step
 
 __all__ = ["LocalizeResult", "localize_query", "localize_query_batch"]
 
@@ -79,7 +79,7 @@ def _grid_scores(img, xyz, rgb, pair_t, pair_ypr, pair_valid, point_mask,
 
 def _descend(img, xyz, rgb, t0s, ypr0s, lo, hi, point_mask,
              num_iter, lr, patience, factor, table_dtype=jnp.float32,
-             wrap=False, trajectory=False, prune=None):
+             wrap=False, trajectory=False, prune=None, start_valid=None):
     H, W, _ = img.shape
     # bf16/u8 tables shrink the descent's gather table 2x/4x (the dominant
     # query cost at large panoramas — docs/PERFORMANCE.md "gather rate vs
@@ -92,31 +92,24 @@ def _descend(img, xyz, rgb, t0s, ypr0s, lo, hi, point_mask,
     prune = _check_prune(prune, num_iter, t0s.shape[0], trajectory)
     if prune is not None:
         # two-phase prune speed mode (solver._descend_pruned): all starts
-        # for prune[0] iters, the prune[1] best finish the budget
+        # for prune[0] iters, the prune[1] best finish the budget;
+        # ``start_valid`` keeps duplicate-best clone rows (the
+        # scarce-valid-pair fallback below) out of the survivor slots
         params, losses, _ = _descend_pruned(
             blocks, H, W, xyz, rgb, t0s, ypr0s, lo, hi, point_mask,
             num_iter, lr, patience, factor, wrap, prune[0], prune[1],
+            start_valid=start_valid,
         )
         return params, losses
+
+    # the parity-critical loss+Adam+plateau+clamp transition lives in ONE
+    # place (solver._make_step), shared with the staged and pruned paths
+    step = _make_step(blocks, H, W, xyz, rgb, lo, hi, point_mask,
+                      patience, factor, trajectory, wrap)
 
     def one(t0, y0):
         params = Pose(t=t0, yaw=y0[0], pitch=y0[1], roll=y0[2])
         state = init_adam_plateau(params, lr)
-        vg = jax.value_and_grad(
-            lambda p: sampling_loss_packed(p, xyz, rgb, blocks, H, W,
-                                           point_mask, wrap=wrap)
-        )
-
-        def step(carry, _):
-            params, state = carry
-            loss, grads = vg(params)
-            params, state = adam_plateau_step(
-                params, grads, state, loss, patience, factor
-            )
-            params = params._replace(t=jnp.clip(params.t, lo, hi))
-            ys = (loss, params) if trajectory else loss
-            return (params, state), ys
-
         (params, _), ys = jax.lax.scan(
             step, (params, state), None, length=num_iter
         )
@@ -301,7 +294,7 @@ def localize_query(
     out = _descend(
         img_main, xyz, rgb, t2, r2, lo, hi, pm, num_iter, lr, patience,
         factor, table_dtype=jnp.dtype(descent_table), wrap=seam_wrap,
-        trajectory=trajectory, prune=descent_prune,
+        trajectory=trajectory, prune=descent_prune, start_valid=final_valid,
     )
     if trajectory:
         params, losses, traj = out

@@ -128,6 +128,7 @@ def _descend_single(
 def _descend_pruned(
     blocks, height, width, xyz, rgb, trans0, ypr0, lo, hi, point_mask,
     num_iter, lr, patience, factor, wrap, prune_iter: int, prune_keep: int,
+    start_valid=None,
 ):
     """Two-phase multi-start descent: all B candidates for ``prune_iter``
     steps, then only the ``prune_keep`` lowest-loss survivors finish the
@@ -159,8 +160,15 @@ def _descend_pruned(
         return params, state, losses[-1]
 
     params1, state1, loss1 = jax.vmap(seg1)(trans0, ypr0)
-    # one stable argsort gives disjoint survivor/pruned sets even on ties
-    order = jnp.argsort(loss1)
+    # one stable argsort gives disjoint survivor/pruned sets even on ties.
+    # ``start_valid`` masks duplicate-best clone rows (the scarce-valid-pair
+    # fallback duplicates the best start into invalid slots, pipeline.py) so
+    # a clone's bit-identical phase-1 loss can never claim a survivor slot
+    # from a genuinely distinct candidate.
+    rank_loss = loss1
+    if start_valid is not None:
+        rank_loss = jnp.where(start_valid, loss1, jnp.inf)
+    order = jnp.argsort(rank_loss)
     keep_idx = order[:prune_keep]
     take = lambda tree: jax.tree.map(lambda x: x[keep_idx], tree)
 
@@ -213,6 +221,7 @@ def descend(
     table_dtype: str = "auto",
     wrap: bool = False,
     prune: Optional[Tuple[int, int]] = None,
+    start_valid: Optional[jnp.ndarray] = None,
 ):
     """Descend all candidates in parallel.
 
@@ -230,6 +239,9 @@ def descend(
         finish the budget (state carried exactly across the split; see
         ``_descend_pruned``).  Pruned rows report their frozen phase-1
         state.  Off (None) = reference-parity full descent.
+      start_valid: optional (B,) bool marking duplicate/clone starting rows
+        False so they never claim prune survivor slots (only meaningful
+        with ``prune``).
 
     Returns:
       SolveResult over the B candidates.
@@ -250,6 +262,7 @@ def descend(
         params, losses, lrs = _descend_pruned(
             blocks, H, W, xyz, rgb, trans0, ypr0, lo, hi, pm,
             num_iter, lr, patience, factor, wrap, prune[0], prune[1],
+            start_valid=start_valid,
         )
         traj = None
     else:

@@ -342,7 +342,10 @@ def test_cfg_prune_resolution():
     import warnings as _w
 
     from piccolo_tpu.config import make_config
+    from piccolo_tpu.harness import localize as _hl
     from piccolo_tpu.harness.localize import _cfg_prune
+
+    _hl._prune_warned.clear()  # once-only warning set is process-global
 
     off = make_config(dataset="Stanford2D-3D-S")
     assert _cfg_prune(off) is None

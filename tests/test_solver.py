@@ -193,3 +193,33 @@ def test_descend_prune_recovers_and_aligns(rng):
         np.testing.assert_allclose(
             float(pruned.loss[i]), float(l1[i]), atol=1e-6
         )
+
+
+def test_descend_prune_clone_rows_cannot_claim_survivor_slots(rng):
+    """Duplicate-best clone rows (the harness's scarce-valid fallback) tie
+    bit-identically with the best start at the prune point; ``start_valid``
+    must keep them out of the survivor slots so the genuinely-distinct
+    second candidate finishes the budget."""
+    xyz, rgb = make_room(rng, n_per_wall=2000)
+    gt_ypr = np.array([1.0, 0.0, 0.0], np.float32)
+    img = render_at(xyz, rgb, np.zeros(3, np.float32), gt_ypr,
+                    resolution=(128, 256))
+    lo, hi = cloud_bounds(jnp.asarray(xyz), 0.05)
+    # rows: [best, distinct-second, clone-of-best, clone-of-best]
+    t0 = jnp.zeros((4, 3))
+    ypr0 = jnp.asarray(np.stack([
+        [1.1, 0, 0], [1.6, 0, 0], [1.1, 0, 0], [1.1, 0, 0],
+    ]).astype(np.float32))
+    valid = jnp.asarray([True, True, False, False])
+    kw = dict(num_iter=40, lr=0.1, patience=5, factor=0.8)
+    pruned = descend(img, jnp.asarray(xyz), jnp.asarray(rgb), t0, ypr0,
+                     lo, hi, prune=(10, 2), start_valid=valid, **kw)
+    phase1 = descend(img, jnp.asarray(xyz), jnp.asarray(rgb), t0, ypr0,
+                     lo, hi, num_iter=10, lr=0.1, patience=5, factor=0.8)
+    # the distinct second candidate survived (kept descending past iter 10)
+    assert float(pruned.loss[1]) < float(phase1.loss[1]) - 1e-4
+    # the clone rows are frozen at their phase-1 state
+    for i in (2, 3):
+        np.testing.assert_allclose(
+            np.asarray(pruned.t[i]), np.asarray(phase1.t[i]), atol=1e-5
+        )
