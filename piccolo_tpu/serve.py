@@ -275,7 +275,13 @@ class LocalizeService:
         ``image``: (H, W, 3) RGB, uint8 or float in [0, 1] (floats are
         requantized to uint8 — the CLI's decode path — so served results
         match the batch harness exactly).  ``room`` selects among resident
-        rooms (default: most recently used).  Preprocessing is the
+        rooms (default: most recently used); ``room="auto"`` runs the FULL
+        query against every resident room and answers with the lowest
+        final winner loss, returning per-room ``room_scores`` alongside
+        the result (no reference counterpart — the reference assumes the
+        query's room is known; see ``_select_room`` for why the final
+        loss, not a stage-1 score, is the discriminator).  Cost: one full
+        query per resident room.  Preprocessing is the
         harness's own per-query prep (harness.localize.prepare_*_images):
         resize/downsample semantics, color match/sharpen, synth ablations.
         Returns a dict with the winner pose (``t`` (3,), ``rot`` (3, 3)),
@@ -311,46 +317,30 @@ class LocalizeService:
             with self._pending_lock:
                 self._pending -= 1
 
-    def _localize_admitted(self, img: np.ndarray, room: Optional[str],
-                           device_index: Optional[int] = None) -> Dict:
-        cfg = self.cfg
-        t_start = time.time()
-        if device_index is None:
-            # round-robin chip assignment (load_room's warm path pins it
-            # instead so every chip compiles)
-            with self._rr_lock:
-                device_index = self._rr % len(self._devices)
-                self._rr += 1
-        # room resolution under the registry lock; the (host-side,
-        # possibly hundreds-of-ms) image prep runs outside the compute
-        # locks so it can overlap other requests' device compute
-        with self._rooms_lock:
-            if room is None:
-                room = next(reversed(self._rooms))
-            if room not in self._rooms:
-                raise KeyError(
-                    f"room {room!r} not resident (have: {list(self._rooms)})"
-                )
-            self._rooms.move_to_end(room)
-            cache = self._rooms[room][device_index]
-
-        if "mni" in cfg_get(cfg, "dataset", "Stanford2D-3D-S"):
+    def _prepare(self, img: np.ndarray, cache: Dict):
+        """The harness's own per-query prep for this service's dataset."""
+        if "mni" in cfg_get(self.cfg, "dataset", "Stanford2D-3D-S"):
             _, img_init, img_main, rgb_used, prep_timed = (
-                prepare_omniscenes_images(cfg, img, cache)
+                prepare_omniscenes_images(self.cfg, img, cache)
             )
         else:
             img_init, img_main, rgb_used, prep_timed = (
-                prepare_stanford_images(cfg, img, cache)
+                prepare_stanford_images(self.cfg, img, cache)
             )
+        return img_init, img_main, rgb_used, prep_timed
 
+    def _compute_room(self, prep, cache, device_index: int) -> Dict:
+        """One full fused query against a room: device compute + the single
+        packed result fetch, under the device's compute lock."""
+        img_init, img_main, rgb_used, prep_timed = prep
         with self._compute_locks[device_index]:
             t0 = time.time()
             # sync_plans: serving builds plans synchronously (the warm
             # path exists precisely to take this hit at load time; a
             # background build would leave warmed rooms half-compiled)
             res = _run_fused(
-                img_init, img_main, cache, rgb_used, cfg, self.init_dict,
-                cache["grids"], self.mesh, sync_plans=True,
+                img_init, img_main, cache, rgb_used, self.cfg,
+                self.init_dict, cache["grids"], self.mesh, sync_plans=True,
             )
             # ONE device fetch: each array fetched separately costs a full
             # round trip on remote-frontend deployments (axon; measured
@@ -365,18 +355,86 @@ class LocalizeService:
                 res.winner.reshape(1).astype(jnp.float32),
                 res.cand_loss,
             ]))
-            t = packed[:3]
-            rot = packed[3:12].reshape(3, 3)
-            loss = float(packed[12])
-            winner = int(packed[13])
-            cand_loss = packed[14:]
             elapsed = time.time() - t0 + prep_timed
         return dict(
-            t=t, rot=rot, loss=loss, cand_loss=cand_loss,
-            winner=int(winner), time_s=elapsed,
-            total_s=time.time() - t_start, room=room,
+            t=packed[:3], rot=packed[3:12].reshape(3, 3),
+            loss=float(packed[12]), winner=int(packed[13]),
+            cand_loss=packed[14:], time_s=elapsed,
+        )
+
+    def _select_room(self, img: np.ndarray, device_index: int):
+        """room='auto': run the FULL query against every resident room and
+        keep the lowest final winner loss.
+
+        The final loss is the discriminator because the cheap alternative
+        measurably is not: on two same-generator synthetic offices the
+        stage-1 grid MINIMUM barely separates rooms (0.3178 vs 0.3138 —
+        wrong pick, 607 mm error) while the descended winner losses
+        separate decisively (the wrong room cannot descend to a good color
+        match).  Cost: one full query per resident room — the prune speed
+        mode and the mesh compose, since this is just the normal per-room
+        compute in a loop.
+        """
+        with self._rooms_lock:
+            candidates = [
+                (name, replicas[device_index])
+                for name, replicas in self._rooms.items()
+            ]
+        scores: Dict[str, float] = {}
+        best = None
+        for name, cache in candidates:
+            fields = self._compute_room(
+                self._prepare(img, cache), cache, device_index
+            )
+            scores[name] = fields["loss"]
+            if best is None or fields["loss"] < best[1]["loss"]:
+                best = (name, fields)
+        if not np.isfinite(best[1]["loss"]):
+            raise ValueError(
+                "room='auto' found no finite localization loss in any "
+                "resident room (all-black/empty query image?)"
+            )
+        with self._rooms_lock:
+            if best[0] in self._rooms:
+                self._rooms.move_to_end(best[0])
+        return best[0], best[1], scores
+
+    def _localize_admitted(self, img: np.ndarray, room: Optional[str],
+                           device_index: Optional[int] = None) -> Dict:
+        t_start = time.time()
+        if device_index is None:
+            # round-robin chip assignment (load_room's warm path pins it
+            # instead so every chip compiles)
+            with self._rr_lock:
+                device_index = self._rr % len(self._devices)
+                self._rr += 1
+        room_scores = None
+        if room == "auto":
+            room, fields, room_scores = self._select_room(img, device_index)
+        else:
+            # room resolution under the registry lock; the (host-side,
+            # possibly hundreds-of-ms) image prep runs outside the compute
+            # locks so it can overlap other requests' device compute
+            with self._rooms_lock:
+                if room is None:
+                    room = next(reversed(self._rooms))
+                if room not in self._rooms:
+                    raise KeyError(
+                        f"room {room!r} not resident "
+                        f"(have: {list(self._rooms)})"
+                    )
+                self._rooms.move_to_end(room)
+                cache = self._rooms[room][device_index]
+            fields = self._compute_room(
+                self._prepare(img, cache), cache, device_index
+            )
+        out = dict(
+            **fields, total_s=time.time() - t_start, room=room,
             device_index=device_index,
         )
+        if room_scores is not None:
+            out["room_scores"] = room_scores
+        return out
 
 
 # -- HTTP front ------------------------------------------------------------
@@ -500,7 +558,7 @@ def serve_forever(service: LocalizeService, host: str = "127.0.0.1",
                         _decode_image(payload, data_root, paths_allowed),
                         room=payload.get("room"),
                     )
-                    self._reply(200, {
+                    reply = {
                         "t": out["t"].tolist(),
                         "rot": out["rot"].tolist(),
                         "loss": out["loss"],
@@ -508,7 +566,10 @@ def serve_forever(service: LocalizeService, host: str = "127.0.0.1",
                         "time_s": out["time_s"],
                         "room": out["room"],
                         "device_index": out["device_index"],
-                    })
+                    }
+                    if "room_scores" in out:  # room="auto" requests
+                        reply["room_scores"] = out["room_scores"]
+                    self._reply(200, reply)
                 elif self.path == "/room":
                     service.load_room_pcd(
                         _resolve_payload_path(

@@ -346,3 +346,19 @@ def test_cli_descent_prune(synth_root, tmp_path):
     header, rows = _read_results(os.path.join(log, "stanford_results.csv"))
     assert len(rows) == 2
     assert acc == 1.0, rows
+
+
+def test_cli_descent_prune_staged(synth_root, tmp_path):
+    """The staged dispatch path (fused=False) honors the prune keys too."""
+    from piccolo_tpu.main import main
+
+    cfg = _write_cfg(str(tmp_path / "cfg.ini"), "Stanford2D-3D-S", synth_root)
+    log = str(tmp_path / "log_prune_staged")
+    acc = main([
+        "--config", cfg, "--log", log, "--no-tensorboard",
+        "--override",
+        "fused=False,descent_prune_iter=15,descent_prune_keep=2",
+    ])
+    header, rows = _read_results(os.path.join(log, "stanford_results.csv"))
+    assert len(rows) == 2
+    assert acc == 1.0, rows

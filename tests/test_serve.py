@@ -383,3 +383,29 @@ def test_serve_cli_override_reaches_config(tmp_path):
             "--config", str(ini),
             "--override", "query_devices=2,n_devices=2",
         ])
+
+
+def test_room_auto_selection(scene):
+    """room='auto' stage-1-scores every resident room and localizes against
+    the best match (no reference counterpart — the reference assumes the
+    room is known)."""
+    rng = np.random.default_rng(17)
+    xyz_a, rgb_a = make_room(rng, n_per_wall=1500, texture="plain")
+    xyz_b, rgb_b, img_b, gt_t = scene  # checker room + a query from it
+
+    svc = LocalizeService(max_rooms=2, **_CFG)
+    svc.load_room(xyz_a, rgb_a, name="plain")
+    svc.load_room(xyz_b, rgb_b, name="checker")
+
+    out = svc.localize(img_b, room="auto")
+    assert out["room"] == "checker"
+    assert set(out["room_scores"]) == {"plain", "checker"}
+    assert out["room_scores"]["checker"] < out["room_scores"]["plain"]
+    assert np.linalg.norm(out["t"] - gt_t) < 0.2
+
+    # explicit-room requests never pay the scoring pass / carry scores
+    out2 = svc.localize(img_b, room="checker")
+    assert "room_scores" not in out2
+    # an unknown explicit room still fails loudly
+    with pytest.raises(KeyError):
+        svc.localize(img_b, room="nope")
