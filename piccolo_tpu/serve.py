@@ -204,6 +204,13 @@ class LocalizeService:
         at LOAD time — the first real query then runs at steady-state
         latency instead of paying seconds (plan) to minutes (cold jit).
         """
+        if name == "auto":
+            # "auto" is the localize() room-selection sentinel — a room so
+            # named could never be addressed explicitly again
+            raise ValueError(
+                'room name "auto" is reserved for localize(room="auto") '
+                "auto-selection — pick another name"
+            )
         import jax
 
         xyz = np.asarray(xyz, np.float32)
@@ -382,12 +389,33 @@ class LocalizeService:
             ]
         scores: Dict[str, float] = {}
         best = None
-        for name, cache in candidates:
-            fields = self._compute_room(
-                self._prepare(img, cache), cache, device_index
-            )
+        # one-ahead prep: room k+1's host prep (possibly hundreds of ms)
+        # runs on a thread while room k holds the chip — the auto loop
+        # keeps the module's prep/compute overlap design
+        next_prep = [self._prepare(img, candidates[0][1])]
+
+        def _prep_into(cache):
+            next_prep[0] = self._prepare(img, cache)
+
+        for i, (name, cache) in enumerate(candidates):
+            prep = next_prep[0]
+            th = None
+            if i + 1 < len(candidates):
+                th = threading.Thread(
+                    target=_prep_into, args=(candidates[i + 1][1],)
+                )
+                th.start()
+            fields = self._compute_room(prep, cache, device_index)
+            if th is not None:
+                th.join()
             scores[name] = fields["loss"]
-            if best is None or fields["loss"] < best[1]["loss"]:
+            # non-finite losses (all-masked/black renders) never win NOR
+            # block a later finite room from winning
+            if best is None or (
+                np.isfinite(fields["loss"])
+                and not (np.isfinite(best[1]["loss"])
+                         and best[1]["loss"] <= fields["loss"])
+            ):
                 best = (name, fields)
         if not np.isfinite(best[1]["loss"]):
             raise ValueError(
@@ -568,7 +596,13 @@ def serve_forever(service: LocalizeService, host: str = "127.0.0.1",
                         "device_index": out["device_index"],
                     }
                     if "room_scores" in out:  # room="auto" requests
-                        reply["room_scores"] = out["room_scores"]
+                        # non-finite losses (all-masked rooms) would make
+                        # json.dumps emit bare Infinity/NaN — not RFC 8259
+                        # JSON; strict clients fail to parse.  null them.
+                        reply["room_scores"] = {
+                            k: (v if np.isfinite(v) else None)
+                            for k, v in out["room_scores"].items()
+                        }
                     self._reply(200, reply)
                 elif self.path == "/room":
                     service.load_room_pcd(

@@ -386,9 +386,9 @@ def test_serve_cli_override_reaches_config(tmp_path):
 
 
 def test_room_auto_selection(scene):
-    """room='auto' stage-1-scores every resident room and localizes against
-    the best match (no reference counterpart — the reference assumes the
-    room is known)."""
+    """room='auto' runs the full query against every resident room and
+    answers with the lowest final winner loss (no reference counterpart —
+    the reference assumes the room is known)."""
     rng = np.random.default_rng(17)
     xyz_a, rgb_a = make_room(rng, n_per_wall=1500, texture="plain")
     xyz_b, rgb_b, img_b, gt_t = scene  # checker room + a query from it
@@ -409,3 +409,66 @@ def test_room_auto_selection(scene):
     # an unknown explicit room still fails loudly
     with pytest.raises(KeyError):
         svc.localize(img_b, room="nope")
+
+
+def test_room_auto_composes_with_query_devices(scene):
+    """room='auto' on a query-parallel service: the whole selection runs on
+    the request's assigned chip and still picks the right room."""
+    rng = np.random.default_rng(23)
+    xyz_a, rgb_a = make_room(rng, n_per_wall=1500, texture="plain")
+    xyz_b, rgb_b, img_b, gt_t = scene
+
+    svc = LocalizeService(query_devices=2, max_rooms=2, **_CFG)
+    svc.load_room(xyz_a, rgb_a, name="plain")
+    svc.load_room(xyz_b, rgb_b, name="checker")
+    outs = [svc.localize(img_b, room="auto") for _ in range(2)]
+    assert [o["device_index"] for o in outs] == [0, 1]
+    for o in outs:
+        assert o["room"] == "checker"
+        assert o["room_scores"]["checker"] < o["room_scores"]["plain"]
+        assert np.linalg.norm(o["t"] - gt_t) < 0.2
+
+
+def test_room_auto_nonfinite_first_room_cannot_poison_selection(scene, monkeypatch):
+    """A room whose localization degenerates to a non-finite loss must
+    neither win nor block a later finite room: 'finite < NaN' is False, so
+    naive best-tracking would lock in the first room forever."""
+    rng = np.random.default_rng(29)
+    xyz_a, rgb_a = make_room(rng, n_per_wall=800, texture="plain")
+    xyz_b, rgb_b, img_b, gt_t = scene
+
+    svc = LocalizeService(max_rooms=2, **_CFG)
+    svc.load_room(xyz_a, rgb_a, name="void")  # loaded FIRST
+    svc.load_room(xyz_b, rgb_b, name="checker")
+
+    real = LocalizeService._compute_room
+
+    def degrade_void(self, prep, cache, device_index):
+        fields = real(self, prep, cache, device_index)
+        if cache is svc._rooms["void"][device_index]:
+            fields["loss"] = float("nan")
+        return fields
+
+    monkeypatch.setattr(LocalizeService, "_compute_room", degrade_void)
+    out = svc.localize(img_b, room="auto")
+    assert out["room"] == "checker"
+    assert np.isfinite(out["loss"])
+    assert np.isnan(out["room_scores"]["void"])
+    assert np.linalg.norm(out["t"] - gt_t) < 0.2
+
+    # every room non-finite -> loud error, not a garbage answer
+    def degrade_all(self, prep, cache, device_index):
+        fields = real(self, prep, cache, device_index)
+        fields["loss"] = float("inf")
+        return fields
+
+    monkeypatch.setattr(LocalizeService, "_compute_room", degrade_all)
+    with pytest.raises(ValueError, match="no finite"):
+        svc.localize(img_b, room="auto")
+
+
+def test_load_room_rejects_reserved_auto_name(scene):
+    xyz, rgb, img, _ = scene
+    svc = LocalizeService(**_CFG)
+    with pytest.raises(ValueError, match="reserved"):
+        svc.load_room(xyz, rgb, name="auto")
