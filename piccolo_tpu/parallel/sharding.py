@@ -41,8 +41,8 @@ from ..ops.sampling import (
     pack_bilinear_blocks,
     resolve_descent_table,
 )
-from ..optim import adam_plateau_step, init_adam_plateau
-from ..solver import SolveResult
+from ..optim import init_adam_plateau
+from ..solver import SolveResult, _check_prune, _make_step_for
 
 try:  # jax >= 0.4.31 exposes shard_map at top level
     from jax import shard_map as _shard_map_mod
@@ -235,20 +235,14 @@ def descent_local(
     # candidate); mark them varying up front so the scan carry type
     # is stable under shard_map's replication tracking.
     vary = lambda x: jax.lax.pcast(x, ("cand",), to="varying")
-    vg = jax.value_and_grad(
+    # the ONE parity-critical per-iteration transition (solver), built
+    # from the point-sharded psum loss
+    step = _make_step_for(
         lambda p: _point_sharded_loss(
             p, xyz_l, rgb_l, blocks_l, H, W, mask_l, wrap
-        )
+        ),
+        lo_l, hi_l, patience, factor,
     )
-
-    def step(carry, _):
-        params, state = carry
-        loss, grads = vg(params)
-        params, state = adam_plateau_step(
-            params, grads, state, loss, patience, factor
-        )
-        params = params._replace(t=jnp.clip(params.t, lo_l, hi_l))
-        return (params, state), loss
 
     def init_state(t0, y0):
         params = Pose(t=t0, yaw=y0[0], pitch=y0[1], roll=y0[2])
@@ -439,8 +433,6 @@ def solve_sharded(
     ypr0 = jax.device_put(ypr0, dev(P("cand", None)))
     lo = jax.device_put(jnp.asarray(lo, jnp.float32), dev(P()))
     hi = jax.device_put(jnp.asarray(hi, jnp.float32), dev(P()))
-
-    from ..solver import _check_prune
 
     prune = _check_prune(prune, num_iter, b, False)
     res = _solve_sharded_jit(

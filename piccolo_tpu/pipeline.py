@@ -37,7 +37,7 @@ from .ops.sampling import (
     pack_bilinear_blocks,
     resolve_descent_table,
 )
-from .optim import adam_plateau_step, init_adam_plateau
+from .optim import init_adam_plateau
 from .solver import _check_prune, _descend_pruned, _make_step
 
 __all__ = ["LocalizeResult", "localize_query", "localize_query_batch"]

@@ -67,17 +67,15 @@ def _check_prune(prune, num_iter: int, n_cand: int, trajectory: bool):
     return (k, m)
 
 
-def _make_step(blocks, height, width, xyz, rgb, lo, hi, point_mask,
-               patience, factor, trajectory, wrap):
-    """One fused loss+Adam+plateau+clamp transition for the descent scan.
+def _make_step_for(loss_fn, lo, hi, patience, factor, trajectory=False):
+    """One fused loss+Adam+plateau+clamp transition for the descent scan,
+    from an arbitrary differentiable pose loss.
 
-    The image is constant across the scan: the packed-neighbourhood table
-    (built once by the caller) makes each loss evaluation one gather
-    instead of four, bit-identically.
+    The ONE definition of the parity-critical per-iteration transition
+    (reference omniloc.py:44-58) — shared by the staged solver, the fused
+    pipeline, the pruned two-phase descent, and (with the point-sharded
+    psum loss) the mesh descent in parallel.sharding.
     """
-    loss_fn = lambda p: sampling_loss_packed(
-        p, xyz, rgb, blocks, height, width, point_mask, wrap=wrap
-    )
     value_and_grad = jax.value_and_grad(loss_fn)
 
     def step(carry, _):
@@ -91,6 +89,19 @@ def _make_step(blocks, height, width, xyz, rgb, lo, hi, point_mask,
         return (params, state), ys
 
     return step
+
+
+def _make_step(blocks, height, width, xyz, rgb, lo, hi, point_mask,
+               patience, factor, trajectory, wrap):
+    """The single-device step: the packed-neighbourhood table (built once
+    by the caller) makes each loss evaluation one gather instead of four,
+    bit-identically."""
+    return _make_step_for(
+        lambda p: sampling_loss_packed(
+            p, xyz, rgb, blocks, height, width, point_mask, wrap=wrap
+        ),
+        lo, hi, patience, factor, trajectory,
+    )
 
 
 def _descend_single(
@@ -184,14 +195,13 @@ def _descend_pruned(
     # frozen phase-1 state/loss, so per-candidate outputs still align with
     # the starting poses)
     drop_idx = order[prune_keep:]
-    drop = lambda tree: jax.tree.map(lambda x: x[drop_idx], tree)
     inv = jnp.argsort(order)
     cat = lambda a, b: jax.tree.map(
         lambda x, y: jnp.concatenate([x, y], axis=0)[inv], a, b
     )
-    params = cat(params2, drop(params1))
-    losses = jnp.concatenate([loss2, drop(loss1)])[inv]
-    lrs = jnp.concatenate([lr2, drop(state1).lr])[inv]
+    params = cat(params2, jax.tree.map(lambda x: x[drop_idx], params1))
+    losses = jnp.concatenate([loss2, loss1[drop_idx]])[inv]
+    lrs = jnp.concatenate([lr2, state1.lr[drop_idx]])[inv]
     return params, losses, lrs
 
 
