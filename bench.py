@@ -19,7 +19,8 @@ Modes:
   --prune       descent-prune speed mode (30, 2): all 6 starts run 30
                 iterations, the 2 current-best finish the budget (opt-in;
                 the default matches the reference's full multi-start
-                descent).
+                descent; dense real workloads should prefer (40, 3) —
+                docs/PERFORMANCE.md What-worked #16).
 
 ``vs_baseline`` compares against the PyTorch reference running the SAME
 workload (same synthetic scene generator, same budgets) measured on this
@@ -137,8 +138,14 @@ def main() -> None:
         else "auto"
     )
     # --prune enables the descent-prune speed mode (NOT the default: the
-    # reference descends every start for the full budget; gating eval in
-    # docs/ROUND3.md)
+    # reference descends every start for the full budget; gating evals in
+    # docs/PERFORMANCE.md What-worked #16).  The bench uses (30, 2) at both
+    # scales as a TIMING artifact; on dense real OmniScenes-like workloads
+    # prefer the gentler (40, 3) — the bench's sparse synthetic oracle is
+    # density-limited at 2048x1024 (BASELINE.md), so its per-query errors
+    # at this scale are band-noise either way, while the density-matched
+    # 24-query eval shows (40, 3) restores 24/24 where (30, 2) costs a
+    # query.
     prune = (30, 2) if "--prune" in sys.argv else None
     plan = None
     if use_fused and "--no-slab" not in sys.argv:
