@@ -600,6 +600,23 @@ def _maybe_sharded_slab_plan(cfg, cache, grids, img_init, mesh):
     return cache[key]
 
 
+def _remote_tunnel_frontend() -> bool:
+    """True when devices sit behind a remote tunnel (the axon PJRT plugin).
+
+    The plugin registers its devices under the regular 'tpu' platform name
+    — ``jax.default_backend()`` returns "tpu", NOT "axon" — so the one
+    reliable marker is the client's platform_version string (e.g.
+    "PJRT C API\\naxon 0.1.0; ...").  Host<->device transfers there run at
+    tunnel speeds (~150 s first fetch, GBs at disk-like rates), which is
+    what the slab-plan disk cache's `auto` mode needs to know.
+    """
+    try:
+        pv = jax.devices()[0].client.platform_version
+    except Exception:
+        return False
+    return "axon" in str(pv).lower()
+
+
 def _maybe_slab_plan(cfg, cache, grids, img_init, sync: bool = False):
     """Room-static sorted-slab plan for fused stage 1 (``slab_init`` key).
 
@@ -686,7 +703,7 @@ def _maybe_slab_plan(cfg, cache, grids, img_init, sync: bool = False):
         # build 4.9 s on device vs 18.3 s to load+device_put
         # (docs/PERFORMANCE.md round 3) — so auto disables disk there and
         # the background build carries the lifecycle.
-        use_disk = jax.default_backend() != "axon"
+        use_disk = not _remote_tunnel_frontend()
     use_disk = bool(use_disk)
     background = bool(cfg_get(cfg, "slab_background_build", True)) and not sync
     cache_dir = cfg_get(cfg, "slab_plan_cache_dir")

@@ -355,3 +355,28 @@ def test_cfg_prune_resolution():
         _w.simplefilter("always")
         assert _cfg_prune(on, want_traj=True) is None  # GIFs -> full descent
     assert any("full descent" in str(r.message) for r in rec)
+
+
+def test_remote_tunnel_frontend_detection(monkeypatch):
+    """The axon plugin registers devices under the plain 'tpu' platform
+    name, so remote-tunnel detection must read platform_version (a
+    `default_backend() != "axon"` check never fires — the disk plan cache
+    was silently ON over the tunnel)."""
+    from piccolo_tpu.harness import localize as hl
+
+    class FakeClient:
+        platform_version = "PJRT C API\naxon 0.1.0; compile-cache v14"
+
+    class FakeDev:
+        client = FakeClient()
+
+    monkeypatch.setattr(hl.jax, "devices", lambda: [FakeDev()])
+    assert hl._remote_tunnel_frontend() is True
+    FakeClient.platform_version = "PJRT C API\nTFRT TPU v5"
+    assert hl._remote_tunnel_frontend() is False
+
+    def boom():
+        raise RuntimeError("no backend")
+
+    monkeypatch.setattr(hl.jax, "devices", boom)
+    assert hl._remote_tunnel_frontend() is False
