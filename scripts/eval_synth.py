@@ -49,8 +49,11 @@ from piccolo_tpu.pipeline import localize_query  # noqa: E402
 from piccolo_tpu.testing import (  # noqa: E402
     make_cluttered_room,
     make_room,
+    make_scene,
     pose_outside_occluders,
+    raycast_pano,
     render_at,
+    scene_cloud,
 )
 from piccolo_tpu.utils import enable_compilation_cache  # noqa: E402
 
@@ -110,6 +113,29 @@ def main(argv=None) -> dict:
     ap.add_argument("--no-slab", action="store_true",
                     help="score stage 1 with the XLA gather path instead "
                          "of the sorted-slab kernel")
+    ap.add_argument("--oracle", default="splat",
+                    choices=["splat", "raycast"],
+                    help="GT renderer: 'splat' z-buffers the cloud itself "
+                         "(pixel coverage scales with point count); "
+                         "'raycast' renders DENSE camera-like panoramas by "
+                         "ray casting the same textured surfaces the cloud "
+                         "samples — no coverage artifact, and the color "
+                         "paths (match_color/sharpen/synth_*) behave as on "
+                         "real captures. Raycast images are uint8-quantized "
+                         "like real captures.")
+    ap.add_argument("--perturb", default=None,
+                    choices=["const", "gamma", "wb"],
+                    help="apply the harness's synthetic illumination "
+                         "ablation to the query image (reference "
+                         "localize.py:384-393) — pair with --match-color "
+                         "to test recovery (raycast oracle recommended)")
+    ap.add_argument("--perturb-val", type=float, default=2.0,
+                    help="ablation strength: divisor for const, exponent "
+                         "for gamma (wb uses fixed 0.7/1.0/1.3 gains)")
+    ap.add_argument("--match-color", action="store_true",
+                    help="apply the harness's match_color prep (CDF "
+                         "matching of the image to the cloud colors, "
+                         "reference color_utils.py:146) per query")
     args = ap.parse_args(argv)
     prune = None
     if args.prune:
@@ -131,7 +157,16 @@ def main(argv=None) -> dict:
     for ri in range(args.rooms):
         size = _ROOM_SIZES[ri % len(_ROOM_SIZES)]
         kind = ("plain", "checker", "cluttered")[ri % 3]
-        if kind == "cluttered":
+        scene = None
+        if args.oracle == "raycast":
+            scene = make_scene(
+                rng, size=size,
+                n_occluders=2 + ri % 3 if kind == "cluttered" else 0,
+                texture="gradient" if kind == "plain" else "checker",
+            )
+            xyz, rgb = scene_cloud(scene, rng, args.points)
+            occ = scene.occluders
+        elif kind == "cluttered":
             xyz, rgb, occ = make_cluttered_room(
                 rng, n_per_wall=args.points // 8, size=size,
                 n_occluders=2 + ri % 3, n_per_occluder=args.points // 12,
@@ -211,9 +246,39 @@ def main(argv=None) -> dict:
             gt_t, gt_ypr = pose_outside_occluders(
                 rng, occ, size, yaw_only=not args.full_rot
             )
-            img_main = render_at(
-                xyz, rgb, gt_t, gt_ypr, (args.height, 2 * args.height)
-            )
+            if scene is not None:
+                # dense camera-like capture: ray-cast + uint8 quantization
+                u8 = (
+                    raycast_pano(
+                        scene, gt_t, gt_ypr, (args.height, 2 * args.height)
+                    ) * 255
+                ).astype(np.uint8)
+                if args.perturb == "const":
+                    u8 = (u8 // args.perturb_val).astype(np.uint8)
+                elif args.perturb == "gamma":
+                    u8 = (((u8 / 255.0) ** args.perturb_val) * 255).astype(
+                        np.uint8
+                    )
+                elif args.perturb == "wb":
+                    scaled = u8.astype(np.float64)
+                    scaled[..., 0] *= 0.7
+                    scaled[..., 2] *= 1.3
+                    u8 = np.clip(scaled, 0, 255).astype(np.uint8)
+                img_f = u8.astype(np.float32) / 255.0
+                if args.match_color:
+                    from piccolo_tpu.color import color_match
+
+                    img_f = color_match(img_f, rgb.astype(np.float32))
+                img_main = jnp.asarray(img_f)
+            else:
+                if args.perturb or args.match_color:
+                    raise SystemExit(
+                        "--perturb/--match-color need --oracle raycast "
+                        "(splat panos are mostly black at capture scales)"
+                    )
+                img_main = render_at(
+                    xyz, rgb, gt_t, gt_ypr, (args.height, 2 * args.height)
+                )
             img_init = img_main[::init_step, ::init_step]
             rgb_used, refresh = rgb_d, False
             if args.sharpen:
@@ -284,6 +349,9 @@ def main(argv=None) -> dict:
             )
     summary = dict(
         profile=args.profile,
+        oracle=args.oracle,
+        perturb=args.perturb,
+        match_color=bool(args.match_color),
         full_rot=bool(args.full_rot),
         descent_table=args.descent_table,
         sharpen=bool(args.sharpen),
