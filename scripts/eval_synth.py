@@ -136,7 +136,14 @@ def main(argv=None) -> dict:
                     help="apply the harness's match_color prep (CDF "
                          "matching of the image to the cloud colors, "
                          "reference color_utils.py:146) per query")
+    ap.add_argument("--floor-ref", action="store_true",
+                    help="floor-referenced scenes (floor at z=0, camera "
+                         "height 1.3-1.7 m) with the reference's shipped "
+                         "z_prior = 1.5 candidate prior — the realistic "
+                         "capture-dataset frame (raycast oracle only)")
     args = ap.parse_args(argv)
+    if args.floor_ref and args.oracle != "raycast":
+        raise SystemExit("--floor-ref needs --oracle raycast")
     prune = None
     if args.prune:
         k, m = (int(v) for v in args.prune.split(","))
@@ -163,6 +170,7 @@ def main(argv=None) -> dict:
                 rng, size=size,
                 n_occluders=2 + ri % 3 if kind == "cluttered" else 0,
                 texture="gradient" if kind == "plain" else "checker",
+                floor_at_zero=args.floor_ref,
             )
             xyz, rgb = scene_cloud(scene, rng, args.points)
             occ = scene.occluders
@@ -194,7 +202,8 @@ def main(argv=None) -> dict:
         else:
             init_dict = default_init_dict(
                 xy_only=True, num_trans=num_trans, yaw_only=True, num_yaw=8,
-                z_prior=None, num_split_h=4, num_split_w=4,
+                z_prior=1.5 if args.floor_ref else None,
+                num_split_h=4, num_split_w=4,
             )
         trans_grid = generate_trans_points(xyz, init_dict)
         rot_grid = generate_rot_points(init_dict)
@@ -243,9 +252,17 @@ def main(argv=None) -> dict:
                 )
 
         for qi in range(args.queries):
-            gt_t, gt_ypr = pose_outside_occluders(
-                rng, occ, size, yaw_only=not args.full_rot
-            )
+            if args.floor_ref:
+                from piccolo_tpu.testing import scene_pose
+
+                gt_t, gt_ypr = scene_pose(
+                    scene, rng, yaw_only=not args.full_rot,
+                    z_range=(1.3, 1.7),
+                )
+            else:
+                gt_t, gt_ypr = pose_outside_occluders(
+                    rng, occ, size, yaw_only=not args.full_rot
+                )
             if scene is not None:
                 # dense camera-like capture: ray-cast + uint8 quantization
                 u8 = (
@@ -352,6 +369,7 @@ def main(argv=None) -> dict:
         oracle=args.oracle,
         perturb=args.perturb,
         match_color=bool(args.match_color),
+        floor_ref=bool(args.floor_ref),
         full_rot=bool(args.full_rot),
         descent_table=args.descent_table,
         sharpen=bool(args.sharpen),

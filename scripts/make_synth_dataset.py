@@ -32,7 +32,15 @@ from scipy.spatial.transform import Rotation  # noqa: E402
 
 from piccolo_tpu.harness.imaging import imwrite_rgb  # noqa: E402
 from piccolo_tpu.ops.rotation import rot_from_ypr  # noqa: E402
-from piccolo_tpu.testing import make_room, random_pose_inside, render_at  # noqa: E402
+from piccolo_tpu.testing import (  # noqa: E402
+    make_room,
+    make_scene,
+    random_pose_inside,
+    raycast_pano,
+    render_at,
+    scene_cloud,
+    scene_pose,
+)
 
 _FLIP_Z = np.array([[-1.0, 0, 0], [0, -1.0, 0], [0, 0, 1.0]])
 
@@ -60,12 +68,44 @@ def _write_cloud(path: str, xyz: np.ndarray, rgb: np.ndarray) -> None:
     np.savetxt(path, cols, fmt="%.6f %.6f %.6f %d %d %d")
 
 
-def make_stanford(root, rooms, queries, points, height, rng):
+def _make_room_data(rng, size, points, oracle, floor_at_zero=False):
+    """Cloud + a renderer closure, for either oracle.
+
+    splat: z-buffer the cloud itself (render_at).  raycast: dense
+    camera-like panoramas ray-cast against the same textured surfaces
+    (testing.raycast_pano) — lets the CLI and the reference run with their
+    color machinery (match_color/sharpen_color) behaving as on real
+    captures.
+    """
+    if oracle == "raycast":
+        scene = make_scene(rng, size=size, n_occluders=2, texture="checker",
+                           floor_at_zero=floor_at_zero)
+        xyz, rgb = scene_cloud(scene, rng, points)
+
+        def render(t, ypr, resolution):
+            return raycast_pano(scene, t, ypr, resolution)
+
+        def pose(yaw_only=True, z_range=None):
+            return scene_pose(scene, rng, yaw_only=yaw_only, z_range=z_range)
+
+        return xyz, rgb, render, pose
+    xyz, rgb = make_room(rng, n_per_wall=points // 6, size=size,
+                         texture="checker")
+
+    def render(t, ypr, resolution):
+        return np.asarray(render_at(xyz, rgb, t, ypr, resolution))
+
+    def pose(yaw_only=True, z_range=None):
+        return random_pose_inside(rng, size, yaw_only=yaw_only)
+
+    return xyz, rgb, render, pose
+
+
+def make_stanford(root, rooms, queries, points, height, rng, oracle="splat"):
     area = 1
     for ri in range(rooms):
         size = _ROOM_SIZES[ri % len(_ROOM_SIZES)]
-        xyz, rgb = make_room(rng, n_per_wall=points // 6, size=size,
-                             texture="checker")
+        xyz, rgb, render, sample_pose = _make_room_data(rng, size, points, oracle)
         room_type, room_no = "office", str(ri + 1)
         _write_cloud(
             os.path.join(root, "stanford", "pcd_not_aligned", f"area_{area}",
@@ -73,8 +113,8 @@ def make_stanford(root, rooms, queries, points, height, rng):
             xyz, rgb,
         )
         for qi in range(queries):
-            t, ypr = random_pose_inside(rng, size)
-            img = np.asarray(render_at(xyz, rgb, t, ypr, (height, 2 * height)))
+            t, ypr = sample_pose()
+            img = render(t, ypr, (height, 2 * height))
             cam_id = f"{ri:02d}{qi:02d}synth"
             img_name = (
                 f"camera_{cam_id}_{room_type}_{room_no}"
@@ -100,11 +140,14 @@ def make_stanford(root, rooms, queries, points, height, rng):
 
 
 def make_omniscenes(root, rooms, queries, points, height, rng,
-                    split="extreme"):
+                    split="extreme", oracle="splat"):
     for ri in range(rooms):
         size = _ROOM_SIZES[ri % len(_ROOM_SIZES)]
-        xyz, rgb = make_room(rng, n_per_wall=points // 6, size=size,
-                             texture="checker")
+        # raycast omniscenes rooms are floor-referenced (floor at z=0) so
+        # the shipped z_prior = 1.5 camera-height prior applies unmodified
+        xyz, rgb, render, sample_pose = _make_room_data(
+            rng, size, points, oracle, floor_at_zero=True
+        )
         room_type, room_no = "pyebang", str(ri + 1)
         _write_cloud(
             os.path.join(root, "omniscenes", "pcd", f"{room_type}_{room_no}.txt"),
@@ -112,8 +155,8 @@ def make_omniscenes(root, rooms, queries, points, height, rng,
         )
         video = f"handheld_{room_type}_{room_no}_scene_1"
         for qi in range(queries):
-            t, ypr = random_pose_inside(rng, size)
-            img = np.asarray(render_at(xyz, rgb, t, ypr, (height, 2 * height)))
+            t, ypr = sample_pose(z_range=(1.3, 1.7) if oracle == "raycast" else None)
+            img = render(t, ypr, (height, 2 * height))
             pano = os.path.join(root, "omniscenes", f"{split}_pano", video,
                                 f"{qi:06d}.jpg")
             os.makedirs(os.path.dirname(pano), exist_ok=True)
@@ -135,15 +178,20 @@ def main(argv=None):
     ap.add_argument("--height", type=int, default=512)
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--datasets", default="stanford,omniscenes")
+    ap.add_argument("--oracle", default="splat", choices=["splat", "raycast"],
+                    help="'raycast' writes DENSE camera-like panoramas "
+                         "(cluttered rooms, geometric occlusion) instead "
+                         "of cloud splats — color preprocessing paths "
+                         "behave as on real captures")
     args = ap.parse_args(argv)
 
     rng = np.random.default_rng(args.seed)
     if "stanford" in args.datasets:
         make_stanford(args.root, args.rooms, args.queries, args.points,
-                      args.height, rng)
+                      args.height, rng, oracle=args.oracle)
     if "omniscenes" in args.datasets:
         make_omniscenes(args.root, args.rooms, args.queries, args.points,
-                        args.height, rng)
+                        args.height, rng, oracle=args.oracle)
     print(f"synthetic dataset written to {args.root}")
 
 

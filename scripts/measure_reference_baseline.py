@@ -133,8 +133,20 @@ def main() -> None:
     ap.add_argument(
         "--dataset", default="stanford", choices=sorted(_DATASETS)
     )
+    ap.add_argument(
+        "--raycast-data", action="store_true",
+        help="the dataset was generated with --oracle raycast (dense "
+             "camera-like panoramas, floor-referenced omniscenes rooms): "
+             "drop both synthetic-workload exceptions and run the "
+             "reference's SHIPPED omniscenes color/prior settings "
+             "(match_color = True, z_prior = 1.5)",
+    )
     args = ap.parse_args()
     csv_name, config_body, t_col, e_col = _DATASETS[args.dataset]
+    if args.raycast_data and args.dataset == "omniscenes":
+        config_body = config_body.replace(
+            "match_color = False", "match_color = True"
+        ).replace("z_prior = None", "z_prior = 1.5")
 
     os.makedirs(args.workdir, exist_ok=True)
     stubs = os.path.join(args.workdir, "stubs")
