@@ -102,6 +102,45 @@ def test_cli_omniscenes_end_to_end(synth_root, tmp_path):
         assert float(r[6]) < 0.5, rows
 
 
+@pytest.fixture(scope="module")
+def raycast_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("raycast_data"))
+    from scripts.make_synth_dataset import main as gen
+
+    gen([
+        "--root", root, "--rooms", "1", "--queries", "2",
+        "--points", "12000", "--height", "128", "--oracle", "raycast",
+    ])
+    return root
+
+
+def test_cli_on_raycast_captures(raycast_root, tmp_path):
+    """The CLI on dense camera-like panoramas, with the real-capture
+    OmniScenes settings the splat oracle could not support: match_color on
+    and the shipped z_prior=1.5 (floor-referenced rooms)."""
+    from piccolo_tpu.main import main
+
+    cfg = _write_cfg(str(tmp_path / "cfg.ini"), "Stanford2D-3D-S", raycast_root)
+    log = str(tmp_path / "log_rc_st")
+    acc = main(["--config", cfg, "--log", log, "--no-tensorboard"])
+    assert acc == 1.0
+
+    cfg = _write_cfg(
+        str(tmp_path / "cfg_om.ini"), "OmniScenes", raycast_root,
+        extra="match_color = True\ninit_downsample_h = 2\n"
+              "init_downsample_w = 2\n",
+    )
+    # the shipped camera-height prior works on floor-referenced rooms
+    cfg_text = open(cfg).read().replace("z_prior = None", "z_prior = 1.5")
+    open(cfg, "w").write(cfg_text)
+    log = str(tmp_path / "log_rc_om")
+    main(["--config", cfg, "--log", log, "--no-tensorboard"])
+    _, rows = _read_results(os.path.join(log, "omniscenes_results.csv"))
+    assert len(rows) == 2
+    for r in rows:
+        assert float(r[6]) < 0.5, rows
+
+
 def test_cli_criterion_loss(synth_root, tmp_path):
     """criterion=loss (working extension) end-to-end: fused path, top
     num_input by stage-1 loss, no histogram trim — still recovers poses."""
