@@ -26,5 +26,9 @@ __version__ = "0.1.0"
 
 from .loss import Pose, sampling_loss
 from .solver import SolveResult, descend, solve
+from .tracking import Tracker, TrackResult, track_step
 
-__all__ = ["Pose", "sampling_loss", "SolveResult", "descend", "solve"]
+__all__ = [
+    "Pose", "sampling_loss", "SolveResult", "descend", "solve",
+    "Tracker", "TrackResult", "track_step",
+]

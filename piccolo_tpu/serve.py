@@ -276,7 +276,8 @@ class LocalizeService:
 
     # -- query -------------------------------------------------------------
 
-    def localize(self, image: np.ndarray, room: Optional[str] = None) -> Dict:
+    def localize(self, image: np.ndarray, room: Optional[str] = None,
+                 prev_pose=None, recover_above: Optional[float] = None) -> Dict:
         """Localize one panorama against a loaded room.
 
         ``image``: (H, W, 3) RGB, uint8 or float in [0, 1] (floats are
@@ -297,11 +298,27 @@ class LocalizeService:
         (full in-service latency incl. all preprocessing and the result
         fetch) and ``device_index`` (which query-parallel chip answered;
         0 on the single-device default).
+
+        ``prev_pose`` switches the request to the TRACKING path (video
+        extension, no reference counterpart — tracking.py): a warm-started
+        single-candidate descent from that pose replaces the full
+        init+multi-start pipeline (~10-40x cheaper per frame).  Accepts
+        ``{"t": [x, y, z], "ypr": [yaw, pitch, roll]}`` (the fields a
+        previous reply provides).  Stateless by design: the CLIENT carries
+        the pose between frames.  ``recover_above``: when given and the
+        tracked loss exceeds it (tracking lost), the SAME request falls
+        back to the full pipeline and the reply sets ``recovered`` —
+        pick it from a tracked sequence's typical loss (e.g. 3x the
+        running median).  ``room="auto"`` needs the full pipeline and
+        rejects ``prev_pose``.
         """
-        return self._localize_checked(image, room)
+        return self._localize_checked(image, room, prev_pose=prev_pose,
+                                      recover_above=recover_above)
 
     def _localize_checked(self, image: np.ndarray, room: Optional[str],
-                          device_index: Optional[int] = None) -> Dict:
+                          device_index: Optional[int] = None,
+                          prev_pose=None,
+                          recover_above: Optional[float] = None) -> Dict:
         if not self._rooms:
             raise RuntimeError("no room loaded — call load_room[_pcd] first")
         img = np.asarray(image)
@@ -319,7 +336,9 @@ class LocalizeService:
                 )
             self._pending += 1
         try:
-            return self._localize_admitted(img, room, device_index)
+            return self._localize_admitted(img, room, device_index,
+                                           prev_pose=prev_pose,
+                                           recover_above=recover_above)
         finally:
             with self._pending_lock:
                 self._pending -= 1
@@ -367,6 +386,53 @@ class LocalizeService:
             t=packed[:3], rot=packed[3:12].reshape(3, 3),
             loss=float(packed[12]), winner=int(packed[13]),
             cand_loss=packed[14:], time_s=elapsed,
+        )
+
+    @staticmethod
+    def _parse_prev_pose(prev_pose):
+        if isinstance(prev_pose, dict):
+            t, ypr = prev_pose.get("t"), prev_pose.get("ypr")
+        else:
+            t, ypr = prev_pose  # (t, ypr) pair
+        t = np.asarray(t, np.float32).reshape(3)
+        ypr = np.asarray(ypr, np.float32).reshape(3)
+        if not (np.isfinite(t).all() and np.isfinite(ypr).all()):
+            raise ValueError(f"non-finite prev_pose: t={t} ypr={ypr}")
+        return t, ypr
+
+    def _track_room(self, prep, cache, device_index: int, prev_pose) -> Dict:
+        """Warm-started single-candidate descent (tracking.track_step)
+        instead of the full pipeline; same lock/fetch discipline as
+        _compute_room."""
+        import jax.numpy as jnp
+
+        from .tracking import track_step
+
+        _, img_main, rgb_used, prep_timed = prep
+        t_prev, ypr_prev = self._parse_prev_pose(prev_pose)
+        with self._compute_locks[device_index]:
+            t0 = time.time()
+            res = track_step(
+                jnp.asarray(img_main), cache["xyz"], rgb_used,
+                t_prev, ypr_prev,
+                jnp.asarray(cache["lo"]), jnp.asarray(cache["hi"]),
+                cache["mask"],
+                num_iter=cfg_get(self.cfg, "track_num_iter", 30),
+                lr=cfg_get(self.cfg, "track_lr", 0.03),
+                patience=cfg_get(self.cfg, "track_patience", 3),
+                factor=cfg_get(self.cfg, "track_factor", 0.5),
+                table_dtype=cfg_get(self.cfg, "descent_table", "auto"),
+                wrap=cfg_get(self.cfg, "seam_wrap", False),
+            )
+            packed = np.asarray(jnp.concatenate([
+                res.t[0], res.ypr[0], res.rot[0].reshape(-1),
+                res.loss[0:1],
+            ]))
+            elapsed = time.time() - t0 + prep_timed
+        return dict(
+            t=packed[:3], rot=packed[6:15].reshape(3, 3),
+            loss=float(packed[15]), winner=0, cand_loss=packed[15:16],
+            ypr=packed[3:6], time_s=elapsed, tracked=True,
         )
 
     def _select_room(self, img: np.ndarray, device_index: int):
@@ -428,7 +494,9 @@ class LocalizeService:
         return best[0], best[1], scores
 
     def _localize_admitted(self, img: np.ndarray, room: Optional[str],
-                           device_index: Optional[int] = None) -> Dict:
+                           device_index: Optional[int] = None,
+                           prev_pose=None,
+                           recover_above: Optional[float] = None) -> Dict:
         t_start = time.time()
         if device_index is None:
             # round-robin chip assignment (load_room's warm path pins it
@@ -438,6 +506,11 @@ class LocalizeService:
                 self._rr += 1
         room_scores = None
         if room == "auto":
+            if prev_pose is not None:
+                raise ValueError(
+                    'room="auto" runs the full pipeline per room and '
+                    "cannot take prev_pose — name the room when tracking"
+                )
             room, fields, room_scores = self._select_room(img, device_index)
         else:
             # room resolution under the registry lock; the (host-side,
@@ -453,9 +526,26 @@ class LocalizeService:
                     )
                 self._rooms.move_to_end(room)
                 cache = self._rooms[room][device_index]
-            fields = self._compute_room(
-                self._prepare(img, cache), cache, device_index
-            )
+            prep = self._prepare(img, cache)
+            if prev_pose is not None:
+                fields = self._track_room(prep, cache, device_index,
+                                          prev_pose)
+                if recover_above is not None and not (
+                    np.isfinite(fields["loss"])
+                    and fields["loss"] <= float(recover_above)
+                ):
+                    # tracking lost (occlusion/teleport/blur): the SAME
+                    # request falls back to the full pipeline
+                    from .tracking import ypr_from_rot
+
+                    fields = dict(
+                        self._compute_room(prep, cache, device_index),
+                        tracked=True, recovered=True,
+                    )
+                    # the client continues tracking from this pose
+                    fields["ypr"] = ypr_from_rot(fields["rot"])
+            else:
+                fields = self._compute_room(prep, cache, device_index)
         out = dict(
             **fields, total_s=time.time() - t_start, room=room,
             device_index=device_index,
@@ -585,6 +675,8 @@ def serve_forever(service: LocalizeService, host: str = "127.0.0.1",
                     out = service.localize(
                         _decode_image(payload, data_root, paths_allowed),
                         room=payload.get("room"),
+                        prev_pose=payload.get("prev_pose"),
+                        recover_above=payload.get("recover_above"),
                     )
                     reply = {
                         "t": out["t"].tolist(),
@@ -595,6 +687,11 @@ def serve_forever(service: LocalizeService, host: str = "127.0.0.1",
                         "room": out["room"],
                         "device_index": out["device_index"],
                     }
+                    if out.get("tracked"):
+                        reply["tracked"] = True
+                        reply["recovered"] = bool(out.get("recovered"))
+                        if "ypr" in out:
+                            reply["ypr"] = np.asarray(out["ypr"]).tolist()
                     if "room_scores" in out:  # room="auto" requests
                         # non-finite losses (all-masked rooms) would make
                         # json.dumps emit bare Infinity/NaN — not RFC 8259

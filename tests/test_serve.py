@@ -472,3 +472,67 @@ def test_load_room_rejects_reserved_auto_name(scene):
     svc = LocalizeService(**_CFG)
     with pytest.raises(ValueError, match="reserved"):
         svc.load_room(xyz, rgb, name="auto")
+
+
+def test_tracking_path(scene):
+    """prev_pose switches to the warm-descent track path; recover_above
+    falls back to the full pipeline in the same request."""
+    from piccolo_tpu.testing import render_at as _render
+
+    xyz, rgb, img, gt_t = scene
+    svc = LocalizeService(**_CFG)
+    svc.load_room(xyz, rgb, name="box")
+    # frame 0: full pipeline seeds the pose
+    out0 = svc.localize(img)
+    assert "tracked" not in out0
+    # frame 1: a nearby pose, tracked from frame 0's answer
+    gt1 = gt_t + np.float32([0.03, -0.02, 0.01])
+    ypr1 = np.float32([0.92, 0, 0])
+    img1 = np.asarray(_render(xyz, rgb, gt1, ypr1, (128, 256)))
+    from piccolo_tpu.tracking import ypr_from_rot
+
+    out1 = svc.localize(
+        img1, prev_pose={"t": out0["t"].tolist(),
+                         "ypr": ypr_from_rot(out0["rot"]).tolist()},
+    )
+    assert out1["tracked"] and not out1.get("recovered")
+    assert np.linalg.norm(out1["t"] - gt1) < 0.05
+    assert out1["cand_loss"].shape == (1,)
+    # teleported frame with a recovery threshold: full pipeline fallback
+    gt2 = np.float32([-1.6, 1.1, -0.3])
+    img2 = np.asarray(_render(xyz, rgb, gt2, np.float32([3.0, 0, 0]),
+                              (128, 256)))
+    out2 = svc.localize(
+        img2,
+        prev_pose={"t": out1["t"].tolist(), "ypr": out1["ypr"].tolist()},
+        recover_above=float(out1["loss"]) * 3.0,
+    )
+    assert out2["tracked"] and out2["recovered"]
+    assert np.linalg.norm(out2["t"] - gt2) < 0.2
+    assert "ypr" in out2  # the client can keep tracking from the recovery
+    # prev_pose is rejected for room="auto" and non-finite poses
+    with pytest.raises(ValueError, match="auto"):
+        svc.localize(img1, room="auto",
+                     prev_pose={"t": [0, 0, 0], "ypr": [0, 0, 0]})
+    with pytest.raises(ValueError, match="non-finite"):
+        svc.localize(img1, prev_pose={"t": [np.nan, 0, 0],
+                                      "ypr": [0, 0, 0]})
+
+
+def test_ypr_from_rot_roundtrip():
+    import jax.numpy as jnp
+
+    from piccolo_tpu.ops.rotation import rot_from_ypr
+    from piccolo_tpu.tracking import ypr_from_rot
+
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        ypr = np.float32([
+            rng.uniform(-np.pi, np.pi),
+            rng.uniform(-1.4, 1.4),
+            rng.uniform(-np.pi, np.pi),
+        ])
+        R = np.asarray(rot_from_ypr(jnp.asarray(ypr)))
+        got = ypr_from_rot(R)
+        R2 = np.asarray(rot_from_ypr(jnp.asarray(got)))
+        np.testing.assert_allclose(R2, R, atol=1e-5)

@@ -1,0 +1,108 @@
+"""Tracking mode: warm-started per-frame descent with divergence recovery."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from piccolo_tpu.ops.quantile import cloud_bounds
+from piccolo_tpu.testing import make_scene, raycast_pano, scene_cloud
+from piccolo_tpu.tracking import Tracker, track_step
+
+
+@pytest.fixture(scope="module")
+def room():
+    rng = np.random.default_rng(5)
+    scene = make_scene(rng, size=(6.0, 4.0, 3.0), n_occluders=1,
+                       texture="checker")
+    xyz, rgb = scene_cloud(scene, rng, 9000)
+    lo, hi = cloud_bounds(jnp.asarray(xyz), 0.05)
+    return scene, jnp.asarray(xyz), jnp.asarray(rgb), lo, hi
+
+
+def _trajectory(n, start=(-1.0, -0.8, 0.1), yaw0=0.6):
+    """A smooth handheld-like path: ~3 cm + ~1.2 deg per frame."""
+    ts, yprs = [], []
+    for i in range(n):
+        ts.append(np.array([
+            start[0] + 0.03 * i,
+            start[1] + 0.02 * np.sin(i / 3.0),
+            start[2] + 0.01 * np.cos(i / 4.0),
+        ], np.float32))
+        yprs.append(np.array([yaw0 + 0.02 * i, 0.0, 0.0], np.float32))
+    return ts, yprs
+
+
+def test_track_step_refines_from_nearby_pose(room):
+    scene, xyz, rgb, lo, hi = room
+    gt_t = np.array([0.3, -0.5, 0.2], np.float32)
+    gt_ypr = np.array([1.0, 0.0, 0.0], np.float32)
+    img = jnp.asarray(raycast_pano(scene, gt_t, gt_ypr, (128, 256)))
+    res = track_step(
+        img, xyz, rgb,
+        gt_t + np.array([0.04, -0.03, 0.02], np.float32),
+        gt_ypr + np.array([0.03, 0.0, 0.0], np.float32),
+        lo, hi,
+    )
+    assert float(jnp.linalg.norm(res.t[0] - jnp.asarray(gt_t))) < 0.02
+
+
+def test_tracker_follows_trajectory(room):
+    scene, xyz, rgb, lo, hi = room
+    ts, yprs = _trajectory(8)
+    tracker = Tracker(xyz, rgb, lo, hi, ts[0], yprs[0], window=4)
+    errs = []
+    for t_gt, ypr_gt in zip(ts[1:], yprs[1:]):
+        img = jnp.asarray(raycast_pano(scene, t_gt, ypr_gt, (128, 256)))
+        out = tracker.update(img)
+        assert not out.recovered and not out.lost
+        errs.append(float(np.linalg.norm(out.t - t_gt)))
+    assert max(errs) < 0.03, errs
+
+
+def test_tracker_recovery_on_teleport(room):
+    scene, xyz, rgb, lo, hi = room
+    ts, yprs = _trajectory(7)
+    far_t = np.array([1.8, 1.2, -0.4], np.float32)
+    far_ypr = np.array([3.5, 0.0, 0.0], np.float32)
+
+    calls = []
+
+    def recover(img):
+        calls.append(1)
+        return far_t, far_ypr  # stand-in for a full localize_query
+
+    tracker = Tracker(xyz, rgb, lo, hi, ts[0], yprs[0], window=4,
+                      recover=recover)
+    for t_gt, ypr_gt in zip(ts[1:], yprs[1:]):
+        img = jnp.asarray(raycast_pano(scene, t_gt, ypr_gt, (128, 256)))
+        out = tracker.update(img)
+        assert not out.recovered
+    # teleport: across the room with a big rotation — the warm descent
+    # cannot follow, the loss blows past ratio x rolling median
+    img = jnp.asarray(raycast_pano(scene, far_t, far_ypr, (128, 256)))
+    out = tracker.update(img)
+    assert out.recovered and calls == [1]
+    assert float(np.linalg.norm(out.t - far_t)) < 0.03
+    # and tracking continues from the recovered pose
+    img = jnp.asarray(
+        raycast_pano(scene, far_t + np.float32([0.03, 0, 0]), far_ypr,
+                     (128, 256))
+    )
+    out = tracker.update(img)
+    assert not out.recovered and not out.lost
+    assert float(np.linalg.norm(out.t - (far_t + np.float32([0.03, 0, 0])))) < 0.03
+
+
+def test_tracker_flags_lost_without_recover(room):
+    scene, xyz, rgb, lo, hi = room
+    ts, yprs = _trajectory(7)
+    tracker = Tracker(xyz, rgb, lo, hi, ts[0], yprs[0], window=4)
+    for t_gt, ypr_gt in zip(ts[1:], yprs[1:]):
+        img = jnp.asarray(raycast_pano(scene, t_gt, ypr_gt, (128, 256)))
+        tracker.update(img)
+    img = jnp.asarray(
+        raycast_pano(scene, np.float32([1.8, 1.2, -0.4]),
+                     np.float32([3.5, 0, 0]), (128, 256))
+    )
+    out = tracker.update(img)
+    assert out.lost and not out.recovered
