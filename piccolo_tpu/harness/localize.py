@@ -1259,6 +1259,35 @@ def localize_omniscenes(cfg, writer=None, log_dir: str = "./log") -> float:
     prefetch_on = cfg_get(cfg, "host_prefetch", True)
     prep_cache = {"pcd": None}
 
+    # `tracking = True` (video extension, no reference counterpart —
+    # tracking.py): frames after each video's first run ONE warm-started
+    # descent from the previous frame's pose instead of the full
+    # init+multi-start pipeline; divergence (loss above
+    # track_recover_ratio x the rolling median) falls back to the full
+    # pipeline for that frame and re-seeds.
+    tracking_on = cfg_get(cfg, "tracking", False)
+    track_prev: Dict = {"video": None}
+
+    def _track_frame(img_main, cache, rgb_used):
+        from ..tracking import track_step
+
+        res = track_step(
+            jnp.asarray(img_main), cache["xyz"], rgb_used,
+            track_prev["t"], track_prev["ypr"],
+            jnp.asarray(cache["lo"]), jnp.asarray(cache["hi"]),
+            cache["mask"],
+            num_iter=cfg_get(cfg, "track_num_iter", 30),
+            lr=cfg_get(cfg, "track_lr", 0.03),
+            patience=cfg_get(cfg, "track_patience", 3),
+            factor=cfg_get(cfg, "track_factor", 0.5),
+            table_dtype=cfg_get(cfg, "descent_table", "auto"),
+            wrap=cfg_get(cfg, "seam_wrap", False),
+        )
+        flat = np.asarray(jnp.concatenate([  # ONE device fetch
+            res.t[0], res.ypr[0], res.rot[0].reshape(-1), res.loss[0:1]
+        ]))
+        return flat[0:3], flat[3:6], flat[6:15].reshape(3, 3), float(flat[15])
+
     def _prepare(filename):
         video_name = filename.split(os.sep)[-2]
         img_seq = os.path.basename(filename)
@@ -1331,35 +1360,70 @@ def localize_omniscenes(cfg, writer=None, log_dir: str = "./log") -> float:
 
                 start = time.time()
                 with maybe_trace(cfg_get(cfg, "profile_dir")):
-                    if fused:
-                        fres = _run_fused(
-                            img_init, img_main, cache, rgb_used, cfg, init_dict,
-                            cache["grids"], mesh,
+                    tracked = recovered = False
+                    if tracking_on and track_prev["video"] == video_name:
+                        t, ypr_next, R, loss_k = _track_frame(
+                            img_main, cache, rgb_used
                         )
-                        k = int(fres.winner)
-                        t = np.asarray(fres.t)
-                        R = np.asarray(fres.rot)
-                        loss_k = float(fres.loss)
-                        trans0 = np.asarray(fres.start_t)
-                        rot0 = np.asarray(fres.start_ypr)
-                    else:
-                        trans0, rot0 = make_input(
-                            jnp.asarray(img_init), cache["xyz"], rgb_used,
-                            cfg_get(cfg, "num_input", 6), init_dict,
-                            cfg_get(cfg, "criterion", "loss_histogram"),
-                            cfg_get(cfg, "num_intermediate", 20),
-                            point_mask=cache["mask"],
-                            wrap=cfg_get(cfg, "seam_wrap", False),
+                        losses = track_prev["losses"]
+                        window = int(cfg_get(cfg, "track_window", 8))
+                        diverged = not np.isfinite(loss_k) or (
+                            len(losses) >= window
+                            and loss_k > cfg_get(
+                                cfg, "track_recover_ratio", 3.0
+                            ) * float(np.median(losses[-window:]))
                         )
-                        res, traj = _solve_query(
-                            jnp.asarray(img_main), cache["xyz"], rgb_used,
-                            cache["mask"], cache["lo"], cache["hi"],
-                            trans0, rot0, cfg, want_traj=False,
+                        if not diverged:
+                            tracked = True
+                            k = 0
+                            trans0 = track_prev["t"][None]
+                            rot0 = track_prev["ypr"][None]
+                            losses.append(loss_k)
+                            del losses[:-64]  # bound long videos
+                        else:
+                            recovered = True
+                    if not tracked:
+                        if fused:
+                            fres = _run_fused(
+                                img_init, img_main, cache, rgb_used, cfg, init_dict,
+                                cache["grids"], mesh,
+                            )
+                            k = int(fres.winner)
+                            t = np.asarray(fres.t)
+                            R = np.asarray(fres.rot)
+                            loss_k = float(fres.loss)
+                            trans0 = np.asarray(fres.start_t)
+                            rot0 = np.asarray(fres.start_ypr)
+                            if tracking_on:
+                                ypr_next = np.asarray(fres.cand_ypr[k])
+                        else:
+                            trans0, rot0 = make_input(
+                                jnp.asarray(img_init), cache["xyz"], rgb_used,
+                                cfg_get(cfg, "num_input", 6), init_dict,
+                                cfg_get(cfg, "criterion", "loss_histogram"),
+                                cfg_get(cfg, "num_intermediate", 20),
+                                point_mask=cache["mask"],
+                                wrap=cfg_get(cfg, "seam_wrap", False),
+                            )
+                            res, traj = _solve_query(
+                                jnp.asarray(img_main), cache["xyz"], rgb_used,
+                                cache["mask"], cache["lo"], cache["hi"],
+                                trans0, rot0, cfg, want_traj=False,
+                            )
+                            k = int(jnp.argmin(res.loss))
+                            t = np.asarray(res.t[k])
+                            R = np.asarray(res.rot[k])
+                            loss_k = float(res.loss[k])
+                            if tracking_on:
+                                ypr_next = np.asarray(res.ypr[k])
+                        if tracking_on:
+                            track_prev["losses"] = []  # fresh loss regime
+                    if tracking_on:
+                        track_prev.update(
+                            video=video_name,
+                            t=np.asarray(t, np.float32).reshape(3),
+                            ypr=np.asarray(ypr_next, np.float32).reshape(3),
                         )
-                        k = int(jnp.argmin(res.loss))
-                        t = np.asarray(res.t[k])
-                        R = np.asarray(res.rot[k])
-                        loss_k = float(res.loss[k])
 
                     if cfg_get(cfg, "save_starting_point", False):
                         for idx in range(trans0.shape[0]):
@@ -1391,6 +1455,10 @@ def localize_omniscenes(cfg, writer=None, log_dir: str = "./log") -> float:
                 print(f"\n{filename}")
                 print(f"min_index : {k}")
                 print(f"min loss : {loss_k}")
+                if tracking_on:
+                    mode = ("tracked" if tracked
+                            else "recovered" if recovered else "seed")
+                    print(f"tracking : {mode}")
                 print(f"translation error : {t_err}")
                 print(f"rotation error : {r_err}\n")
                 print(

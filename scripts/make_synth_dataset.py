@@ -154,8 +154,20 @@ def make_omniscenes(root, rooms, queries, points, height, rng,
             xyz, rgb,
         )
         video = f"handheld_{room_type}_{room_no}_scene_1"
+        t = ypr = None
         for qi in range(queries):
-            t, ypr = sample_pose(z_range=(1.3, 1.7) if oracle == "raycast" else None)
+            if oracle == "raycast" and t is not None:
+                # a VIDEO is a smooth handheld walk, not independent
+                # teleports: ~3 cm + ~1.2 deg per frame, height band kept
+                t = t + rng.normal(0, 0.02, 3).astype(np.float32)
+                t[2] = np.clip(t[2], 1.3, 1.7)
+                half_xy = np.array(size[:2], np.float32) / 2 - 0.4
+                t[:2] = np.clip(t[:2], -half_xy, half_xy)
+                ypr = ypr + np.float32([rng.normal(0.015, 0.01), 0, 0])
+            else:
+                t, ypr = sample_pose(
+                    z_range=(1.3, 1.7) if oracle == "raycast" else None
+                )
             img = render(t, ypr, (height, 2 * height))
             pano = os.path.join(root, "omniscenes", f"{split}_pano", video,
                                 f"{qi:06d}.jpg")

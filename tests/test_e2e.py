@@ -401,3 +401,45 @@ def test_cli_descent_prune_staged(synth_root, tmp_path):
     header, rows = _read_results(os.path.join(log, "stanford_results.csv"))
     assert len(rows) == 2
     assert acc == 1.0, rows
+
+
+def test_cli_omniscenes_tracking_mode(tmp_path):
+    """tracking=True: frames after each video's first run the warm descent
+    (seed -> tracked), same CSV schema, full accuracy on a raycast video."""
+    from piccolo_tpu.main import main
+    from scripts.make_synth_dataset import main as gen
+
+    root = str(tmp_path / "data")
+    gen([
+        "--root", root, "--rooms", "1", "--queries", "5",
+        "--points", "12000", "--height", "128", "--oracle", "raycast",
+        "--datasets", "omniscenes",
+    ])
+    cfg = _write_cfg(
+        str(tmp_path / "cfg.ini"), "OmniScenes", root,
+        extra="match_color = False\ninit_downsample_h = 2\n"
+              "init_downsample_w = 2\ntracking = True\n",
+    )
+    # raycast omniscenes rooms are floor-referenced: the seed frame's init
+    # needs the camera-height prior (the shipped z_prior = 1.5) and a
+    # slightly denser xy grid than the splat-test default
+    cfg_text = (
+        open(cfg).read()
+        .replace("z_prior = None", "z_prior = 1.5")
+        .replace("num_trans = 12", "num_trans = 24")
+    )
+    open(cfg, "w").write(cfg_text)
+    log = str(tmp_path / "log_track")
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        main(["--config", cfg, "--log", log, "--no-tensorboard"])
+    out = buf.getvalue()
+    assert "tracking : seed" in out
+    assert "tracking : tracked" in out or "tracking : recovered" in out
+    _, rows = _read_results(os.path.join(log, "omniscenes_results.csv"))
+    assert len(rows) == 5
+    for r in rows:
+        assert float(r[6]) < 0.5, rows
