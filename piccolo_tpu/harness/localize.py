@@ -270,6 +270,25 @@ def prepare_stanford_images(cfg, orig: np.ndarray, room: Dict):
     return img_init, img_main, rgb_used, prep_timed
 
 
+def synth_ablate(orig: np.ndarray, const=None, gamma=None, wb=None):
+    """The synthetic illumination ablations (reference localize.py:384-393)
+    on a uint8 image: brightness divisor, gamma curve, per-channel white-
+    balance gains (with the documented uint8-overflow fix: gains > 1
+    saturate at 255 instead of wrapping).  One implementation shared by
+    the harness prep and eval tooling (scripts/eval_synth.py)."""
+    if const is not None:
+        orig = (orig // const).astype(np.uint8)
+    if gamma is not None:
+        orig = (((orig / 255.0) ** gamma) * 255).astype(np.uint8)
+    if wb is not None:
+        scaled = orig.astype(np.float64)
+        scaled[..., 0] *= wb[0]
+        scaled[..., 1] *= wb[1]
+        scaled[..., 2] *= wb[2]
+        orig = np.clip(scaled, 0, 255).astype(np.uint8)
+    return orig
+
+
 def prepare_omniscenes_images(cfg, raw: np.ndarray, room: Dict):
     """Per-query OmniScenes image preprocessing (reference localize.py:
     380-410) — shared by the batch harness loop and serve.py.
@@ -287,16 +306,13 @@ def prepare_omniscenes_images(cfg, raw: np.ndarray, room: Dict):
     orig = resize(raw, (2048, 1024))  # localize.py:381
 
     # synthetic illumination ablations (localize.py:384-393)
-    if cfg_get(cfg, "synth_const") is not None:
-        orig = (orig // cfg.synth_const).astype(np.uint8)
-    if cfg_get(cfg, "synth_gamma") is not None:
-        orig = (((orig / 255.0) ** cfg.synth_gamma) * 255).astype(np.uint8)
-    if cfg_get(cfg, "synth_wb"):
-        scaled = orig.astype(np.float64)
-        scaled[..., 0] *= cfg.synth_r
-        scaled[..., 1] *= cfg.synth_g
-        scaled[..., 2] *= cfg.synth_b
-        orig = np.clip(scaled, 0, 255).astype(np.uint8)
+    orig = synth_ablate(
+        orig,
+        const=cfg_get(cfg, "synth_const"),
+        gamma=cfg_get(cfg, "synth_gamma"),
+        wb=((cfg.synth_r, cfg.synth_g, cfg.synth_b)
+            if cfg_get(cfg, "synth_wb") else None),
+    )
 
     rgb_used = room["rgb"]
     mod_img = orig.astype(np.float32) / 255.0
@@ -1267,26 +1283,26 @@ def localize_omniscenes(cfg, writer=None, log_dir: str = "./log") -> float:
     # pipeline for that frame and re-seeds.
     tracking_on = cfg_get(cfg, "tracking", False)
     track_prev: Dict = {"video": None}
+    if tracking_on:
+        from ..tracking import (
+            DivergenceGate,
+            track_kwargs,
+            track_step_fetched,
+        )
+
+        track_gate = DivergenceGate(
+            window=cfg_get(cfg, "track_window", 8),
+            ratio=cfg_get(cfg, "track_recover_ratio", 3.0),
+        )
+        track_kw = track_kwargs(cfg)
 
     def _track_frame(img_main, cache, rgb_used):
-        from ..tracking import track_step
-
-        res = track_step(
+        return track_step_fetched(
             jnp.asarray(img_main), cache["xyz"], rgb_used,
             track_prev["t"], track_prev["ypr"],
             jnp.asarray(cache["lo"]), jnp.asarray(cache["hi"]),
-            cache["mask"],
-            num_iter=cfg_get(cfg, "track_num_iter", 30),
-            lr=cfg_get(cfg, "track_lr", 0.03),
-            patience=cfg_get(cfg, "track_patience", 3),
-            factor=cfg_get(cfg, "track_factor", 0.5),
-            table_dtype=cfg_get(cfg, "descent_table", "auto"),
-            wrap=cfg_get(cfg, "seam_wrap", False),
+            cache["mask"], **track_kw,
         )
-        flat = np.asarray(jnp.concatenate([  # ONE device fetch
-            res.t[0], res.ypr[0], res.rot[0].reshape(-1), res.loss[0:1]
-        ]))
-        return flat[0:3], flat[3:6], flat[6:15].reshape(3, 3), float(flat[15])
 
     def _prepare(filename):
         video_name = filename.split(os.sep)[-2]
@@ -1365,21 +1381,12 @@ def localize_omniscenes(cfg, writer=None, log_dir: str = "./log") -> float:
                         t, ypr_next, R, loss_k = _track_frame(
                             img_main, cache, rgb_used
                         )
-                        losses = track_prev["losses"]
-                        window = int(cfg_get(cfg, "track_window", 8))
-                        diverged = not np.isfinite(loss_k) or (
-                            len(losses) >= window
-                            and loss_k > cfg_get(
-                                cfg, "track_recover_ratio", 3.0
-                            ) * float(np.median(losses[-window:]))
-                        )
-                        if not diverged:
+                        if not track_gate.diverged(loss_k):
                             tracked = True
                             k = 0
                             trans0 = track_prev["t"][None]
                             rot0 = track_prev["ypr"][None]
-                            losses.append(loss_k)
-                            del losses[:-64]  # bound long videos
+                            track_gate.accept(loss_k)
                         else:
                             recovered = True
                     if not tracked:
@@ -1417,7 +1424,7 @@ def localize_omniscenes(cfg, writer=None, log_dir: str = "./log") -> float:
                             if tracking_on:
                                 ypr_next = np.asarray(res.ypr[k])
                         if tracking_on:
-                            track_prev["losses"] = []  # fresh loss regime
+                            track_gate.reset()  # fresh loss regime
                     if tracking_on:
                         track_prev.update(
                             video=video_name,

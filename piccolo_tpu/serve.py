@@ -406,33 +406,23 @@ class LocalizeService:
         _compute_room."""
         import jax.numpy as jnp
 
-        from .tracking import track_step
+        from .tracking import track_kwargs, track_step_fetched
 
         _, img_main, rgb_used, prep_timed = prep
         t_prev, ypr_prev = self._parse_prev_pose(prev_pose)
         with self._compute_locks[device_index]:
             t0 = time.time()
-            res = track_step(
+            t, ypr, rot, loss = track_step_fetched(
                 jnp.asarray(img_main), cache["xyz"], rgb_used,
                 t_prev, ypr_prev,
                 jnp.asarray(cache["lo"]), jnp.asarray(cache["hi"]),
-                cache["mask"],
-                num_iter=cfg_get(self.cfg, "track_num_iter", 30),
-                lr=cfg_get(self.cfg, "track_lr", 0.03),
-                patience=cfg_get(self.cfg, "track_patience", 3),
-                factor=cfg_get(self.cfg, "track_factor", 0.5),
-                table_dtype=cfg_get(self.cfg, "descent_table", "auto"),
-                wrap=cfg_get(self.cfg, "seam_wrap", False),
+                cache["mask"], **track_kwargs(self.cfg),
             )
-            packed = np.asarray(jnp.concatenate([
-                res.t[0], res.ypr[0], res.rot[0].reshape(-1),
-                res.loss[0:1],
-            ]))
             elapsed = time.time() - t0 + prep_timed
         return dict(
-            t=packed[:3], rot=packed[6:15].reshape(3, 3),
-            loss=float(packed[15]), winner=0, cand_loss=packed[15:16],
-            ypr=packed[3:6], time_s=elapsed, tracked=True,
+            t=t, rot=rot, loss=loss, winner=0,
+            cand_loss=np.asarray([loss], np.float32),
+            ypr=ypr, time_s=elapsed, tracked=True,
         )
 
     def _select_room(self, img: np.ndarray, device_index: int):
@@ -681,7 +671,12 @@ def serve_forever(service: LocalizeService, host: str = "127.0.0.1",
                     reply = {
                         "t": out["t"].tolist(),
                         "rot": out["rot"].tolist(),
-                        "loss": out["loss"],
+                        # non-finite losses (all-masked/degenerate results,
+                        # reachable from client input on the tracking path)
+                        # would make json.dumps emit bare NaN/Infinity —
+                        # not RFC 8259 JSON; null them like room_scores
+                        "loss": (out["loss"]
+                                 if np.isfinite(out["loss"]) else None),
                         "winner": out["winner"],
                         "time_s": out["time_s"],
                         "room": out["room"],

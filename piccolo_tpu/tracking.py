@@ -34,7 +34,15 @@ import numpy as np
 
 from .solver import SolveResult, descend
 
-__all__ = ["TrackResult", "track_step", "Tracker", "ypr_from_rot"]
+__all__ = [
+    "TrackResult",
+    "track_step",
+    "track_step_fetched",
+    "track_kwargs",
+    "DivergenceGate",
+    "Tracker",
+    "ypr_from_rot",
+]
 
 
 def ypr_from_rot(rot: np.ndarray) -> np.ndarray:
@@ -103,6 +111,70 @@ def track_step(
     )
 
 
+def track_step_fetched(
+    img, xyz, rgb, prev_t, prev_ypr, lo, hi, point_mask=None, **kw
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, float]:
+    """:func:`track_step` + result marshalling through ONE device fetch.
+
+    Each fetch costs ~25 ms on a remote-tunnel frontend, so fetching the
+    four result arrays separately would dominate the 30-iteration descent
+    (measured 126 -> 38 ms/frame).  Returns ``(t (3,), ypr (3,),
+    rot (3, 3), loss)`` as host arrays — the one unpacking of the packed
+    layout, shared by Tracker, the serving track path, and the CLI loop.
+    """
+    res = track_step(img, xyz, rgb, prev_t, prev_ypr, lo, hi, point_mask,
+                     **kw)
+    flat = np.asarray(jnp.concatenate([
+        res.t[0], res.ypr[0], res.rot[0].ravel(), res.loss[0:1]
+    ]))
+    return flat[0:3], flat[3:6], flat[6:15].reshape(3, 3), float(flat[15])
+
+
+def track_kwargs(cfg) -> dict:
+    """The per-frame descent budget from config keys (one resolution point
+    for the CLI loop and serving: track_num_iter/lr/patience/factor +
+    descent_table/seam_wrap)."""
+    from .config import cfg_get
+
+    return dict(
+        num_iter=cfg_get(cfg, "track_num_iter", 30),
+        lr=cfg_get(cfg, "track_lr", 0.03),
+        patience=cfg_get(cfg, "track_patience", 3),
+        factor=cfg_get(cfg, "track_factor", 0.5),
+        table_dtype=cfg_get(cfg, "descent_table", "auto"),
+        wrap=cfg_get(cfg, "seam_wrap", False),
+    )
+
+
+class DivergenceGate:
+    """Rolling-median divergence policy, shared by Tracker and the CLI loop.
+
+    A frame diverges when its loss is non-finite, or when ``window``
+    losses have been accepted and the new loss exceeds ``ratio`` x their
+    rolling median.  The sampling loss is scene-scaled, so the threshold
+    is relative, never absolute.  Non-finite losses are never accepted
+    into the window (one NaN would poison every later median — NaN
+    comparisons are False, silently disabling recovery forever).
+    """
+
+    def __init__(self, window: int = 8, ratio: float = 3.0):
+        self._losses: deque = deque(maxlen=int(window))
+        self._ratio = float(ratio)
+
+    def diverged(self, loss: float) -> bool:
+        return not np.isfinite(loss) or (
+            len(self._losses) == self._losses.maxlen
+            and loss > self._ratio * float(np.median(self._losses))
+        )
+
+    def accept(self, loss: float) -> None:
+        if np.isfinite(loss):
+            self._losses.append(float(loss))
+
+    def reset(self) -> None:
+        self._losses.clear()
+
+
 class Tracker:
     """Sequential localizer over one room: warm descent + recovery.
 
@@ -149,8 +221,7 @@ class Tracker:
             np.asarray(init_ypr, np.float32).reshape(3),
         )
         self._recover = recover
-        self._ratio = float(recover_ratio)
-        self._losses: deque = deque(maxlen=window)
+        self._gate = DivergenceGate(window=window, ratio=recover_ratio)
         self._kw = dict(
             num_iter=num_iter, lr=lr, patience=patience, factor=factor,
             table_dtype=table_dtype, wrap=wrap,
@@ -163,29 +234,26 @@ class Tracker:
 
     def _descend(self, img) -> Tuple[np.ndarray, np.ndarray, np.ndarray, float]:
         xyz, rgb, mask = self._cloud
-        res = track_step(
+        return track_step_fetched(
             img, xyz, rgb, self._pose[0], self._pose[1],
             self._box[0], self._box[1], mask, **self._kw,
         )
-        # ONE device->host fetch: each fetch costs ~25 ms on a remote-tunnel
-        # frontend (serve.py uses the same marshalling), and per-frame fetch
-        # overhead would otherwise dominate the 30-iteration descent
-        flat = np.asarray(jnp.concatenate([
-            res.t[0], res.ypr[0], res.rot[0].ravel(), res.loss[0:1]
-        ]))
-        return flat[0:3], flat[3:6], flat[6:15].reshape(3, 3), float(flat[15])
 
     def update(self, img: jnp.ndarray) -> TrackResult:
         """Track one frame; returns the accepted pose for it."""
         t, ypr, rot, loss = self._descend(img)
-        diverged = (
-            len(self._losses) == self._losses.maxlen
-            and loss > self._ratio * float(np.median(self._losses))
-        )
         recovered = lost = False
-        if diverged:
+        if self._gate.diverged(loss):
             if self._recover is None:
-                lost = True  # keep the (suspect) warm result, flag it
+                lost = True
+                if not np.isfinite(loss):
+                    # a NaN/inf pose is unusable even as a "suspect" result
+                    # — hold the previous pose instead of poisoning the
+                    # next frame's warm start
+                    t, ypr = self._pose
+                    from .ops.rotation import rot_from_ypr
+
+                    rot = np.asarray(rot_from_ypr(jnp.asarray(ypr)))
             else:
                 rt, rypr = self._recover(img)
                 self._pose = (
@@ -193,11 +261,18 @@ class Tracker:
                     np.asarray(rypr, np.float32).reshape(3),
                 )
                 t, ypr, rot, loss = self._descend(img)
-                self._losses.clear()  # the loss regime may have shifted
+                if not np.isfinite(loss):
+                    # refinement from the fresh seed blew up: answer with
+                    # the recovery pose itself
+                    t, ypr = self._pose
+                    from .ops.rotation import rot_from_ypr
+
+                    rot = np.asarray(rot_from_ypr(jnp.asarray(ypr)))
+                self._gate.reset()  # the loss regime may have shifted
                 recovered = True
         self._pose = (t, ypr)
         if not lost:
-            self._losses.append(loss)
+            self._gate.accept(loss)
         return TrackResult(
             t=t, ypr=ypr, rot=rot, loss=loss, recovered=recovered, lost=lost
         )

@@ -265,22 +265,21 @@ def main(argv=None) -> dict:
                 )
             if scene is not None:
                 # dense camera-like capture: ray-cast + uint8 quantization
+                from piccolo_tpu.harness.localize import synth_ablate
+
                 u8 = (
                     raycast_pano(
                         scene, gt_t, gt_ypr, (args.height, 2 * args.height)
                     ) * 255
                 ).astype(np.uint8)
-                if args.perturb == "const":
-                    u8 = (u8 // args.perturb_val).astype(np.uint8)
-                elif args.perturb == "gamma":
-                    u8 = (((u8 / 255.0) ** args.perturb_val) * 255).astype(
-                        np.uint8
-                    )
-                elif args.perturb == "wb":
-                    scaled = u8.astype(np.float64)
-                    scaled[..., 0] *= 0.7
-                    scaled[..., 2] *= 1.3
-                    u8 = np.clip(scaled, 0, 255).astype(np.uint8)
+                u8 = synth_ablate(
+                    u8,
+                    const=(args.perturb_val if args.perturb == "const"
+                           else None),
+                    gamma=(args.perturb_val if args.perturb == "gamma"
+                           else None),
+                    wb=(0.7, 1.0, 1.3) if args.perturb == "wb" else None,
+                )
                 img_f = u8.astype(np.float32) / 255.0
                 if args.match_color:
                     from piccolo_tpu.color import color_match

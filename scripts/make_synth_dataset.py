@@ -88,7 +88,7 @@ def _make_room_data(rng, size, points, oracle, floor_at_zero=False):
         def pose(yaw_only=True, z_range=None):
             return scene_pose(scene, rng, yaw_only=yaw_only, z_range=z_range)
 
-        return xyz, rgb, render, pose
+        return xyz, rgb, render, pose, scene.occluders
     xyz, rgb = make_room(rng, n_per_wall=points // 6, size=size,
                          texture="checker")
 
@@ -98,14 +98,25 @@ def _make_room_data(rng, size, points, oracle, floor_at_zero=False):
     def pose(yaw_only=True, z_range=None):
         return random_pose_inside(rng, size, yaw_only=yaw_only)
 
-    return xyz, rgb, render, pose
+    return xyz, rgb, render, pose, np.zeros((0, 2, 3), np.float32)
+
+
+def _inside_any(t, occluders, clearance=0.15):
+    if not occluders.size:
+        return False
+    return bool(np.any(np.all(
+        (t >= occluders[:, 0] - clearance) & (t <= occluders[:, 1] + clearance),
+        axis=1,
+    )))
 
 
 def make_stanford(root, rooms, queries, points, height, rng, oracle="splat"):
     area = 1
     for ri in range(rooms):
         size = _ROOM_SIZES[ri % len(_ROOM_SIZES)]
-        xyz, rgb, render, sample_pose = _make_room_data(rng, size, points, oracle)
+        xyz, rgb, render, sample_pose, _occ = _make_room_data(
+            rng, size, points, oracle
+        )
         room_type, room_no = "office", str(ri + 1)
         _write_cloud(
             os.path.join(root, "stanford", "pcd_not_aligned", f"area_{area}",
@@ -145,7 +156,7 @@ def make_omniscenes(root, rooms, queries, points, height, rng,
         size = _ROOM_SIZES[ri % len(_ROOM_SIZES)]
         # raycast omniscenes rooms are floor-referenced (floor at z=0) so
         # the shipped z_prior = 1.5 camera-height prior applies unmodified
-        xyz, rgb, render, sample_pose = _make_room_data(
+        xyz, rgb, render, sample_pose, occluders = _make_room_data(
             rng, size, points, oracle, floor_at_zero=True
         )
         room_type, room_no = "pyebang", str(ri + 1)
@@ -158,11 +169,17 @@ def make_omniscenes(root, rooms, queries, points, height, rng,
         for qi in range(queries):
             if oracle == "raycast" and t is not None:
                 # a VIDEO is a smooth handheld walk, not independent
-                # teleports: ~3 cm + ~1.2 deg per frame, height band kept
-                t = t + rng.normal(0, 0.02, 3).astype(np.float32)
-                t[2] = np.clip(t[2], 1.3, 1.7)
+                # teleports: ~3 cm + ~1.2 deg per frame, height band kept,
+                # steps into an occluder box resampled (the renderer
+                # assumes the camera is outside every box)
                 half_xy = np.array(size[:2], np.float32) / 2 - 0.4
-                t[:2] = np.clip(t[:2], -half_xy, half_xy)
+                for _ in range(50):
+                    cand = t + rng.normal(0, 0.02, 3).astype(np.float32)
+                    cand[2] = np.clip(cand[2], 1.3, 1.7)
+                    cand[:2] = np.clip(cand[:2], -half_xy, half_xy)
+                    if not _inside_any(cand, occluders):
+                        t = cand
+                        break
                 ypr = ypr + np.float32([rng.normal(0.015, 0.01), 0, 0])
             else:
                 t, ypr = sample_pose(

@@ -134,9 +134,10 @@ def main(argv=None):
             print(f"frame {i+1}: t_err={errs[-1]*1000:.1f} mm "
                   f"{dt*1000:.1f} ms recovered={out.recovered}", flush=True)
 
-    warm = times[2:]
     warm_no_rec = [t for i, t in enumerate(times[2:], 3)
                    if i not in recovered_at]
+    if not warm_no_rec:  # very short runs / every warm frame recovered
+        warm_no_rec = times
     summary = dict(
         frames=len(times),
         height=args.height,

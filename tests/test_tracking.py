@@ -106,3 +106,39 @@ def test_tracker_flags_lost_without_recover(room):
     )
     out = tracker.update(img)
     assert out.lost and not out.recovered
+
+
+def test_divergence_gate_nan_hardening():
+    from piccolo_tpu.tracking import DivergenceGate
+
+    gate = DivergenceGate(window=3, ratio=3.0)
+    # non-finite diverges immediately, even before the window fills
+    assert gate.diverged(float("nan"))
+    assert gate.diverged(float("inf"))
+    for v in (0.1, 0.11, 0.09):
+        assert not gate.diverged(v)
+        gate.accept(v)
+    # non-finite losses are never accepted into the window
+    gate.accept(float("nan"))
+    assert not gate.diverged(0.12)      # median still finite
+    assert gate.diverged(0.5)           # 5x the median trips
+    gate.reset()
+    assert not gate.diverged(99.0)      # fresh regime: window empty
+
+
+def test_tracker_nan_loss_keeps_previous_pose(room, monkeypatch):
+    import piccolo_tpu.tracking as T
+
+    scene, xyz, rgb, lo, hi = room
+    t0 = np.float32([0.1, 0.2, 0.0])
+    tracker = T.Tracker(xyz, rgb, lo, hi, t0, np.zeros(3, np.float32),
+                        window=2)
+    bad = (np.float32([np.nan] * 3), np.float32([np.nan] * 3),
+           np.full((3, 3), np.nan, np.float32), float("nan"))
+    monkeypatch.setattr(tracker, "_descend", lambda img: bad)
+    out = tracker.update(jnp.zeros((8, 16, 3)))
+    # lost, but the pose is NOT poisoned with NaN — the previous pose holds
+    assert out.lost and not out.recovered
+    np.testing.assert_array_equal(out.t, t0)
+    assert np.isfinite(out.rot).all()
+    np.testing.assert_array_equal(tracker.pose[0], t0)
