@@ -141,12 +141,35 @@ def main() -> None:
              "reference's SHIPPED omniscenes color/prior settings "
              "(match_color = True, z_prior = 1.5)",
     )
+    ap.add_argument(
+        "--shipped-budget", action="store_true",
+        help="stanford only: swap the bench-style yaw-only init for the "
+             "reference's SHIPPED configs/stanford.ini budget (3-D "
+             "translation grid, deduped 4x4x4 yaw/pitch/roll rotations, "
+             "top-50 intermediate)",
+    )
+    ap.add_argument(
+        "--no-sharpen", action="store_true",
+        help="stanford only: run with sharpen_color = False (pairs with "
+             "piccolo_tpu arms that skip the color_mod prep)",
+    )
     args = ap.parse_args()
     csv_name, config_body, t_col, e_col = _DATASETS[args.dataset]
     if args.raycast_data and args.dataset == "omniscenes":
         config_body = config_body.replace(
             "match_color = False", "match_color = True"
         ).replace("z_prior = None", "z_prior = 1.5")
+    if args.shipped_budget and args.dataset == "stanford":
+        config_body = config_body.replace(
+            "xy_only = True", "xy_only = False"
+        ).replace(
+            "yaw_only = True\nnum_yaw = 8",
+            "yaw_only = False\nnum_yaw = 4\nnum_pitch = 4\nnum_roll = 4",
+        ).replace("num_intermediate = 20", "num_intermediate = 50")
+    if args.no_sharpen and args.dataset == "stanford":
+        config_body = config_body.replace(
+            "sharpen_color = True", "sharpen_color = False"
+        )
 
     os.makedirs(args.workdir, exist_ok=True)
     stubs = os.path.join(args.workdir, "stubs")

@@ -38,13 +38,23 @@ from piccolo_tpu.tracking import Tracker  # noqa: E402
 from piccolo_tpu.utils import enable_compilation_cache  # noqa: E402
 
 
-def _trajectory(n, rng):
-    """~3 cm translation + ~1 deg yaw per frame, handheld-ish wobble."""
+def _trajectory(n, rng, bounds=(2.2, 1.4, 1.0)):
+    """~3 cm translation + ~1 deg yaw per frame, handheld-ish wobble,
+    bouncing off the walls so arbitrarily long walks stay in the room."""
     ts, yprs = [], []
     t = np.array([-1.2, -0.8, 0.1], np.float32)
+    v = np.float32([0.028, 0.0, 0.0])
     yaw = 0.4
+    b = np.asarray(bounds, np.float32)
     for i in range(n):
-        t = t + np.float32([0.028, 0.02 * np.sin(i / 3.0), 0.008 * np.cos(i / 4.0)])
+        step = v + np.float32([
+            0.0, 0.02 * np.sin(i / 3.0), 0.008 * np.cos(i / 4.0)
+        ])
+        t = t + step
+        for ax in range(3):  # reflect off the walls
+            if abs(t[ax]) > b[ax]:
+                t[ax] = np.sign(t[ax]) * (2 * b[ax] - abs(t[ax]))
+                v[ax] = -v[ax]
         yaw += 0.018 + 0.004 * float(rng.standard_normal())
         ts.append(t.copy())
         yprs.append(np.array([yaw, 0.0, 0.0], np.float32))
@@ -60,6 +70,9 @@ def main(argv=None):
     ap.add_argument("--teleport", action="store_true",
                     help="teleport the camera mid-sequence to exercise "
                          "divergence recovery")
+    ap.add_argument("--teleport-every", type=int, default=None,
+                    help="teleport every K frames (long-horizon stability "
+                         "arm: repeated losses + recoveries)")
     ap.add_argument("--seed", type=int, default=3)
     args = ap.parse_args(argv)
 
@@ -79,6 +92,16 @@ def main(argv=None):
         for i in range(k, args.frames):
             ts[i] = ts[i] + np.float32([1.8, 1.2, -0.2])
             yprs[i] = yprs[i] + np.float32([2.5, 0, 0])
+    if args.teleport_every:
+        # phase-alternating offset: smooth within each K-frame segment,
+        # a ~1.9 m jump + big rotation at every segment boundary
+        base = [t.copy() for t in _trajectory(args.frames, rng,
+                                              bounds=(1.0, 0.6, 0.6))[0]]
+        for i in range(args.frames):
+            phase = (i // args.teleport_every) % 2
+            off = np.float32([0.9, 0.6, 0.1]) * (1 if phase else -1)
+            ts[i] = base[i] * 0.5 + off
+            yprs[i] = yprs[i] + np.float32([2.5 * phase, 0, 0])
 
     # full-pipeline recovery/seed (the reference budget)
     d = default_init_dict(xy_only=True, num_trans=50, yaw_only=True,
@@ -118,10 +141,11 @@ def main(argv=None):
                       point_mask=mask_d, recover=full_localize,
                       num_iter=args.num_iter)
 
-    frames = [raycast_pano(scene, t, y, res) for t, y in zip(ts[1:], yprs[1:])]
     times, errs, recovered_at = [], [], []
-    for i, (f, t_gt) in enumerate(zip(frames, ts[1:])):
-        img = jnp.asarray(f)
+    for i, (t_gt, y_gt) in enumerate(zip(ts[1:], yprs[1:])):
+        # render lazily (outside the timed window): a long-horizon run
+        # would otherwise hold every frame in host RAM at once
+        img = jnp.asarray(raycast_pano(scene, t_gt, y_gt, res))
         np.asarray(img[0, 0])  # ensure transfer done before timing
         t0 = time.time()
         out = tracker.update(img)
@@ -143,13 +167,15 @@ def main(argv=None):
         height=args.height,
         num_iter=args.num_iter,
         teleport=bool(args.teleport),
+        teleport_every=args.teleport_every,
         median_ms=float(np.median(warm_no_rec) * 1000),
         p90_ms=float(np.quantile(warm_no_rec, 0.9) * 1000),
         fps=float(1.0 / np.median(warm_no_rec)),
         median_t_err_mm=float(np.median(errs) * 1000),
         max_t_err_mm=float(np.max(errs) * 1000),
-        recovered_at=recovered_at,
-        full_pipeline_s=[round(t, 2) for t in full_calls],
+        n_recoveries=len(recovered_at),
+        recovered_at=recovered_at[:40],
+        full_pipeline_s=[round(t, 2) for t in full_calls[:40]],
     )
     print(json.dumps(summary))
     return summary
