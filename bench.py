@@ -157,6 +157,17 @@ def main() -> None:
             xyz_d, rgb_d, mask_d, trans_grid[:n_trans], rot_grid,
             pano_hw[0] // init_step, pano_hw[1] // init_step,
         )
+    hist_plan = None
+    if use_fused and "--no-hist-planes" not in sys.argv:
+        from piccolo_tpu.init.refine import build_hist_plan
+
+        # stage-2 winner-bin planes: room-static like the slab plan (the
+        # trim's splat depends only on cloud + grid poses + point bins)
+        hist_plan = build_hist_plan(
+            xyz_d, rgb_d, trans_grid[:n_trans], rot_grid,
+            pano_hw[0] // init_step, pano_hw[1] // init_step,
+            point_mask=mask_d,
+        )
 
     if "--breakdown" in sys.argv:
         # Per-stage fetch-forced timing (the staged dispatch path), for
@@ -245,6 +256,7 @@ def main() -> None:
                 trans_valid, lo_d, hi_d, mask_d,
                 num_intermediate=num_intermediate, num_input=6, num_iter=100,
                 lr=0.1, patience=5, factor=0.8, masked=True, plan=plan,
+                hist_plan=hist_plan,
                 descent_table=descent_table, descent_prune=prune,
             )
             t = np.asarray(res.t)

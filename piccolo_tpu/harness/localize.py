@@ -876,6 +876,126 @@ def _maybe_slab_plan(cfg, cache, grids, img_init, sync: bool = False):
     return None
 
 
+def _maybe_hist_plan(cfg, cache, grids, img_init, sync: bool = False):
+    """Room-static stage-2 winner-bin planes (``hist_planes`` key).
+
+    The histogram trim's splat depends only on room-static inputs (cloud,
+    grid poses, point colour bins) — init.refine.HistPlan — so ``auto``
+    (default) precomputes every grid pair's winner-bin plane once per
+    (room, init-image size) on TPU and stage 2 becomes a plane gather +
+    block histograms, bit-identical scores.  Gated OFF when:
+
+      * per-query colour rebinds are on (sharpen_color / match_color bake
+        different point bins every query),
+      * ``criterion = loss`` (no stage 2),
+      * the planes (2 B/pixel/pair) plus the admitted slab plan would
+        exceed the HBM budget (``hist_planes_bytes_cap``, default = the
+        slab cap) — e.g. dense OmniScenes rooms where the compact slab
+        plan already takes ~7 GB,
+      * CPU auto mode (the win is TPU scatter-cost-shaped).
+
+    Same lifecycle shape as the slab plan: background build on first miss
+    (first queries keep the live splat), failure marking, per-room cache.
+    No disk persistence — planes rebuild in ~1 s/room-scale and moving GBs
+    through a remote-tunnel host is slower than rebuilding (the measured
+    slab-cache result, docs/ROUND3.md §2).
+    """
+    mode = cfg_get(cfg, "hist_planes", "auto")
+    if mode is False:
+        return None
+    if cfg_get(cfg, "criterion", "loss_histogram") != "loss_histogram":
+        return None
+    if cfg_get(cfg, "sharpen_color", False) or cfg_get(cfg, "match_color",
+                                                       False):
+        return None
+    H, W = int(img_init.shape[0]), int(img_init.shape[1])
+    n_t = getattr(grids, "n_trans", int(grids.trans.shape[0]))
+    n_pairs = n_t * int(grids.rot.shape[0])
+    if mode == "auto":
+        if jax.default_backend() == "cpu":
+            return None
+        from ..init.refine import hist_plan_bytes
+        from ..kernels.slab_sampling import (
+            default_plan_bytes_cap,
+            plan_bytes_estimate,
+        )
+
+        cap = cfg_get(cfg, "hist_planes_bytes_cap")
+        if cap is None:
+            cap = default_plan_bytes_cap()
+        # the planes co-reside with the slab plan's sorted streams —
+        # budget them TOGETHER against the one HBM allowance
+        slab_bytes = 0
+        adm = _slab_admission(cfg, cache, grids, img_init)
+        if adm is not None:
+            slab_bytes = plan_bytes_estimate(
+                n_pairs, int(cache["mask"].shape[0]),
+                compact=adm["compact"],
+            )
+        if hist_plan_bytes(n_pairs, H, W) + slab_bytes > cap:
+            return None
+
+    key = ("hist_plan", H, W)
+    if key in cache:
+        return cache[key]
+    if ("hist_plan_failed", H, W) in cache:
+        return None
+
+    def _build():
+        from ..init.refine import build_hist_plan
+
+        return build_hist_plan(
+            cache["xyz"], cache["rgb"], grids.trans[:n_t], grids.rot,
+            H, W, point_mask=cache["mask"],
+        )
+
+    pend_key = ("hist_plan_pending", H, W)
+    if pend_key in cache:
+        holder = cache[pend_key]
+        if holder["thread"].is_alive():
+            return None  # still building; this query keeps the live splat
+        cache.pop(pend_key)
+        err = holder.get("error")
+        if err is not None:
+            print(f"hist plane build failed ({err}); using live splat",
+                  flush=True)
+            cache[("hist_plan_failed", H, W)] = True
+            return None
+        cache[key] = holder["plan"]
+        return cache[key]
+    background = (
+        bool(cfg_get(cfg, "slab_background_build", True)) and not sync
+    )
+    if background:
+        import threading
+
+        holder = {"plan": None, "error": None}
+
+        def run(holder=holder):
+            try:
+                with _PLAN_BUILD_GATE:
+                    holder["plan"] = _build()
+            except Exception as exc:
+                holder["error"] = exc
+
+        t = threading.Thread(
+            target=run, name="piccolo-hist-plan-build", daemon=False
+        )
+        holder["thread"] = t
+        cache[pend_key] = holder
+        t.start()
+        return None
+    try:
+        with _PLAN_BUILD_GATE:
+            cache[key] = _build()
+        return cache[key]
+    except Exception as exc:
+        print(f"hist plane build failed ({exc}); using live splat",
+              flush=True)
+        cache[("hist_plan_failed", H, W)] = True
+        return None
+
+
 def _mark_plan_failed(cache, key, sharpen) -> None:
     """Mark BOTH plan layouts failed for this (room, shape): a non-budget
     build failure (OOM, compile error) is not layout-specific, so the
@@ -892,7 +1012,8 @@ def _drop_slab_plans(room) -> None:
     if room is None:
         return
     drop = ("slab_plan", "slab_plan_pending", "slab_plan_failed",
-            "slab_plan_sharded", "slab_dkey", "slab_adm")
+            "slab_plan_sharded", "slab_dkey", "slab_adm",
+            "hist_plan", "hist_plan_pending", "hist_plan_failed")
     for k in [k for k in room if isinstance(k, tuple) and k and k[0] in drop]:
         room.pop(k)
 
@@ -939,6 +1060,12 @@ def _run_fused(img_init, img_main, cache, rgb_used, cfg, init_dict, grids,
             **kw,
         )
     plan = _maybe_slab_plan(cfg, cache, grids, img_init, sync=sync_plans)
+    # stage-2 winner-bin planes (admission gates off per-query colour
+    # rebinds already, but a rebound rgb_used must never meet baked bins)
+    hist_plan = (
+        _maybe_hist_plan(cfg, cache, grids, img_init, sync=sync_plans)
+        if rgb_used is cache["rgb"] else None
+    )
     # device-parallel query modes (harness device_index / serving
     # query_devices) commit the room to one chip; co-locate the per-query
     # inputs there (mixed-device jit arguments are an error)
@@ -952,7 +1079,7 @@ def _run_fused(img_init, img_main, cache, rgb_used, cfg, init_dict, grids,
         put(img_init), put(img_main),
         cache["xyz"], rgb_used, grids.trans, grids.rot, grids.valid,
         put(cache["lo"]), put(cache["hi"]), cache["mask"],
-        masked=True, plan=plan,
+        masked=True, plan=plan, hist_plan=hist_plan,
         plan_refresh_rgb=plan is not None and rgb_used is not cache["rgb"],
         descent_table=descent_table, seam_wrap=seam_wrap,
         trajectory=want_traj, descent_prune=prune,

@@ -32,7 +32,11 @@ from ..ops.pano import attr_min_decode, attr_min_keys
 from ..ops.rotation import rot_from_ypr
 from .candidates import generate_rot_points, generate_trans_points
 
-__all__ = ["score_pose_grid", "trim_by_loss", "hist_scores", "trim_by_hist", "make_input"]
+__all__ = [
+    "score_pose_grid", "trim_by_loss", "hist_scores", "trim_by_hist",
+    "make_input", "HistPlan", "build_hist_plan", "hist_scores_from_planes",
+    "hist_plan_bytes",
+]
 
 _HIST_BINS = (8, 8, 8)  # reference utils.py:531
 
@@ -168,6 +172,94 @@ def hist_scores(
     )
 
 
+def _resolve_mxu_hist(use_mxu_hist, H, W, point_axis=None):
+    """The one auto-routing rule for the MXU block-histogram kernel."""
+    if use_mxu_hist is not None:
+        return use_mxu_hist
+    return (
+        point_axis is None
+        and H * W >= (1 << 17)
+        and jax.default_backend() == "tpu"
+    )
+
+
+def _hist_query_side(img):
+    """Query-image-dependent inputs of the histogram trim (shared by the
+    live-splat path and the precomputed-plane path): normalized per-block
+    query histograms, per-block counts, and the valid-pixel selector
+    (nonzero query pixels inside the block grid)."""
+    H, W, _ = img.shape
+    img255 = img * 255.0
+    img_mask = jnp.sum(img255 == 0.0, axis=-1) != 3
+    return img255, img_mask
+
+
+def _point_bins(rgb, nb):
+    """Per-point colour bins; pure-black points -> sentinel bin ``nb``
+    (counted as background, matching the reference's proj==0 mask)."""
+    rgb255 = rgb * 255.0
+    rgb_bins = bin_ids(rgb255, _HIST_BINS).astype(jnp.int32)
+    rgb_black = jnp.sum(rgb255 == 0.0, axis=-1) == 3
+    return jnp.where(rgb_black, nb, rgb_bins)
+
+
+def _block_grid(H, W, sh, sw, img_mask):
+    """Pixel -> block bookkeeping shared by the trim paths.
+
+    Returns ``(pix_ok, block_flat, block_layout)``: the valid-pixel
+    selector (nonzero query pixels inside the block grid), the flat
+    per-pixel block index, and the (H*W,) -> (sh*sw, bh*bw) regrouping
+    function (remainder rows/cols outside the block grid are sliced off,
+    the same set ``pix_ok`` excludes)."""
+    bh, bw = H // sh, W // sw
+    prow = jnp.arange(H)[:, None] // bh
+    pcol = jnp.arange(W)[None, :] // bw
+    in_grid = (prow < sh) & (pcol < sw)
+    block_flat = (
+        (jnp.clip(prow, 0, sh - 1) * sw + jnp.clip(pcol, 0, sw - 1))
+        .reshape(-1)
+        .astype(jnp.int32)
+    )
+    pix_ok = img_mask.reshape(-1) & in_grid.reshape(-1)
+
+    def block_layout(flat):
+        return (
+            flat.reshape(H, W)[: sh * bh, : sw * bw]
+            .reshape(sh, bh, sw, bw)
+            .transpose(0, 2, 1, 3)
+            .reshape(sh * sw, bh * bw)
+        )
+
+    return pix_ok, block_flat, block_layout
+
+
+def _score_from_pbin(pbin, pix_ok, img_hn, img_c, middle, block_flat,
+                     block_layout, nb, sh, sw, use_mxu_hist):
+    """Blockwise histogram-intersection score of ONE candidate given its
+    per-pixel winner colour bins ``pbin`` (the splat's decoded output, or a
+    precomputed plane).  Bit-identical regardless of pbin's provenance:
+    out-of-range bins (no splat / sentinel) are masked out of the histogram
+    either way."""
+    valid = (pbin >= 0) & (pbin < nb) & pix_ok
+    if use_mxu_hist:
+        from ..kernels import block_histogram_pallas
+
+        ids = jnp.clip(block_layout(pbin), 0, nb - 1)
+        msk = block_layout(valid).astype(jnp.float32)
+        ph = block_histogram_pallas(ids, msk, nb)
+    else:
+        ph = (
+            jnp.zeros((sh * sw * nb,), jnp.float32)
+            .at[block_flat * nb + jnp.clip(pbin, 0, nb - 1)]
+            .add(valid.astype(jnp.float32))
+        ).reshape(sh * sw, nb)
+    pc = ph.sum(-1)
+    phn = ph / jnp.maximum(pc, 1e-12)[:, None]
+    inter = jnp.minimum(phn, img_hn).sum(-1)  # (sh*sw,)
+    ok = (pc > 0) & (img_c > 0) & middle
+    return jnp.sum(inter * ok) / (sh * sw)
+
+
 def hist_scores_core(
     img, xyz, rgb, trans, ypr, pm, num_split_h, num_split_w, chunk,
     point_axis: Optional[str] = None,
@@ -201,50 +293,17 @@ def hist_scores_core(
     H, W, _ = img.shape
     sh, sw = num_split_h, num_split_w
     nb = _HIST_BINS[0] * _HIST_BINS[1] * _HIST_BINS[2]
-    if use_mxu_hist is None:
-        use_mxu_hist = (
-            point_axis is None
-            and H * W >= (1 << 17)
-            and jax.default_backend() == "tpu"
-        )
+    use_mxu_hist = _resolve_mxu_hist(use_mxu_hist, H, W, point_axis)
 
-    img255 = img * 255.0
-    img_mask = jnp.sum(img255 == 0.0, axis=-1) != 3
+    img255, img_mask = _hist_query_side(img)
     img_h, img_c = block_histograms(img255, img_mask, _HIST_BINS, sh, sw)
     img_hn = img_h / jnp.maximum(img_c, 1e-12)[:, None]
 
     row_ids = jnp.arange(sh * sw) // sw
     middle = (row_ids >= 1) & (row_ids <= sh - 2)
 
-    # per-point colour bins; pure-black points -> sentinel bin nb
-    rgb255 = rgb * 255.0
-    rgb_bins = bin_ids(rgb255, _HIST_BINS).astype(jnp.int32)
-    rgb_black = jnp.sum(rgb255 == 0.0, axis=-1) == 3
-    rgb_bins = jnp.where(rgb_black, nb, rgb_bins)
-
-    bh, bw = H // sh, W // sw
-    prow = jnp.arange(H)[:, None] // bh
-    pcol = jnp.arange(W)[None, :] // bw
-    in_grid = (prow < sh) & (pcol < sw)
-    block_flat = (
-        (jnp.clip(prow, 0, sh - 1) * sw + jnp.clip(pcol, 0, sw - 1))
-        .reshape(-1)
-        .astype(jnp.int32)
-    )
-    pix_ok = img_mask.reshape(-1) & in_grid.reshape(-1)
-
-    bh_, bw_ = H // sh, W // sw
-
-    def _block_layout(flat):
-        """(H*W,) -> (sh*sw, bh*bw): pixels regrouped per block (remainder
-        rows/cols outside the block grid are sliced off, same set the
-        in_grid mask excludes)."""
-        return (
-            flat.reshape(H, W)[: sh * bh_, : sw * bw_]
-            .reshape(sh, bh_, sw, bw_)
-            .transpose(0, 2, 1, 3)
-            .reshape(sh * sw, bh_ * bw_)
-        )
+    rgb_bins = _point_bins(rgb, nb)
+    pix_ok, block_flat, _block_layout = _block_grid(H, W, sh, sw, img_mask)
 
     def one(t, y):
         R = rot_from_ypr(y)
@@ -254,29 +313,152 @@ def hist_scores_core(
         if point_axis is not None:
             keys = jax.lax.pmin(keys, point_axis)
         pbin = attr_min_decode(keys, 10)  # (H*W,)
-        valid = (pbin >= 0) & (pbin < nb) & pix_ok
-        if use_mxu_hist:
-            from ..kernels import block_histogram_pallas
-
-            ids = jnp.clip(_block_layout(pbin), 0, nb - 1)
-            msk = _block_layout(valid).astype(jnp.float32)
-            ph = block_histogram_pallas(ids, msk, nb)
-        else:
-            ph = (
-                jnp.zeros((sh * sw * nb,), jnp.float32)
-                .at[block_flat * nb + jnp.clip(pbin, 0, nb - 1)]
-                .add(valid.astype(jnp.float32))
-            ).reshape(sh * sw, nb)
-        pc = ph.sum(-1)
-        phn = ph / jnp.maximum(pc, 1e-12)[:, None]
-        inter = jnp.minimum(phn, img_hn).sum(-1)  # (sh*sw,)
-        ok = (pc > 0) & (img_c > 0) & middle
-        return jnp.sum(inter * ok) / (sh * sw)
+        return _score_from_pbin(
+            pbin, pix_ok, img_hn, img_c, middle, block_flat, _block_layout,
+            nb, sh, sw, use_mxu_hist,
+        )
 
     k = trans.shape[0]
     tc = trans.reshape(k // chunk, chunk, 3)
     yc = ypr.reshape(k // chunk, chunk, 3)
     scores = jax.lax.map(lambda c: jax.vmap(one)(c[0], c[1]), (tc, yc))
+    return scores.reshape(-1)
+
+
+class HistPlan:
+    """Room-static stage-2 winner-bin planes (the splat, hoisted per room).
+
+    The histogram trim's z-buffer splat depends only on room-static inputs —
+    the cloud geometry, the candidate GRID poses, and the point colour bins
+    (reference utils.py:510-588 renders the cloud at each candidate) — the
+    query only enters through its own block histograms and its nonzero-pixel
+    mask, both applied AFTER the splat.  So the per-pair winner bin per
+    pixel can be precomputed once per (room, init-image size): per query,
+    stage 2 gathers the selected candidates' planes and runs only the block
+    histograms (the MXU kernel on TPU), skipping the scatter-min + stencil
+    entirely.  Exact: the stored plane IS the live splat's decoded output.
+
+    Invalid per-query colour rebinds (sharpen_color / match_color change the
+    point bins) — the harness gates planes off there.  ``planes`` is
+    (n_pairs, H*W) int16 in make_pairs order over the REAL (unpadded) grid
+    rows; out-of-range/background pixels store the sentinel bin 512.
+    """
+
+    def __init__(self, planes, n_pairs: int, height: int, width: int):
+        self.planes = planes
+        self.n_pairs = int(n_pairs)
+        self.height = int(height)
+        self.width = int(width)
+
+    def tree_flatten(self):
+        return (self.planes,), (self.n_pairs, self.height, self.width)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], *aux)
+
+    @property
+    def nbytes(self) -> int:
+        return self.planes.nbytes
+
+
+jax.tree_util.register_pytree_node(
+    HistPlan, HistPlan.tree_flatten, HistPlan.tree_unflatten
+)
+
+
+def hist_plan_bytes(n_pairs: int, height: int, width: int) -> int:
+    """Exact HBM footprint of a HistPlan (int16 bin per pixel per pair)."""
+    return n_pairs * height * width * 2
+
+
+@functools.partial(
+    jax.jit, static_argnames=("height", "width", "chunk", "masked")
+)
+def _build_hist_planes(
+    xyz, rgb, pair_t, pair_r, point_mask, *, height, width, chunk, masked
+):
+    pm = point_mask if masked else None
+    nb = _HIST_BINS[0] * _HIST_BINS[1] * _HIST_BINS[2]
+    rgb_bins = _point_bins(rgb, nb)
+
+    def one(t, y):
+        R = rot_from_ypr(y)
+        cam = jnp.einsum("nj,kj->nk", xyz - t, R, precision="highest")
+        keys = attr_min_keys(cam, rgb_bins, 10, (height, width), pm)
+        pbin = attr_min_decode(keys, 10)
+        ok = (pbin >= 0) & (pbin < nb)
+        return jnp.where(ok, pbin, nb).astype(jnp.int16)
+
+    k = pair_t.shape[0]
+    tc = pair_t.reshape(k // chunk, chunk, 3)
+    yc = pair_r.reshape(k // chunk, chunk, 3)
+    planes = jax.lax.map(lambda c: jax.vmap(one)(c[0], c[1]), (tc, yc))
+    return planes.reshape(k, height * width)
+
+
+def build_hist_plan(
+    xyz, rgb, trans, rot, height: int, width: int, point_mask=None,
+    chunk: int = 8,
+) -> HistPlan:
+    """Precompute stage-2 winner-bin planes for every (trans, rot) grid pair.
+
+    ``trans`` must be the REAL (unpadded) grid rows — the plan covers the
+    leading ``len(trans) * len(rot)`` pairs of the padded pair list, the
+    same contract as the slab plan.  Build cost is one splat per pair
+    (~the cost of num_pairs / num_intermediate live stage-2 evaluations);
+    the planes stay on device (never fetched to host).
+    """
+    trans = jnp.asarray(trans, jnp.float32)
+    rot = jnp.asarray(rot, jnp.float32)
+    T, R = trans.shape[0], rot.shape[0]
+    pair_t = jnp.repeat(trans, R, axis=0)
+    pair_r = jnp.tile(rot, (T, 1))
+    pad = (-(T * R)) % chunk
+    if pad:
+        pair_t = jnp.concatenate([pair_t, jnp.broadcast_to(pair_t[:1], (pad, 3))])
+        pair_r = jnp.concatenate([pair_r, jnp.broadcast_to(pair_r[:1], (pad, 3))])
+    planes = _build_hist_planes(
+        jnp.asarray(xyz, jnp.float32), jnp.asarray(rgb, jnp.float32),
+        pair_t, pair_r, point_mask,
+        height=height, width=width, chunk=chunk,
+        masked=point_mask is not None,
+    )[: T * R]
+    return HistPlan(planes, T * R, height, width)
+
+
+def hist_scores_from_planes(
+    img, planes_sel, num_split_h, num_split_w, chunk,
+    use_mxu_hist: Optional[bool] = None,
+):
+    """hist_scores_core from precomputed winner-bin planes (jit-inlinable).
+
+    ``planes_sel`` is (k, H*W) int16 — the selected candidates' rows of a
+    HistPlan, already padded to a ``chunk`` multiple.  Bit-identical to the
+    live-splat path: the planes store the splat's decoded bins, and the
+    query-side mask / block histograms / intersection are the same code
+    (_score_from_pbin)."""
+    H, W, _ = img.shape
+    sh, sw = num_split_h, num_split_w
+    nb = _HIST_BINS[0] * _HIST_BINS[1] * _HIST_BINS[2]
+    use_mxu_hist = _resolve_mxu_hist(use_mxu_hist, H, W)
+
+    img255, img_mask = _hist_query_side(img)
+    img_h, img_c = block_histograms(img255, img_mask, _HIST_BINS, sh, sw)
+    img_hn = img_h / jnp.maximum(img_c, 1e-12)[:, None]
+    row_ids = jnp.arange(sh * sw) // sw
+    middle = (row_ids >= 1) & (row_ids <= sh - 2)
+    pix_ok, block_flat, block_layout = _block_grid(H, W, sh, sw, img_mask)
+
+    def one(plane):
+        return _score_from_pbin(
+            plane.astype(jnp.int32), pix_ok, img_hn, img_c, middle,
+            block_flat, block_layout, nb, sh, sw, use_mxu_hist,
+        )
+
+    k = planes_sel.shape[0]
+    pc = planes_sel.reshape(k // chunk, chunk, -1)
+    scores = jax.lax.map(lambda c: jax.vmap(one)(c), pc)
     return scores.reshape(-1)
 
 

@@ -28,7 +28,12 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from .init.refine import check_criterion, hist_scores_core
+from .init.refine import (
+    HistPlan,
+    check_criterion,
+    hist_scores_core,
+    hist_scores_from_planes,
+)
 from .kernels.slab_sampling import GridPlan, make_pairs, slab_pair_scores
 from .loss import Pose, sampling_loss_packed
 from .ops.rotation import rot_from_ypr
@@ -158,6 +163,7 @@ def localize_query(
     hist_chunk: int = 4,
     plan: Optional[GridPlan] = None,
     plan_refresh_rgb: bool = False,
+    hist_plan: Optional[HistPlan] = None,
     descent_table: str = "auto",
     seam_wrap: bool = False,
     trajectory: bool = False,
@@ -194,6 +200,13 @@ def localize_query(
     sizes.  Set ``plan_refresh_rgb=True`` when ``rgb`` differs from the
     colors the plan was built with (per-query sharpen_color rebinds).
 
+    ``hist_plan`` (init.refine.build_hist_plan, room-static) replaces the
+    stage-2 per-candidate z-buffer splat with a gather of precomputed
+    winner-bin planes — bit-identical scores (the plane IS the splat's
+    decoded output; the query-side mask and histograms are the same code),
+    at 2 B/pixel/pair of HBM.  Invalid under per-query colour rebinds
+    (``plan_refresh_rgb`` raises); unused when ``criterion='loss'``.
+
     ``criterion``: ``'loss_histogram'`` (reference parity — the only value
     the reference's branch ladder survives, utils.py:625-627) runs the
     loss-table trim then the histogram trim; ``'loss'`` (working
@@ -227,6 +240,25 @@ def localize_query(
             f"imply {T} trans x {R} rots = {T * R} — the plan was built "
             "for different grids (rebuild it for this room/config)"
         )
+    if hist_plan is not None:
+        if (hist_plan.height, hist_plan.width) != img_init.shape[:2]:
+            raise ValueError(
+                f"hist_plan was built for a {hist_plan.height}x"
+                f"{hist_plan.width} init image but the query image is "
+                f"{img_init.shape[:2]}"
+            )
+        if hist_plan.n_pairs > T * R or hist_plan.n_pairs % R:
+            raise ValueError(
+                f"hist_plan covers {hist_plan.n_pairs} pairs but the grids "
+                f"imply {T}x{R}={T * R} (stale plan? rebuild for these "
+                "grids)"
+            )
+        if plan_refresh_rgb:
+            raise ValueError(
+                "hist_plan bakes point colour bins at build time — a "
+                "per-query rgb rebind (plan_refresh_rgb) invalidates it; "
+                "pass hist_plan=None for colour-rebinding queries"
+            )
 
     # ---- stage 1: brute-force loss table (reference utils.py:462-507)
     pair_t, pair_r = make_pairs(trans_grid, rot_grid)
@@ -271,12 +303,30 @@ def localize_query(
         t2, r2, final_valid = t1, r1, sel_valid
     else:
         # ---- stage 2: histogram intersection (reference utils.py:510-588)
-        padh = (-k1) % hist_chunk
-        t1p = jnp.concatenate([t1, jnp.broadcast_to(t1[:1], (padh, 3))]) if padh else t1
-        r1p = jnp.concatenate([r1, jnp.broadcast_to(r1[:1], (padh, 3))]) if padh else r1
-        hs = hist_scores_core(
-            img_init, xyz, rgb, t1p, r1p, pm, num_split_h, num_split_w, hist_chunk
-        )[:k1]
+        if hist_plan is not None:
+            # room-static winner-bin planes: gather the selected pairs'
+            # planes by PAIR INDEX and histogram them — no per-query splat.
+            # idx1 rows beyond n_pairs are +inf-scored padding (sel_valid
+            # False masks their scores to -inf below); clamp their gather.
+            sel = jnp.take(
+                hist_plan.planes,
+                jnp.minimum(idx1, hist_plan.n_pairs - 1), axis=0,
+            )
+            padh = (-k1) % hist_chunk
+            if padh:
+                sel = jnp.concatenate(
+                    [sel, jnp.broadcast_to(sel[:1], (padh, sel.shape[1]))]
+                )
+            hs = hist_scores_from_planes(
+                img_init, sel, num_split_h, num_split_w, hist_chunk
+            )[:k1]
+        else:
+            padh = (-k1) % hist_chunk
+            t1p = jnp.concatenate([t1, jnp.broadcast_to(t1[:1], (padh, 3))]) if padh else t1
+            r1p = jnp.concatenate([r1, jnp.broadcast_to(r1[:1], (padh, 3))]) if padh else r1
+            hs = hist_scores_core(
+                img_init, xyz, rgb, t1p, r1p, pm, num_split_h, num_split_w, hist_chunk
+            )[:k1]
         hs = jnp.where(sel_valid, hs, -jnp.inf)
         k2 = min(num_input, k1)
         _, idx2 = jax.lax.top_k(hs, k2)
