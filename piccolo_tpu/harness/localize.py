@@ -996,6 +996,27 @@ def _maybe_hist_plan(cfg, cache, grids, img_init, sync: bool = False):
         return None
 
 
+def _maybe_sharded_hist_plan(cfg, cache, grids, img_init, mesh):
+    """Stage-2 winner-bin planes laid out for the mesh (hist_planes x mesh).
+
+    Admission/lifecycle rides :func:`_maybe_hist_plan` (same gates: colour
+    rebinds, criterion, HBM budget); the built planes then shard along
+    'cand' via parallel.fused.shard_hist_plan, cached per (room, image
+    size, mesh factorization).  Built synchronously like the sharded slab
+    plan — the mesh path is a deliberate warm-room commitment.
+    """
+    base = _maybe_hist_plan(cfg, cache, grids, img_init, sync=True)
+    if base is None:
+        return None
+    key = ("hist_plan_sharded", int(img_init.shape[0]),
+           int(img_init.shape[1]), mesh.shape["cand"], mesh.shape["point"])
+    if key not in cache:
+        from ..parallel.fused import shard_hist_plan
+
+        cache[key] = shard_hist_plan(mesh, base)
+    return cache[key]
+
+
 def _mark_plan_failed(cache, key, sharpen) -> None:
     """Mark BOTH plan layouts failed for this (room, shape): a non-budget
     build failure (OOM, compile error) is not layout-specific, so the
@@ -1013,7 +1034,8 @@ def _drop_slab_plans(room) -> None:
         return
     drop = ("slab_plan", "slab_plan_pending", "slab_plan_failed",
             "slab_plan_sharded", "slab_dkey", "slab_adm",
-            "hist_plan", "hist_plan_pending", "hist_plan_failed")
+            "hist_plan", "hist_plan_pending", "hist_plan_failed",
+            "hist_plan_sharded")
     for k in [k for k in room if isinstance(k, tuple) and k and k[0] in drop]:
         room.pop(k)
 
@@ -1049,6 +1071,12 @@ def _run_fused(img_init, img_main, cache, rgb_used, cfg, init_dict, grids,
         # stage 1 runs the sorted-slab kernel per shard when admitted
         # (round 3 — psum-combined accumulators; parallel/fused.py)
         plan = _maybe_sharded_slab_plan(cfg, cache, grids, img_init, mesh)
+        # stage-2 winner-bin planes, 'cand'-sharded (a rebound rgb_used
+        # must never meet baked bins — same gate as the single-device path)
+        hist_plan = (
+            _maybe_sharded_hist_plan(cfg, cache, grids, img_init, mesh)
+            if rgb_used is cache["rgb"] else None
+        )
         return localize_query_sharded(
             mesh, img_init, img_main, xyz_s,
             rgb_s if rgb_used is cache["rgb"] else rgb_used,
@@ -1056,7 +1084,7 @@ def _run_fused(img_init, img_main, cache, rgb_used, cfg, init_dict, grids,
             cache["lo"], cache["hi"], mask_s,
             descent_table=descent_table, seam_wrap=seam_wrap, plan=plan,
             plan_refresh_rgb=plan is not None and rgb_used is not cache["rgb"],
-            descent_prune=prune,
+            hist_plan=hist_plan, descent_prune=prune,
             **kw,
         )
     plan = _maybe_slab_plan(cfg, cache, grids, img_init, sync=sync_plans)

@@ -8,7 +8,10 @@ from .candidates import (
     generate_trans_points,
 )
 from .refine import (
+    HistPlan,
+    build_hist_plan,
     hist_scores,
+    hist_scores_from_planes,
     make_input,
     score_pose_grid,
     trim_by_hist,
@@ -21,7 +24,10 @@ __all__ = [
     "default_init_dict",
     "generate_rot_points",
     "generate_trans_points",
+    "HistPlan",
+    "build_hist_plan",
     "hist_scores",
+    "hist_scores_from_planes",
     "make_input",
     "score_pose_grid",
     "trim_by_hist",

@@ -5,6 +5,7 @@ from .fused import (
     localize_query_sharded,
     shard_cloud,
     shard_grid_plan,
+    shard_hist_plan,
 )
 from .sharding import init_distributed, make_mesh, solve_sharded
 
@@ -15,5 +16,6 @@ __all__ = [
     "init_distributed",
     "shard_cloud",
     "shard_grid_plan",
+    "shard_hist_plan",
     "ShardedGridPlan",
 ]

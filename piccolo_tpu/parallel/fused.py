@@ -31,7 +31,12 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..init.refine import check_criterion, hist_scores_core
+from ..init.refine import (
+    HistPlan,
+    check_criterion,
+    hist_scores_core,
+    hist_scores_from_planes,
+)
 from ..loss import Pose
 from ..ops.rotation import rot_from_ypr
 from ..ops.sampling import pack_bilinear_blocks
@@ -43,6 +48,7 @@ __all__ = [
     "shard_cloud",
     "ShardedGridPlan",
     "shard_grid_plan",
+    "shard_hist_plan",
 ]
 
 
@@ -233,6 +239,28 @@ def shard_grid_plan(
     )
 
 
+def shard_hist_plan(mesh: Mesh, plan: HistPlan) -> HistPlan:
+    """Lay a stage-2 winner-bin plan (init.refine.HistPlan) out on the mesh.
+
+    Planes are per-pair independent, so they shard along 'cand' (pair rows
+    padded to the axis with sentinel-bin rows that are never gathered —
+    the pair-index gather clamps to ``n_pairs - 1``).  Per-device HBM cost
+    is ``nbytes / n_cand``; the selected candidates' planes (a few MB) move
+    once per query via the top-k gather XLA inserts between the stage-1 and
+    stage-2 shard_maps.
+    """
+    n_cand = mesh.shape["cand"]
+    planes = plan.planes
+    pad = (-planes.shape[0]) % n_cand
+    if pad:
+        nb = 512  # the sentinel/background bin (init.refine._HIST_BINS)
+        planes = jnp.concatenate([
+            planes, jnp.full((pad, planes.shape[1]), nb, planes.dtype)
+        ])
+    planes = jax.device_put(planes, NamedSharding(mesh, P("cand", None)))
+    return HistPlan(planes, plan.n_pairs, plan.height, plan.width)
+
+
 def shard_cloud(mesh: Mesh, xyz, rgb, point_mask=None):
     """Pad the cloud to the 'point' axis and lay it out on the mesh ONCE.
 
@@ -291,7 +319,7 @@ def _pad_clone_rows(a: jnp.ndarray, multiple: int) -> jnp.ndarray:
 )
 def _localize_query_sharded_jit(
     img_init, img_main, xyz, rgb, trans_grid, rot_grid, trans_valid,
-    lo, hi, point_mask, plan=None,
+    lo, hi, point_mask, plan=None, hist_plan=None,
     *, mesh, num_intermediate, num_input, num_split_h, num_split_w,
     num_iter, lr, patience, factor, grid_chunk, hist_chunk,
     descent_table="auto", plan_refresh_rgb=False, seam_wrap=False,
@@ -435,23 +463,53 @@ def _localize_query_sharded_jit(
     if criterion == "loss":
         t2, r2, k2, final_valid = t1, r1, k1, sel_valid
     else:
-        # ---- stage 2: histogram intersection, 'cand'-sharded candidates,
-        # 'point'-sharded render combined by pmin
-        t1p = _pad_clone_rows(t1, n_cand * hist_chunk)
-        r1p = _pad_clone_rows(r1, n_cand * hist_chunk)
-
-        def stage2(img, xyz_l, rgb_l, pm_l, t_l, y_l):
-            return hist_scores_core(
-                img, xyz_l, rgb_l, t_l, y_l, pm_l,
-                num_split_h, num_split_w, hist_chunk, point_axis="point",
+        if hist_plan is not None:
+            # room-static winner-bin planes (pipeline.py parity): gather the
+            # selected pairs' planes by PAIR INDEX in jit land (XLA moves
+            # only the k1 selected rows off the 'cand'-sharded plan), then
+            # score them 'cand'-sharded — no per-query splat, no 'point'
+            # traffic at all in stage 2.  idx1 rows beyond n_pairs are
+            # +inf-scored padding; clamp their gather (sel_valid masks them).
+            sel = jnp.take(
+                hist_plan.planes,
+                jnp.minimum(idx1, hist_plan.n_pairs - 1), axis=0,
             )
+            selp = _pad_clone_rows(sel, n_cand * hist_chunk)
 
-        hs = shard_map(
-            stage2,
-            mesh=mesh,
-            in_specs=cloud_specs + (P("cand", None), P("cand", None)),
-            out_specs=P("cand"),
-        )(img_init, xyz, rgb, point_mask, t1p, r1p)[:k1]
+            def stage2_planes(img, sel_l):
+                # use_mxu_hist=False: the pallas kernel cannot carry
+                # varying-axis metadata through shard_map (the slab stage-1
+                # exception is the ONE sanctioned check_vma=False site) —
+                # same scatter fallback the live sharded stage 2 uses
+                return hist_scores_from_planes(
+                    img, sel_l, num_split_h, num_split_w, hist_chunk,
+                    use_mxu_hist=False,
+                )
+
+            hs = shard_map(
+                stage2_planes,
+                mesh=mesh,
+                in_specs=(P(), P("cand", None)),
+                out_specs=P("cand"),
+            )(img_init, selp)[:k1]
+        else:
+            # ---- stage 2: histogram intersection, 'cand'-sharded
+            # candidates, 'point'-sharded render combined by pmin
+            t1p = _pad_clone_rows(t1, n_cand * hist_chunk)
+            r1p = _pad_clone_rows(r1, n_cand * hist_chunk)
+
+            def stage2(img, xyz_l, rgb_l, pm_l, t_l, y_l):
+                return hist_scores_core(
+                    img, xyz_l, rgb_l, t_l, y_l, pm_l,
+                    num_split_h, num_split_w, hist_chunk, point_axis="point",
+                )
+
+            hs = shard_map(
+                stage2,
+                mesh=mesh,
+                in_specs=cloud_specs + (P("cand", None), P("cand", None)),
+                out_specs=P("cand"),
+            )(img_init, xyz, rgb, point_mask, t1p, r1p)[:k1]
         hs = jnp.where(sel_valid, hs, -jnp.inf)
         k2 = min(num_input, k1)
         _, idx2 = jax.lax.top_k(hs, k2)
@@ -523,6 +581,7 @@ def localize_query_sharded(
     descent_table: str = "auto",
     plan: "Optional[ShardedGridPlan]" = None,
     plan_refresh_rgb: bool = False,
+    hist_plan: "Optional[HistPlan]" = None,
     seam_wrap: bool = False,
     criterion: str = "loss_histogram",
     descent_prune=None,
@@ -541,6 +600,13 @@ def localize_query_sharded(
     ``plan_refresh_rgb=True`` when ``rgb`` differs from the colors the
     plan was built with (sharpen_color rebinds).
 
+    ``hist_plan`` (:func:`shard_hist_plan` of an init.refine.build_hist_plan
+    product, room-static) replaces the stage-2 point-sharded splat + pmin
+    with a gather of precomputed winner-bin planes sharded along 'cand' —
+    identical scores (the plane IS the splat's decoded output and the
+    query-side histogram code is shared).  Invalid under per-query colour
+    rebinds (``plan_refresh_rgb`` raises); unused when ``criterion='loss'``.
+
     ``criterion``: ``'loss_histogram'`` (parity default) or ``'loss'``
     (working extension — top ``num_input`` by sampling loss, stage 2
     skipped; pipeline.localize_query semantics).
@@ -557,6 +623,29 @@ def localize_query_sharded(
 
         _check_refresh(plan.compact, plan.tp_is_pid,
                        rgb if plan_refresh_rgb else None)
+    if hist_plan is not None:
+        # pipeline.localize_query's validation, mirrored (stale plans must
+        # fail loudly, not silently rank wrong)
+        T_, R_ = trans_grid.shape[0], rot_grid.shape[0]
+        ih, iw = int(img_init.shape[0]), int(img_init.shape[1])
+        if (hist_plan.height, hist_plan.width) != (ih, iw):
+            raise ValueError(
+                f"hist_plan was built for a {hist_plan.height}x"
+                f"{hist_plan.width} init image but the query image is "
+                f"({ih}, {iw})"
+            )
+        if hist_plan.n_pairs > T_ * R_ or hist_plan.n_pairs % R_:
+            raise ValueError(
+                f"hist_plan covers {hist_plan.n_pairs} pairs but the grids "
+                f"imply {T_}x{R_}={T_ * R_} (stale plan? rebuild for these "
+                "grids)"
+            )
+        if plan_refresh_rgb:
+            raise ValueError(
+                "hist_plan bakes point colour bins at build time — a "
+                "per-query rgb rebind (plan_refresh_rgb) invalidates it; "
+                "pass hist_plan=None for colour-rebinding queries"
+            )
     dev = lambda spec: NamedSharding(mesh, spec)
     if (
         _arr_sharded(mesh, xyz, P("point", None))
@@ -586,7 +675,7 @@ def localize_query_sharded(
 
     return _localize_query_sharded_jit(
         img_init, img_main, xyz, rgb, trans_grid, rot_grid, trans_valid,
-        lo, hi, point_mask, plan,
+        lo, hi, point_mask, plan, hist_plan,
         mesh=mesh, num_intermediate=num_intermediate, num_input=num_input,
         num_split_h=num_split_h, num_split_w=num_split_w, num_iter=num_iter,
         lr=lr, patience=patience, factor=factor,

@@ -113,6 +113,11 @@ def main(argv=None) -> dict:
     ap.add_argument("--no-slab", action="store_true",
                     help="score stage 1 with the XLA gather path instead "
                          "of the sorted-slab kernel")
+    ap.add_argument("--no-hist-planes", action="store_true",
+                    help="stage 2 re-splats per query instead of gathering "
+                         "room-static winner-bin planes (the harness "
+                         "hist_planes=auto default; auto-off under "
+                         "--sharpen / criterion=loss)")
     ap.add_argument("--oracle", default="splat",
                     choices=["splat", "raycast"],
                     help="GT renderer: 'splat' z-buffers the cloud itself "
@@ -251,6 +256,34 @@ def main(argv=None) -> dict:
                     tp_is_pid=compact and args.sharpen,
                 )
 
+        hist_plan = None
+        if (not args.no_hist_planes and not args.sharpen
+                and args.criterion == "loss_histogram"):
+            # harness hist_planes=auto analog: room-static stage-2 planes
+            # (bit-identical scores; gated off when per-query colour
+            # rebinds re-bake point bins), budgeted TOGETHER with the
+            # admitted slab plan against the one HBM cap
+            from piccolo_tpu.init.refine import build_hist_plan, hist_plan_bytes
+            from piccolo_tpu.kernels.slab_sampling import (
+                default_plan_bytes_cap,
+            )
+
+            n_trans = trans_grid.shape[0] - pad
+            n_pairs = n_trans * rot_grid.shape[0]
+            hp_h = args.height // init_step
+            hp_w = 2 * args.height // init_step
+            cap = args.slab_cap or default_plan_bytes_cap()
+            slab_bytes = plan.nbytes if plan is not None else 0
+            if hist_plan_bytes(n_pairs, hp_h, hp_w) + slab_bytes > cap:
+                if ri == 0:
+                    print("hist planes skipped: planes + slab plan would "
+                          "crowd HBM (live splat instead)", flush=True)
+            else:
+                hist_plan = build_hist_plan(
+                    xyz_d, rgb_d, jnp.asarray(trans_grid[:n_trans]),
+                    jnp.asarray(rot_grid), hp_h, hp_w, point_mask=mask_d,
+                )
+
         for qi in range(args.queries):
             if args.floor_ref:
                 from piccolo_tpu.testing import scene_pose
@@ -320,7 +353,7 @@ def main(argv=None) -> dict:
                 mask_d, num_intermediate=num_intermediate, num_input=6,
                 num_iter=100,
                 lr=0.1, patience=5, factor=0.8, masked=True, plan=plan,
-                plan_refresh_rgb=refresh,
+                plan_refresh_rgb=refresh, hist_plan=hist_plan,
                 descent_table=args.descent_table,
                 criterion=args.criterion,
                 descent_prune=prune,

@@ -202,6 +202,83 @@ def test_harness_background_build_handoff(scene):
     assert _maybe_hist_plan(cfg, cache2, grids2, img, sync=True) is not None
 
 
+def _sharded(scene, mesh, plan, trans=None, valid=None, **kw):
+    from piccolo_tpu.parallel import localize_query_sharded
+
+    trans = scene["trans"] if trans is None else trans
+    valid = np.ones(trans.shape[0], bool) if valid is None else valid
+    return localize_query_sharded(
+        mesh, jnp.asarray(scene["img"]), jnp.asarray(scene["img"]),
+        scene["xyz"], scene["rgb"], trans, scene["rot"], valid,
+        scene["lo"], scene["hi"],
+        hist_plan=plan, num_intermediate=10, num_input=4, num_iter=30, **kw,
+    )
+
+
+@pytest.mark.parametrize("n_cand,n_point", [(2, 4), (4, 2)])
+def test_sharded_equality_vs_live_and_single_device(scene, n_cand, n_point):
+    """hist planes x mesh: the 'cand'-sharded plane path must reproduce the
+    live point-sharded splat + pmin stage 2 — identical starting candidates
+    and descent results — and agree with the single-device plane path."""
+    from piccolo_tpu.parallel import make_mesh, shard_hist_plan
+
+    mesh = make_mesh(n_cand, n_point)
+    base = build_hist_plan(
+        scene["xyz"], scene["rgb"], scene["trans"], scene["rot"], 128, 256
+    )
+    plan = shard_hist_plan(mesh, base)
+    assert plan.planes.shape[0] % n_cand == 0
+    a = _sharded(scene, mesh, None)
+    b = _sharded(scene, mesh, plan)
+    for f in ("t", "loss", "winner", "start_t", "start_ypr", "cand_loss"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, f)), np.asarray(getattr(b, f)), err_msg=f
+        )
+    # the single-device plane path picks the same starts (descent results
+    # differ only in psum reduction order, so compare starts exactly)
+    c = _fused(scene, scene["trans"], scene["rot"],
+               np.ones(scene["trans"].shape[0], bool), base)
+    np.testing.assert_array_equal(np.asarray(b.start_t), np.asarray(c.start_t))
+    np.testing.assert_array_equal(
+        np.asarray(b.start_ypr), np.asarray(c.start_ypr)
+    )
+
+
+def test_sharded_validation_and_rebind_conflict(scene):
+    from piccolo_tpu.parallel import make_mesh, shard_hist_plan
+
+    mesh = make_mesh(2, 4)
+    base = build_hist_plan(
+        scene["xyz"], scene["rgb"], scene["trans"], scene["rot"], 128, 256
+    )
+    plan = shard_hist_plan(mesh, base)
+    stale = HistPlan(plan.planes, plan.n_pairs + scene["rot"].shape[0],
+                     128, 256)
+    with pytest.raises(ValueError, match="stale"):
+        _sharded(scene, mesh, stale)
+    with pytest.raises(ValueError, match="rebind"):
+        _sharded(scene, mesh, plan, plan_refresh_rgb=True)
+
+
+def test_harness_sharded_hist_plan(scene):
+    from piccolo_tpu.harness.localize import _maybe_sharded_hist_plan
+    from piccolo_tpu.parallel import make_mesh
+
+    mesh = make_mesh(2, 4)
+    cfg = make_config(dataset="Stanford2D-3D-S", hist_planes=True)
+    cache, grids = _room_state(scene)
+    img = np.asarray(scene["img"])
+    plan = _maybe_sharded_hist_plan(cfg, cache, grids, img, mesh)
+    assert plan is not None
+    assert plan.planes.shape[0] % mesh.shape["cand"] == 0
+    # cached per (room, size, factorization); colour rebinds gate off
+    assert _maybe_sharded_hist_plan(cfg, cache, grids, img, mesh) is plan
+    cfg2 = make_config(dataset="Stanford2D-3D-S", hist_planes=True,
+                       sharpen_color=True)
+    cache2, grids2 = _room_state(scene)
+    assert _maybe_sharded_hist_plan(cfg2, cache2, grids2, img, mesh) is None
+
+
 def test_harness_build_failure_marks_room(scene, monkeypatch):
     cfg = make_config(dataset="Stanford2D-3D-S", hist_planes=True,
                       slab_background_build=False)
