@@ -587,12 +587,19 @@ def _slab_admission_uncached(cfg, cache, grids, img_init):
                 sharpen=sharpen, wrap=bool(cfg_get(cfg, "seam_wrap", False)))
 
 
+def _mesh_fingerprint(mesh):
+    """Cache-key component identifying the mesh's exact devices, not just
+    its factorization — two same-shape meshes over different devices in one
+    process must not share device-committed plans (advisor r3 #3)."""
+    return tuple(d.id for d in mesh.devices.flat)
+
+
 def _maybe_sharded_slab_plan(cfg, cache, grids, img_init, mesh):
     """Per-shard slab plans for the mesh stage 1 (kernels x mesh compose —
     round 3; the round-2 sharded program kept the XLA stage 1).
 
     Same admission policy as the single-device plan; built synchronously
-    and cached per (room, image size, layout, mesh factorization).  The
+    and cached per (room, image size, layout, mesh devices).  The
     budget cap applies via the estimate only (per-shard exact sizes track
     the single-device exact size plus per-shard padding).
     """
@@ -601,7 +608,7 @@ def _maybe_sharded_slab_plan(cfg, cache, grids, img_init, mesh):
         return None
     key = ("slab_plan_sharded", img_init.shape[0], img_init.shape[1],
            adm["compact"], adm["compact"] and adm["sharpen"], adm["wrap"],
-           mesh.shape["cand"], mesh.shape["point"])
+           mesh.shape["cand"], mesh.shape["point"], _mesh_fingerprint(mesh))
     if key not in cache:
         from ..parallel.fused import shard_grid_plan
 
@@ -876,7 +883,8 @@ def _maybe_slab_plan(cfg, cache, grids, img_init, sync: bool = False):
     return None
 
 
-def _maybe_hist_plan(cfg, cache, grids, img_init, sync: bool = False):
+def _maybe_hist_plan(cfg, cache, grids, img_init, sync: bool = False,
+                     mesh=None):
     """Room-static stage-2 winner-bin planes (``hist_planes`` key).
 
     The histogram trim's splat depends only on room-static inputs (cloud,
@@ -932,7 +940,17 @@ def _maybe_hist_plan(cfg, cache, grids, img_init, sync: bool = False):
                 n_pairs, int(cache["mask"].shape[0]),
                 compact=adm["compact"],
             )
-        if hist_plan_bytes(n_pairs, H, W) + slab_bytes > cap:
+        plane_bytes = hist_plan_bytes(n_pairs, H, W)
+        if mesh is not None:
+            # per-DEVICE residency is what the cap protects: on the mesh
+            # the planes shard along 'cand' and the slab streams along
+            # 'point' (each point shard's plan further splits along
+            # 'cand'); dividing by one axis each is the conservative
+            # per-device bound (advisor r3 #5 — the unscaled sum
+            # under-admitted planes on large sharded rooms)
+            plane_bytes //= max(int(mesh.shape["cand"]), 1)
+            slab_bytes //= max(int(mesh.shape["point"]), 1)
+        if plane_bytes + slab_bytes > cap:
             return None
 
     key = ("hist_plan", H, W)
@@ -1005,11 +1023,13 @@ def _maybe_sharded_hist_plan(cfg, cache, grids, img_init, mesh):
     size, mesh factorization).  Built synchronously like the sharded slab
     plan — the mesh path is a deliberate warm-room commitment.
     """
-    base = _maybe_hist_plan(cfg, cache, grids, img_init, sync=True)
+    base = _maybe_hist_plan(cfg, cache, grids, img_init, sync=True,
+                            mesh=mesh)
     if base is None:
         return None
     key = ("hist_plan_sharded", int(img_init.shape[0]),
-           int(img_init.shape[1]), mesh.shape["cand"], mesh.shape["point"])
+           int(img_init.shape[1]), mesh.shape["cand"], mesh.shape["point"],
+           _mesh_fingerprint(mesh))
     if key not in cache:
         from ..parallel.fused import shard_hist_plan
 

@@ -249,11 +249,14 @@ def shard_hist_plan(mesh: Mesh, plan: HistPlan) -> HistPlan:
     once per query via the top-k gather XLA inserts between the stage-1 and
     stage-2 shard_maps.
     """
+    from ..init.refine import _HIST_BINS
+
     n_cand = mesh.shape["cand"]
     planes = plan.planes
     pad = (-planes.shape[0]) % n_cand
     if pad:
-        nb = 512  # the sentinel/background bin (init.refine._HIST_BINS)
+        # the sentinel/background bin sits one past the real bins
+        nb = int(np.prod(_HIST_BINS))
         planes = jnp.concatenate([
             planes, jnp.full((pad, planes.shape[1]), nb, planes.dtype)
         ])
@@ -465,15 +468,35 @@ def _localize_query_sharded_jit(
     else:
         if hist_plan is not None:
             # room-static winner-bin planes (pipeline.py parity): gather the
-            # selected pairs' planes by PAIR INDEX in jit land (XLA moves
-            # only the k1 selected rows off the 'cand'-sharded plan), then
-            # score them 'cand'-sharded — no per-query splat, no 'point'
-            # traffic at all in stage 2.  idx1 rows beyond n_pairs are
-            # +inf-scored padding; clamp their gather (sel_valid masks them).
-            sel = jnp.take(
-                hist_plan.planes,
-                jnp.minimum(idx1, hist_plan.n_pairs - 1), axis=0,
-            )
+            # selected pairs' planes by PAIR INDEX, then score them
+            # 'cand'-sharded — no per-query splat, no 'point' traffic at all
+            # in stage 2.  idx1 rows beyond n_pairs are +inf-scored padding;
+            # clamp their gather (sel_valid masks them).  The gather runs
+            # INSIDE shard_map (each 'cand' shard contributes the rows it
+            # owns, zero elsewhere; one psum combines) so the k1 selected
+            # rows are all that ever move — a jit-land jnp.take over the
+            # sharded operand axis may lower to an all-gather of the FULL
+            # plane array on some XLA versions (advisor r3 #2), which would
+            # defeat the nbytes/n_cand per-device HBM contract on large
+            # rooms.
+            idx_sel = jnp.minimum(idx1, hist_plan.n_pairs - 1)
+            per_shard = hist_plan.planes.shape[0] // n_cand
+
+            def gather_planes(planes_l, idx):
+                ax = jax.lax.axis_index("cand")
+                owner = idx // per_shard
+                mine = owner == ax
+                loc = jnp.where(mine, idx - ax * per_shard, 0)
+                rows = jnp.take(planes_l, loc, axis=0)
+                rows = jnp.where(mine[:, None], rows, 0)
+                return jax.lax.psum(rows, "cand")
+
+            sel = shard_map(
+                gather_planes,
+                mesh=mesh,
+                in_specs=(P("cand", None), P()),
+                out_specs=P(),
+            )(hist_plan.planes, idx_sel)
             selp = _pad_clone_rows(sel, n_cand * hist_chunk)
 
             def stage2_planes(img, sel_l):

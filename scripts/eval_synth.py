@@ -249,7 +249,10 @@ def main(argv=None) -> dict:
                 plan = build_grid_plan(
                     xyz_d, rgb_d, mask_d,
                     jnp.asarray(trans_grid[:n_trans]), jnp.asarray(rot_grid),
-                    args.height // init_step, 2 * args.height // init_step,
+                    # ceil: img_init = img_main[::init_step] has
+                    # ceil(H/step) rows (odd --height with init_step=2)
+                    -(-args.height // init_step),
+                    -(-2 * args.height // init_step),
                     compact=compact,
                     # sharpen rebinds cloud colors per query: compact plans
                     # must store point ids so targets can be re-baked
@@ -270,8 +273,9 @@ def main(argv=None) -> dict:
 
             n_trans = trans_grid.shape[0] - pad
             n_pairs = n_trans * rot_grid.shape[0]
-            hp_h = args.height // init_step
-            hp_w = 2 * args.height // init_step
+            # ceil to match img_init = img_main[::init_step]'s true shape
+            hp_h = -(-args.height // init_step)
+            hp_w = -(-2 * args.height // init_step)
             cap = args.slab_cap or default_plan_bytes_cap()
             slab_bytes = plan.nbytes if plan is not None else 0
             if hist_plan_bytes(n_pairs, hp_h, hp_w) + slab_bytes > cap:

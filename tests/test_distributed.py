@@ -1,11 +1,14 @@
 """init_distributed argument paths and failure loudness.
 
-The real multi-host path can't run in CI; these tests pin the wrapper's
-CONTRACT by faking jax.distributed.initialize: explicit args propagate,
-num_processes=1 is a no-op, partial args are rejected, and a failed
-auto-detect under cluster launch env vars warns loudly (or raises with
-strict=True) instead of silently degrading to a 1/Nth sweep
-(VERDICT r2 weak #4).
+These tests pin the wrapper's CONTRACT by faking
+jax.distributed.initialize: explicit args propagate, num_processes=1 is a
+no-op, partial args are rejected, and a failed auto-detect under cluster
+launch env vars warns loudly (or raises with strict=True) instead of
+silently degrading to a 1/Nth sweep (VERDICT r2 weak #4).
+
+The REAL multi-process path (actual OS processes + a localhost
+coordinator + a concurrent query-sharded sweep) is integration-tested in
+tests/test_multiprocess.py.
 """
 
 import warnings
