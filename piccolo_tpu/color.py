@@ -9,6 +9,14 @@ These are one-time per-query preprocessing steps on uint8-derived data, so
 they run on the host in numpy: the reference's O(N^2) Python interpolation
 loop (``color_utils.py:175-180``) becomes a vectorized ``np.interp``.
 
+One exception: the video tracking extension (tracking.py) localizes a frame
+every few tens of milliseconds, where the host's per-pixel numpy work
+(~0.5 s/frame at 2048x1024) dwarfs the descent itself.  For that path
+:func:`color_match_device` runs the SAME per-channel CDF matching as jnp
+inside the tracked-frame jit — the cloud side is precomputed once per room
+by :func:`cloud_color_cdf`, and the per-frame side (weighted histogram,
+256-entry LUT, per-pixel gather) is device work fused with the descent.
+
 cv2 is used for the uint8 YCrCb round-trip when available (matching the
 reference bit-for-bit); a pure-numpy fallback implements the same fixed
 formulas.
@@ -33,7 +41,14 @@ try:  # pragma: no cover - environment probe
 except Exception:  # pragma: no cover
     _HAS_CV2 = False
 
-__all__ = ["color_mod", "color_match", "rgb_to_ycrcb", "ycrcb_to_rgb"]
+__all__ = [
+    "color_mod",
+    "color_match",
+    "color_match_device",
+    "cloud_color_cdf",
+    "rgb_to_ycrcb",
+    "ycrcb_to_rgb",
+]
 
 
 def rgb_to_ycrcb(rgb_u8: np.ndarray) -> np.ndarray:
@@ -157,3 +172,103 @@ def color_match(img: np.ndarray, rgb: np.ndarray) -> np.ndarray:
 
     flat[nonblack] = matched
     return flat.reshape(H, W, 3)
+
+
+def cloud_color_cdf(rgb: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-channel empirical CDF of the cloud colors, for device matching.
+
+    The cloud side of :func:`color_match` (``np.unique`` + normalized
+    cumulative counts — reference ``color_utils.py:208-214``) depends only
+    on the room, so the tracking fast path precomputes it once here and
+    ships it to the device.
+
+    Returns ``(values, quant)``, both ``(3, K)`` float32, where per channel
+    ``quant[k] = P(color <= values[k])``.  Channels are padded to a common
+    K by extending the last node with strictly increasing quant > 1 and the
+    same value — ``jnp.interp`` never sees duplicate xp, and queries are
+    <= 1 so the pads are inert.
+    """
+    vals, quants = [], []
+    for c in range(3):
+        v, cnt = np.unique(rgb[:, c], return_counts=True)
+        vals.append(v.astype(np.float32))
+        quants.append((np.cumsum(cnt) / rgb.shape[0]).astype(np.float32))
+    k_max = max(v.shape[0] for v in vals)
+    values = np.empty((3, k_max), np.float32)
+    quant = np.empty((3, k_max), np.float32)
+    for c in range(3):
+        n = vals[c].shape[0]
+        values[c, :n] = vals[c]
+        quant[c, :n] = quants[c]
+        if n < k_max:
+            values[c, n:] = vals[c][-1]
+            quant[c, n:] = quants[c][-1] + np.arange(
+                1, k_max - n + 1, dtype=np.float32
+            )
+    return values, quant
+
+
+def color_match_device(img, cdf_values, cdf_quant):
+    """:func:`color_match` as a jittable device program (tracking fast path).
+
+    Same semantics as the host version — truncating 255-bin conversion,
+    sin(latitude) pixel weights, per-channel weighted CDF matched to the
+    cloud CDF via ``interp``, black pixels untouched — with the image-side
+    quantiles accumulated in f32 on-device instead of f64 on the host.
+    The quantile noise (~1e-6 relative) is far below one cloud-CDF step
+    (1/N_points), so outputs agree with the host to float noise
+    (tests/test_color.py golden).
+
+    Args:
+      img: (H, W, 3) float array in [0, 1] (traced).
+      cdf_values / cdf_quant: (3, K) from :func:`cloud_color_cdf`.
+    Returns:
+      (H, W, 3) float32 matched image.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    H, W, _ = img.shape
+    img_i = (img * 255).astype(jnp.int32)  # truncation = reference .long()
+    nonblack = img_i.sum(-1) > 0
+    sin_w = jnp.sin(jnp.arange(H, dtype=jnp.float32) / H * jnp.pi)
+    w = jnp.where(nonblack, sin_w[:, None], 0.0).reshape(-1)
+    flat_i = img_i.reshape(-1, 3)
+    flat = img.reshape(-1, 3)
+    # Weighted 256-bin histogram as an MXU dot instead of a scatter-add:
+    # TPU scatters serialize (measured ~110 ms for the 2M-pixel frame —
+    # 7x the tracked descent itself), so factor each bin id into hi/lo
+    # 16-digits and accumulate hist[hi, lo] = (onehot_hi * w)^T @ onehot_lo
+    # — the same factoring as kernels/histogram_mxu.py.  f32-exact
+    # (precision='highest'; each product is w_t * {0,1}).
+    digits = jnp.arange(16, dtype=jnp.int32)
+    out = []
+    for c in range(3):
+        bins = flat_i[:, c]
+        oh_hi = ((bins[:, None] >> 4) == digits).astype(jnp.float32)
+        oh_lo = ((bins[:, None] & 15) == digits).astype(jnp.float32)
+        hist = jax.lax.dot_general(
+            oh_hi * w[:, None], oh_lo,
+            (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        counts = hist.reshape(256)
+        src_quant = jnp.cumsum(counts)
+        src_quant = src_quant / src_quant[-1]
+        lut = jnp.interp(src_quant, cdf_quant[c], cdf_values[c])
+        # Applying the LUT per pixel is ALSO gather-shaped — and at 2M
+        # rows x 3 channels the gather costs ~60 ms device (row-count
+        # bound), 4x the tracked descent.  Reuse the SAME one-hots to
+        # select from the 16x16-reshaped LUT with two tiny dots instead:
+        # picked[t] = ((oh_hi @ L) * oh_lo).sum(-1) — each row of oh_hi /
+        # oh_lo has exactly one 1, so the selection is f32-exact.
+        picked = (
+            jax.lax.dot_general(
+                oh_hi, lut.reshape(16, 16),
+                (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            * oh_lo
+        ).sum(-1)
+        out.append(jnp.where(nonblack.reshape(-1), picked, flat[:, c]))
+    return jnp.stack(out, -1).reshape(H, W, 3).astype(jnp.float32)

@@ -289,6 +289,21 @@ def synth_ablate(orig: np.ndarray, const=None, gamma=None, wb=None):
     return orig
 
 
+def resize_ablate_omniscenes(cfg, raw: np.ndarray) -> np.ndarray:
+    """The uint8 head of the OmniScenes prep: 2048x1024 resize (reference
+    localize.py:381) + synthetic illumination ablations (localize.py:
+    384-393).  Split out so the tracking fast path can run just this on
+    the host and defer/skip the per-pixel color work."""
+    orig = resize(raw, (2048, 1024))
+    return synth_ablate(
+        orig,
+        const=cfg_get(cfg, "synth_const"),
+        gamma=cfg_get(cfg, "synth_gamma"),
+        wb=((cfg.synth_r, cfg.synth_g, cfg.synth_b)
+            if cfg_get(cfg, "synth_wb") else None),
+    )
+
+
 def prepare_omniscenes_images(cfg, raw: np.ndarray, room: Dict):
     """Per-query OmniScenes image preprocessing (reference localize.py:
     380-410) — shared by the batch harness loop and serve.py.
@@ -303,17 +318,13 @@ def prepare_omniscenes_images(cfg, raw: np.ndarray, room: Dict):
     ``orig`` is the color-processed uint8 image (starting-point dumps
     render against it).
     """
-    orig = resize(raw, (2048, 1024))  # localize.py:381
+    return finish_omniscenes_images(cfg, resize_ablate_omniscenes(cfg, raw), room)
 
-    # synthetic illumination ablations (localize.py:384-393)
-    orig = synth_ablate(
-        orig,
-        const=cfg_get(cfg, "synth_const"),
-        gamma=cfg_get(cfg, "synth_gamma"),
-        wb=((cfg.synth_r, cfg.synth_g, cfg.synth_b)
-            if cfg_get(cfg, "synth_wb") else None),
-    )
 
+def finish_omniscenes_images(cfg, orig: np.ndarray, room: Dict):
+    """The color-processing + resize tail of :func:`prepare_omniscenes_images`
+    (input: the already resized+ablated uint8 panorama).  Also the
+    recovery-path completion of a tracking fast prep, which skipped it."""
     rgb_used = room["rgb"]
     mod_img = orig.astype(np.float32) / 255.0
     if cfg_get(cfg, "match_color", False):
@@ -419,6 +430,8 @@ def _commit_room(room: Dict, dev) -> Dict:
         return room
     for k in ("xyz", "rgb", "mask"):
         room[k] = jax.device_put(room[k], dev)
+    if "cdf" in room:
+        room["cdf"] = tuple(jax.device_put(a, dev) for a in room["cdf"])
     if "grids" in room:
         room["grids"] = room["grids"].to_device(dev)
     room["device"] = dev
@@ -1463,6 +1476,7 @@ def localize_omniscenes(cfg, writer=None, log_dir: str = "./log") -> float:
             DivergenceGate,
             track_kwargs,
             track_step_fetched,
+            track_step_prepped_fetched,
         )
 
         track_gate = DivergenceGate(
@@ -1470,6 +1484,24 @@ def localize_omniscenes(cfg, writer=None, log_dir: str = "./log") -> float:
             ratio=cfg_get(cfg, "track_recover_ratio", 3.0),
         )
         track_kw = track_kwargs(cfg)
+        # Tracked-frame FAST PREP (device-side): eligible unless a frame
+        # needs a host-side surface — starting-point dumps render against
+        # the color-processed uint8 `orig`, and sharpen_color rebinds the
+        # CLOUD colors per frame (host color_mod).  match_color IS
+        # eligible: the room CDF is precomputed once and the per-pixel
+        # matching runs on-device fused with the descent
+        # (color.color_match_device).  Restricted to main_downsample = 1
+        # when matching, so device (match at main size) and host (match at
+        # 2048x1024, then resize) operation orders cannot diverge.
+        match_on = cfg_get(cfg, "match_color", False)
+        track_fast_ok = (
+            not cfg_get(cfg, "save_starting_point", False)
+            and not cfg_get(cfg, "sharpen_color", False)
+            and (not match_on
+                 or (cfg_get(cfg, "main_downsample_h", 1) == 1
+                     and cfg_get(cfg, "main_downsample_w", 1) == 1))
+        )
+        fast_track: set = set()
 
     def _track_frame(img_main, cache, rgb_used):
         return track_step_fetched(
@@ -1498,15 +1530,46 @@ def localize_omniscenes(cfg, writer=None, log_dir: str = "./log") -> float:
             )
             if fused:
                 room["grids"] = _FusedGrids(xyz_np, init_dict)
+            if tracking_on and track_fast_ok and match_on:
+                from ..color import cloud_color_cdf
+
+                vals, qnt = cloud_color_cdf(rgb_np)
+                room["cdf"] = (jnp.asarray(vals), jnp.asarray(qnt))
             _commit_room(room, qdev)
             prep_cache.clear()
             prep_cache.update(pcd=pcd_name, room=room)
         room = prep_cache["room"]
 
-        orig, img_init, img_main, rgb_used, prep_timed = (
-            prepare_omniscenes_images(cfg, imread_rgb(filename), room)
-        )
+        raw = imread_rgb(filename)
         gt_trans, gt_rot = data_mod.obtain_gt_omniscenes(filename)
+        if tracking_on and track_fast_ok and filename in fast_track:
+            # Predicted TRACKED frame: only the uint8 head runs on the
+            # host; per-pixel color work happens on-device inside the
+            # tracked-frame jit.  The uint8 main image transfers from this
+            # prefetch thread (async, 4x smaller than float32),
+            # overlapping the previous frame's compute.  If the consumer
+            # ends up needing the full pipeline (divergence recovery, or
+            # a seed after an errored frame), it completes the host prep
+            # from ``orig_u8`` inline.
+            rt0 = time.time()
+            orig_u8 = resize_ablate_omniscenes(cfg, raw)
+            H0, W0 = orig_u8.shape[:2]
+            main_u8 = resize(
+                orig_u8,
+                (W0 // cfg_get(cfg, "main_downsample_w", 1),
+                 H0 // cfg_get(cfg, "main_downsample_h", 1)),
+            )
+            img_u8 = (jax.device_put(main_u8, qdev) if qdev is not None
+                      else jnp.asarray(main_u8))
+            return dict(
+                video_name=video_name, img_seq=img_seq, img_name=img_name,
+                room=room, fast=True, orig_u8=orig_u8, img_u8=img_u8,
+                rgb_used=room["rgb"], gt_trans=gt_trans, gt_rot=gt_rot,
+                shape=orig_u8.shape[:2], prep_timed=time.time() - rt0,
+            )
+        orig, img_init, img_main, rgb_used, prep_timed = (
+            prepare_omniscenes_images(cfg, raw, room)
+        )
         return dict(
             video_name=video_name, img_seq=img_seq, img_name=img_name,
             room=room, orig=orig, img_init=img_init, img_main=img_main,
@@ -1520,6 +1583,17 @@ def localize_omniscenes(cfg, writer=None, log_dir: str = "./log") -> float:
         if f"{f.split(os.sep)[-2]}/{os.path.basename(f)}" not in csv_out.done
     ]
     pending = [filenames[i] for i in pending_idx]
+    if tracking_on and track_fast_ok:
+        # frames predicted TRACKED = not the first pending frame of their
+        # video (matches the consumer's track_prev check; prediction
+        # misses — divergence recovery, post-error seeds — complete the
+        # host prep inline)
+        prev_vid = None
+        for f in pending:
+            vid = f.split(os.sep)[-2]
+            if vid == prev_vid:
+                fast_track.add(f)
+            prev_vid = vid
     prev_room = None
     # the context manager drains pending writes without letting a writer
     # error mask an in-flight query exception (same shape as the Stanford
@@ -1538,8 +1612,8 @@ def localize_omniscenes(cfg, writer=None, log_dir: str = "./log") -> float:
                 prev_room = cache
                 gt_trans, gt_rot = b["gt_trans"], b["gt_rot"]
                 rgb_used = b["rgb_used"]
-                img_init, img_main = b["img_init"], b["img_main"]
-                orig = b["orig"]
+                img_init, img_main = b.get("img_init"), b.get("img_main")
+                orig = b.get("orig")
                 H0, W0 = b["shape"]
 
                 if _outside_bounds(cache["lo"], cache["hi"], gt_trans):
@@ -1553,9 +1627,21 @@ def localize_omniscenes(cfg, writer=None, log_dir: str = "./log") -> float:
                 with maybe_trace(cfg_get(cfg, "profile_dir")):
                     tracked = recovered = False
                     if tracking_on and track_prev["video"] == video_name:
-                        t, ypr_next, R, loss_k = _track_frame(
-                            img_main, cache, rgb_used
-                        )
+                        if b.get("fast"):
+                            t, ypr_next, R, loss_k = (
+                                track_step_prepped_fetched(
+                                    b["img_u8"], cache["xyz"], rgb_used,
+                                    track_prev["t"], track_prev["ypr"],
+                                    jnp.asarray(cache["lo"]),
+                                    jnp.asarray(cache["hi"]),
+                                    cache["mask"], cdf=cache.get("cdf"),
+                                    **track_kw,
+                                )
+                            )
+                        else:
+                            t, ypr_next, R, loss_k = _track_frame(
+                                img_main, cache, rgb_used
+                            )
                         if not track_gate.diverged(loss_k):
                             tracked = True
                             k = 0
@@ -1565,6 +1651,15 @@ def localize_omniscenes(cfg, writer=None, log_dir: str = "./log") -> float:
                         else:
                             recovered = True
                     if not tracked:
+                        if b.get("fast"):
+                            # fast-prep prediction missed (divergence
+                            # recovery, or a seed after an errored frame):
+                            # complete the host prep from the uint8 head
+                            orig, img_init, img_main, rgb_used, _pt = (
+                                finish_omniscenes_images(
+                                    cfg, b["orig_u8"], cache
+                                )
+                            )
                         if fused:
                             fres = _run_fused(
                                 img_init, img_main, cache, rgb_used, cfg, init_dict,

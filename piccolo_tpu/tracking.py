@@ -26,18 +26,22 @@ every later frame is pure device time.
 
 from __future__ import annotations
 
+import functools
 from collections import deque
 from typing import Callable, NamedTuple, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .color import color_match_device
 from .solver import SolveResult, descend
 
 __all__ = [
     "TrackResult",
     "track_step",
     "track_step_fetched",
+    "track_step_prepped_fetched",
     "track_kwargs",
     "DivergenceGate",
     "Tracker",
@@ -111,22 +115,91 @@ def track_step(
     )
 
 
-def track_step_fetched(
-    img, xyz, rgb, prev_t, prev_ypr, lo, hi, point_mask=None, **kw
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray, float]:
-    """:func:`track_step` + result marshalling through ONE device fetch.
+def _unpack_fetched(res: SolveResult):
+    """Marshal a single-candidate SolveResult through ONE device fetch.
 
     Each fetch costs ~25 ms on a remote-tunnel frontend, so fetching the
     four result arrays separately would dominate the 30-iteration descent
     (measured 126 -> 38 ms/frame).  Returns ``(t (3,), ypr (3,),
-    rot (3, 3), loss)`` as host arrays — the one unpacking of the packed
-    layout, shared by Tracker, the serving track path, and the CLI loop.
+    rot (3, 3), loss)`` as host arrays.
     """
-    res = track_step(img, xyz, rgb, prev_t, prev_ypr, lo, hi, point_mask,
-                     **kw)
     flat = np.asarray(jnp.concatenate([
         res.t[0], res.ypr[0], res.rot[0].ravel(), res.loss[0:1]
     ]))
+    return flat[0:3], flat[3:6], flat[6:15].reshape(3, 3), float(flat[15])
+
+
+def track_step_fetched(
+    img, xyz, rgb, prev_t, prev_ypr, lo, hi, point_mask=None, **kw
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, float]:
+    """:func:`track_step` + the one-fetch result marshalling — shared by
+    Tracker, the serving track path, and the CLI loop."""
+    res = track_step(img, xyz, rgb, prev_t, prev_ypr, lo, hi, point_mask,
+                     **kw)
+    return _unpack_fetched(res)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "masked", "num_iter", "lr", "patience", "factor", "table_dtype",
+        "wrap",
+    ),
+)
+def _track_prepped(
+    img_u8, cdf, xyz, rgb, prev_t, prev_ypr, lo, hi, point_mask,
+    *, masked, num_iter, lr, patience, factor, table_dtype, wrap,
+):
+    """uint8 frame -> normalize (+ device color match) -> descend, fused."""
+    img = img_u8.astype(jnp.float32) / 255.0
+    if cdf is not None:
+        img = color_match_device(img, cdf[0], cdf[1])
+        # mirror the batch path's uint8 requantization of the matched
+        # image (harness finish_omniscenes_images; reference
+        # localize.py:403-405) so tracked and seed frames see the same
+        # quantization regime
+        img = jnp.floor(img * 255.0) / 255.0
+    res = descend(
+        img, xyz, rgb,
+        jnp.asarray(prev_t, jnp.float32).reshape(1, 3),
+        jnp.asarray(prev_ypr, jnp.float32).reshape(1, 3),
+        lo, hi, point_mask,
+        num_iter=num_iter, lr=lr, patience=patience, factor=factor,
+        masked=masked, table_dtype=table_dtype, wrap=wrap,
+    )
+    return jnp.concatenate([
+        res.t[0], res.ypr[0], res.rot[0].ravel(), res.loss[0:1]
+    ])
+
+
+def track_step_prepped_fetched(
+    img_u8, xyz, rgb, prev_t, prev_ypr, lo, hi, point_mask=None,
+    *, cdf=None, num_iter: int = 30, lr: float = 0.03, patience: int = 3,
+    factor: float = 0.5, table_dtype: str = "auto", wrap: bool = False,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, float]:
+    """Tracked-frame fast path: the uint8 panorama goes in, the per-frame
+    image prep runs ON THE DEVICE fused with the descent, one fetch out.
+
+    The batch path's host prep is per-pixel numpy (normalize + optional
+    ``color_match``) — ~0.5 s/frame at 2048x1024, an order of magnitude
+    more than the tracked descent itself.  Here the host only decodes the
+    frame: the uint8 image (4x smaller transfer than float32) is
+    normalized on-device, optionally CDF-matched against the room's
+    precomputed :func:`piccolo_tpu.color.cloud_color_cdf` arrays, and fed
+    to the same descent program, all in ONE jit.
+
+    Args:
+      img_u8: (H, W, 3) uint8 frame (host array or already device-put).
+      cdf: None, or the room's ``(values, quant)`` pair from
+        ``cloud_color_cdf`` — enables the ``match_color`` semantics.
+      Everything else: as :func:`track_step`.
+    """
+    flat = np.asarray(_track_prepped(
+        img_u8, cdf, xyz, rgb, prev_t, prev_ypr, lo, hi, point_mask,
+        masked=point_mask is not None, num_iter=num_iter, lr=lr,
+        patience=patience, factor=factor, table_dtype=table_dtype,
+        wrap=wrap,
+    ))
     return flat[0:3], flat[3:6], flat[6:15].reshape(3, 3), float(flat[15])
 
 

@@ -95,3 +95,44 @@ def test_color_match_preserves_black(rng):
     rgb = rng.random((1000, 3)).astype(np.float32)
     out = color_match(img, rgb)
     assert np.all(out[:8] == 0)
+
+
+def test_color_match_device_matches_host(rng):
+    """The tracking fast path's device CDF matching (color_match_device +
+    cloud_color_cdf) reproduces the host color_match to f32 quantile noise
+    (the image-side CDF accumulates in f32 on-device vs f64 on host)."""
+    import jax.numpy as jnp
+
+    from piccolo_tpu.color import cloud_color_cdf, color_match_device
+
+    img = (rng.random((64, 128, 3)) * 255).astype(np.uint8).astype(np.float32) / 255.0
+    img[5:9, 10:20] = 0.0  # black patch must pass through untouched
+    rgb = rng.random((5000, 3)).astype(np.float32)
+
+    host = color_match(img.copy(), rgb)
+    vals, qnt = cloud_color_cdf(rgb)
+    dev = np.asarray(
+        color_match_device(jnp.asarray(img), jnp.asarray(vals), jnp.asarray(qnt))
+    )
+    assert np.abs(host - dev).max() < 1e-5
+    assert np.all(dev[5:9, 10:20] == 0.0)
+
+
+def test_cloud_color_cdf_padding_inert(rng):
+    """Channels with fewer unique values pad with strictly increasing
+    quant > 1 — jnp.interp over the padded arrays equals np.interp over
+    the unpadded per-channel CDFs for any query in [0, 1]."""
+    import jax.numpy as jnp
+
+    from piccolo_tpu.color import cloud_color_cdf
+
+    rgb = rng.random((2000, 3)).astype(np.float32)
+    rgb[:, 2] = np.round(rgb[:, 2] * 7) / 7  # few unique values -> heavy pad
+    vals, qnt = cloud_color_cdf(rgb)
+    q = np.linspace(0, 1, 513).astype(np.float32)
+    for c in range(3):
+        v, cnt = np.unique(rgb[:, c], return_counts=True)
+        ref = np.interp(q, np.cumsum(cnt) / rgb.shape[0], v)
+        got = np.asarray(jnp.interp(jnp.asarray(q), jnp.asarray(qnt[c]),
+                                    jnp.asarray(vals[c])))
+        np.testing.assert_allclose(got, ref, atol=1e-6)

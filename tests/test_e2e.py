@@ -443,3 +443,48 @@ def test_cli_omniscenes_tracking_mode(tmp_path):
     assert len(rows) == 5
     for r in rows:
         assert float(r[6]) < 0.5, rows
+
+
+def test_cli_tracking_fast_prep_match_color(tmp_path):
+    """tracking=True with match_color=True rides the device-prep fast path
+    (uint8 transfer + on-device CDF matching, room CDF precomputed); a
+    deliberately hair-trigger divergence gate forces recovery frames whose
+    fast prep is completed on the host inline (finish_omniscenes_images)."""
+    from piccolo_tpu.main import main
+    from scripts.make_synth_dataset import main as gen
+
+    root = str(tmp_path / "data")
+    gen([
+        "--root", root, "--rooms", "1", "--queries", "6",
+        "--points", "12000", "--height", "128", "--oracle", "raycast",
+        "--datasets", "omniscenes",
+    ])
+    cfg = _write_cfg(
+        str(tmp_path / "cfg.ini"), "OmniScenes", root,
+        extra="match_color = True\ninit_downsample_h = 2\n"
+              "init_downsample_w = 2\ntracking = True\n"
+              "track_window = 2\ntrack_recover_ratio = 0.9\n",
+    )
+    cfg_text = (
+        open(cfg).read()
+        .replace("z_prior = None", "z_prior = 1.5")
+        .replace("num_trans = 12", "num_trans = 24")
+    )
+    open(cfg, "w").write(cfg_text)
+    log = str(tmp_path / "log_track_fast")
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        main(["--config", cfg, "--log", log, "--no-tensorboard"])
+    out = buf.getvalue()
+    assert "tracking : seed" in out
+    assert "tracking : tracked" in out
+    # the 0.9 gate fires on ordinary loss jitter -> at least one recovery
+    # frame completed its fast prep on the host and ran the full pipeline
+    assert "tracking : recovered" in out
+    _, rows = _read_results(os.path.join(log, "omniscenes_results.csv"))
+    assert len(rows) == 6
+    for r in rows:
+        assert float(r[6]) < 0.5, rows

@@ -142,3 +142,49 @@ def test_tracker_nan_loss_keeps_previous_pose(room, monkeypatch):
     np.testing.assert_array_equal(out.t, t0)
     assert np.isfinite(out.rot).all()
     np.testing.assert_array_equal(tracker.pose[0], t0)
+
+
+def test_track_step_prepped_matches_host_prep(room):
+    """The fused device-prep path (uint8 in, normalize + CDF match on
+    device) agrees with the host-prep path (float image via
+    color.color_match) — the two tracked-frame surfaces must localize
+    identically up to the f32/f64 quantile noise of the device match."""
+    from piccolo_tpu.color import cloud_color_cdf, color_match
+    from piccolo_tpu.tracking import track_step_fetched, track_step_prepped_fetched
+
+    scene, xyz, rgb, lo, hi = room
+    gt_t = np.array([0.3, -0.5, 0.2], np.float32)
+    gt_ypr = np.array([1.0, 0.0, 0.0], np.float32)
+    img_u8 = (raycast_pano(scene, gt_t, gt_ypr, (128, 256)) * 255).astype(np.uint8)
+    prev_t = gt_t + np.array([0.03, -0.02, 0.01], np.float32)
+    prev_ypr = gt_ypr + np.array([0.02, 0.0, 0.0], np.float32)
+    rgb_np = np.asarray(rgb)
+
+    # host path: float conversion + host color_match + uint8 requantize
+    imgf = img_u8.astype(np.float32) / 255.0
+    matched = color_match(imgf, rgb_np)
+    matched = (matched * 255).astype(np.uint8).astype(np.float32) / 255.0
+    t_h, ypr_h, rot_h, loss_h = track_step_fetched(
+        jnp.asarray(matched), xyz, rgb, prev_t, prev_ypr, lo, hi
+    )
+
+    # device path: uint8 in, everything else fused into the jit
+    cdf = tuple(jnp.asarray(a) for a in cloud_color_cdf(rgb_np))
+    t_d, ypr_d, rot_d, loss_d = track_step_prepped_fetched(
+        jnp.asarray(img_u8), xyz, rgb, prev_t, prev_ypr, lo, hi, cdf=cdf
+    )
+    assert np.linalg.norm(t_h - t_d) < 5e-3
+    assert np.linalg.norm(ypr_h - ypr_d) < 5e-3
+    assert abs(loss_h - loss_d) < 1e-3
+
+    # and without match_color the only delta is the device's uint8
+    # normalize (XLA lowers /255 to *(1/255): one-ulp vs numpy)
+    t_p, ypr_p, _, loss_p = track_step_prepped_fetched(
+        jnp.asarray(img_u8), xyz, rgb, prev_t, prev_ypr, lo, hi
+    )
+    t_f, ypr_f, _, loss_f = track_step_fetched(
+        jnp.asarray(imgf), xyz, rgb, prev_t, prev_ypr, lo, hi
+    )
+    np.testing.assert_allclose(t_p, t_f, atol=1e-5)
+    np.testing.assert_allclose(ypr_p, ypr_f, atol=1e-5)
+    assert abs(loss_p - loss_f) < 1e-5
