@@ -579,23 +579,41 @@ def _slab_admission_uncached(cfg, cache, grids, img_init):
     # (4 of 16 B/sample -> 1.25x).  Admission budgets the copy per layout.
     m_f32 = 2.0 if sharpen else 1.0
     m_compact = 1.25 if sharpen else 1.0
+    n_t_build = n_t
     if mode == "auto":
-        n_pairs = n_t * int(grids.rot.shape[0])
+        from ..kernels.slab_sampling import GROUP
+
+        R = int(grids.rot.shape[0])
+        n_pairs = n_t * R
         n_points = int(cache["mask"].shape[0])
         if (not compact
                 and plan_bytes_estimate(n_pairs, n_points) * m_f32 > cap):
             compact = True
-        if (plan_bytes_estimate(n_pairs, n_points, compact=True) * m_compact
-                > cap):
-            return None
+        est_compact = (
+            plan_bytes_estimate(n_pairs, n_points, compact=True) * m_compact
+        )
+        if est_compact > cap:
+            # PARTIAL plan (stretch scales, e.g. 1M pts x 1.4k pairs would
+            # need ~11 GB even compact): cover as many leading candidate
+            # groups as fit the budget and let the pipeline XLA-score the
+            # tail (plan_tail="xla").  The estimate is linear in groups;
+            # n_t must stay a whole number of trans rows so plan.n_pairs
+            # is a multiple of R (localize_query's staleness check).
+            compact = True
+            groups_total = -(-n_pairs // GROUP)
+            groups_fit = int(groups_total * cap / est_compact)
+            n_t_build = groups_fit * GROUP // R
+            if n_t_build < max(1, GROUP // R) or n_t_build >= n_t:
+                return None
         # sharpen_color rebinds cloud colors per query, forcing a per-query
         # target re-bake — only worth it when the XLA gather is slow enough
+        # (a partial plan is judged on the pairs it actually covers)
         if not slab_worthwhile(
-            n_pairs, n_points, img_init.shape[0], img_init.shape[1],
+            n_t_build * R, n_points, img_init.shape[0], img_init.shape[1],
             refresh=sharpen, compact=compact,
         ):
             return None
-    return dict(mode=mode, n_t=n_t, compact=compact,
+    return dict(mode=mode, n_t=n_t, n_t_build=n_t_build, compact=compact,
                 cap=dict(f32=int(cap / m_f32), compact=int(cap / m_compact)),
                 sharpen=sharpen, wrap=bool(cfg_get(cfg, "seam_wrap", False)))
 
@@ -618,6 +636,13 @@ def _maybe_sharded_slab_plan(cfg, cache, grids, img_init, mesh):
     """
     adm = _slab_admission(cfg, cache, grids, img_init)
     if adm is None:
+        return None
+    if adm.get("n_t_build", adm["n_t"]) < adm["n_t"]:
+        # PARTIAL plans (budget-truncated) need the pipeline's XLA-scored
+        # tail, which localize_query_sharded does not compose yet — and a
+        # mesh splits the point axis anyway, so per-shard streams shrink
+        # by mesh['point'] and mostly stay under budget; where they do
+        # not, the sharded stage 1 keeps the XLA path.
         return None
     key = ("slab_plan_sharded", img_init.shape[0], img_init.shape[1],
            adm["compact"], adm["compact"] and adm["sharpen"], adm["wrap"],
@@ -694,7 +719,11 @@ def _maybe_slab_plan(cfg, cache, grids, img_init, sync: bool = False):
         plan_required_blocks,
     )
 
-    mode, n_t = adm["mode"], adm["n_t"]
+    # n_t_build < n_t = PARTIAL plan (the full streams exceed the HBM
+    # budget at stretch scales): build only the leading trans rows that
+    # fit; the pipeline XLA-scores the uncovered tail (plan_tail="xla",
+    # derived by _run_fused from plan.n_pairs < the real pair count)
+    mode, n_t = adm["mode"], adm.get("n_t_build", adm["n_t"])
     compact, cap, sharpen = adm["compact"], adm["cap"], adm["sharpen"]
     wrap = adm["wrap"]
 
@@ -1121,6 +1150,16 @@ def _run_fused(img_init, img_main, cache, rgb_used, cfg, init_dict, grids,
             **kw,
         )
     plan = _maybe_slab_plan(cfg, cache, grids, img_init, sync=sync_plans)
+    # a budget-truncated PARTIAL plan covers fewer pairs than the grids'
+    # real rows — the pipeline must XLA-score the uncovered tail rather
+    # than treat it as grid padding
+    n_real_pairs = (
+        getattr(grids, "n_trans", int(grids.trans.shape[0]))
+        * int(grids.rot.shape[0])
+    )
+    plan_tail = (
+        "xla" if plan is not None and plan.n_pairs < n_real_pairs else "pad"
+    )
     # stage-2 winner-bin planes (admission gates off per-query colour
     # rebinds already, but a rebound rgb_used must never meet baked bins)
     hist_plan = (
@@ -1140,7 +1179,7 @@ def _run_fused(img_init, img_main, cache, rgb_used, cfg, init_dict, grids,
         put(img_init), put(img_main),
         cache["xyz"], rgb_used, grids.trans, grids.rot, grids.valid,
         put(cache["lo"]), put(cache["hi"]), cache["mask"],
-        masked=True, plan=plan, hist_plan=hist_plan,
+        masked=True, plan=plan, hist_plan=hist_plan, plan_tail=plan_tail,
         plan_refresh_rgb=plan is not None and rgb_used is not cache["rgb"],
         descent_table=descent_table, seam_wrap=seam_wrap,
         trajectory=want_traj, descent_prune=prune,

@@ -136,6 +136,7 @@ def _descend(img, xyz, rgb, t0s, ypr0s, lo, hi, point_mask,
         "num_iter", "lr", "patience", "factor", "masked",
         "grid_chunk", "hist_chunk", "plan_refresh_rgb", "descent_table",
         "seam_wrap", "trajectory", "criterion", "descent_prune",
+        "plan_tail",
     ),
 )
 def localize_query(
@@ -169,6 +170,7 @@ def localize_query(
     trajectory: bool = False,
     criterion: str = "loss_histogram",
     descent_prune: Optional[Tuple[int, int]] = None,
+    plan_tail: str = "pad",
 ) -> LocalizeResult:
     """Localize one panorama end-to-end on device.
 
@@ -199,6 +201,15 @@ def localize_query(
     same scores up to f32 summation order, ~16x faster at large image
     sizes.  Set ``plan_refresh_rgb=True`` when ``rgb`` differs from the
     colors the plan was built with (per-query sharpen_color rebinds).
+
+    ``plan_tail``: what candidate pairs beyond ``plan.n_pairs`` are.
+    ``"pad"`` (default) = grid-shape padding (scores +inf, reference
+    behavior); ``"xla"`` = real pairs a PARTIAL plan could not cover
+    under its HBM budget — they are scored with the XLA gather path and
+    composed into the same table (identical ranking semantics; the two
+    engines agree up to f32 summation order).  The harness admission
+    passes "xla" when it had to truncate a plan to fit ``slab_bytes_cap``
+    (stretch-scale rooms, docs/PERFORMANCE.md "Scale stress").
 
     ``hist_plan`` (init.refine.build_hist_plan, room-static) replaces the
     stage-2 per-candidate z-buffer splat with a gather of precomputed
@@ -264,15 +275,40 @@ def localize_query(
     pair_t, pair_r = make_pairs(trans_grid, rot_grid)
     pair_valid = jnp.repeat(trans_valid, R)
     if plan is not None:
-        # the plan covers the leading n_pairs (callers slice grid padding
-        # before planning); anything beyond is padding and scores +inf
+        # the plan covers the leading n_pairs.  What lies beyond depends on
+        # plan_tail: "pad" (default) = grid-shape padding the caller sliced
+        # off before planning — scores +inf; "xla" = REAL pairs a PARTIAL
+        # plan could not cover under its HBM budget (harness admission at
+        # stretch scales) — scored with the XLA gather path so the two
+        # stage-1 engines compose into one full table.
         s_all = slab_pair_scores(
             img_init, plan, rgb if plan_refresh_rgb else None
         )[: T * R]
         if plan.n_pairs < T * R:
-            s_all = jnp.concatenate([
-                s_all, jnp.full(T * R - plan.n_pairs, jnp.inf, s_all.dtype)
-            ])
+            if plan_tail == "xla":
+                tail_t = pair_t[plan.n_pairs:]
+                tail_r = pair_r[plan.n_pairs:]
+                tail_valid = pair_valid[plan.n_pairs:]
+                padt = (-tail_t.shape[0]) % grid_chunk
+                if padt:
+                    tail_t = jnp.concatenate(
+                        [tail_t, jnp.broadcast_to(tail_t[:1], (padt, 3))]
+                    )
+                    tail_r = jnp.concatenate(
+                        [tail_r, jnp.broadcast_to(tail_r[:1], (padt, 3))]
+                    )
+                    tail_valid = jnp.concatenate(
+                        [tail_valid, jnp.zeros(padt, bool)]
+                    )
+                s_tail = _grid_scores(
+                    img_init, xyz, rgb, tail_t, tail_r, tail_valid, pm,
+                    grid_chunk, wrap=seam_wrap,
+                )[: T * R - plan.n_pairs]
+            else:
+                s_tail = jnp.full(
+                    T * R - plan.n_pairs, jnp.inf, s_all.dtype
+                )
+            s_all = jnp.concatenate([s_all, s_tail])
         scores = jnp.where(pair_valid, s_all, jnp.inf)
     else:
         pad = (-pair_t.shape[0]) % grid_chunk

@@ -200,6 +200,72 @@ def test_fused_slab_plan_rgb_refresh_matches_plain(rng):
     np.testing.assert_allclose(np.asarray(slab.t), np.asarray(plain.t), atol=1e-4)
 
 
+def test_fused_partial_plan_xla_tail_matches_plain(rng):
+    """A budget-truncated PARTIAL plan with plan_tail='xla': pairs beyond
+    plan.n_pairs are real candidates scored by the XLA gather path and
+    composed into the same stage-1 table — same starts and winner as the
+    planless pipeline (stretch-scale rooms whose full sorted streams
+    exceed slab_bytes_cap, docs/PERFORMANCE.md "Scale stress")."""
+    from piccolo_tpu.kernels.slab_sampling import build_grid_plan
+
+    xyz, rgb, img, trans, rot, lo, hi, gt_t = _setup(rng)
+    kw = dict(
+        num_intermediate=10, num_input=4,
+        num_iter=30, lr=0.1, patience=5, factor=0.8,
+    )
+    args = (
+        jnp.asarray(img), jnp.asarray(img), jnp.asarray(xyz), jnp.asarray(rgb),
+        jnp.asarray(trans), jnp.asarray(rot),
+        jnp.ones(trans.shape[0], bool), jnp.asarray(lo), jnp.asarray(hi),
+    )
+    plain = localize_query(*args, **kw)
+    # plan covers only the leading 7 of 20 trans rows; the 52-pair tail
+    # (incl. whatever basin holds the GT) must come from the XLA engine
+    plan = build_grid_plan(
+        jnp.asarray(xyz), jnp.asarray(rgb), None,
+        jnp.asarray(trans[:7]), jnp.asarray(rot), img.shape[0], img.shape[1],
+    )
+    assert plan.n_pairs == 7 * rot.shape[0]
+    part = localize_query(*args, plan=plan, plan_tail="xla", **kw)
+
+    plain_starts = {tuple(np.round(r, 5)) for r in np.asarray(plain.start_t)}
+    part_starts = {tuple(np.round(r, 5)) for r in np.asarray(part.start_t)}
+    assert plain_starts == part_starts
+    np.testing.assert_allclose(np.asarray(part.t), np.asarray(plain.t), atol=1e-4)
+    np.testing.assert_allclose(float(part.loss), float(plain.loss), atol=1e-5)
+
+    # default tail semantics unchanged: "pad" treats the tail as +inf
+    # padding, so only plan-covered candidates can be selected
+    padded = localize_query(*args, plan=plan, **kw)
+    covered = {tuple(np.round(r, 5)) for r in np.asarray(trans[:7])}
+    for s in np.asarray(padded.start_t):
+        assert tuple(np.round(s, 5)) in covered
+
+
+def test_fused_partial_plan_tail_padding_rows_never_win(rng):
+    """plan_tail='xla' composes with grid-shape padding: invalid rows in
+    the XLA-scored tail still score +inf and can never reach the descent."""
+    from piccolo_tpu.kernels.slab_sampling import build_grid_plan
+
+    xyz, rgb, img, trans, rot, lo, hi, gt_t = _setup(rng)
+    bad = np.broadcast_to(gt_t, (8, 3)).copy()
+    trans_p = np.concatenate([trans, bad]).astype(np.float32)
+    valid = np.concatenate([np.ones(len(trans), bool), np.zeros(8, bool)])
+    plan = build_grid_plan(
+        jnp.asarray(xyz), jnp.asarray(rgb), None,
+        jnp.asarray(trans[:7]), jnp.asarray(rot), img.shape[0], img.shape[1],
+    )
+    res = localize_query(
+        jnp.asarray(img), jnp.asarray(img), jnp.asarray(xyz), jnp.asarray(rgb),
+        jnp.asarray(trans_p), jnp.asarray(rot),
+        jnp.asarray(valid), jnp.asarray(lo), jnp.asarray(hi),
+        plan=plan, plan_tail="xla",
+        num_intermediate=10, num_input=4, num_iter=5,
+    )
+    for s in np.asarray(res.start_t):
+        assert not np.allclose(s, gt_t, atol=1e-6)
+
+
 @pytest.mark.parametrize("table", ["bfloat16", "uint8"])
 def test_fused_narrow_descent_table_recovers_pose(rng, table):
     """Opt-in narrow descent tables: quantized texels, f32 math, same

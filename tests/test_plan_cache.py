@@ -273,6 +273,64 @@ def test_admission_budgets_the_sharpen_refresh_copy(scene):
         slab_mod.slab_worthwhile = real_worth
 
 
+def test_admission_truncates_to_partial_plan_over_budget(scene, monkeypatch):
+    """A workload whose COMPACT streams exceed the cap no longer falls all
+    the way back to the XLA stage 1 (round 4, verdict r3 #6): admission
+    truncates to the leading candidate groups that fit — a whole number of
+    trans rows so plan.n_pairs stays a multiple of R — and the pipeline
+    XLA-scores the tail (plan_tail='xla')."""
+    import jax
+
+    import piccolo_tpu.kernels.slab_sampling as sm
+    from piccolo_tpu.harness.localize import (
+        _maybe_sharded_slab_plan,
+        _slab_admission,
+    )
+    from piccolo_tpu.kernels.slab_sampling import GROUP, plan_bytes_estimate
+
+    # 128 trans x 4 rots = 512 pairs = 4 GROUP-128 candidate groups
+    rng = np.random.default_rng(7)
+    n_t, R = 128, 4
+    grids = types.SimpleNamespace(
+        trans=jnp.asarray(rng.uniform(-1, 1, (n_t, 3)).astype(np.float32)),
+        rot=scene["rot"], n_trans=n_t,
+    )
+    cache = dict(xyz=scene["xyz"], rgb=scene["rgb"],
+                 mask=jnp.ones(scene["xyz"].shape[0], bool))
+    img = np.asarray(scene["img"])
+    n_points = int(cache["mask"].shape[0])
+    est_c = plan_bytes_estimate(n_t * R, n_points, compact=True)
+
+    monkeypatch.setattr(sm, "slab_worthwhile", lambda *a, **k: True)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    # cap = half the compact estimate: 2 of 4 groups fit
+    cfg = make_config(
+        dataset="Stanford2D-3D-S", slab_init="auto",
+        slab_bytes_cap=int(est_c / 2),
+    )
+    adm = _slab_admission(cfg, cache, grids, img)
+    assert adm is not None and adm["compact"]
+    assert adm["n_t"] == n_t
+    assert adm["n_t_build"] == 2 * GROUP // R  # 64 of 128 rows
+    assert (adm["n_t_build"] * R) % R == 0
+
+    # the sharded stage 1 does not compose the XLA tail yet: partial
+    # admissions must decline a sharded plan (it keeps the XLA path)
+    class _FakeMesh:
+        shape = {"cand": 2, "point": 4}
+        devices = np.empty((0,), object)
+
+    assert _maybe_sharded_slab_plan(cfg, cache, grids, img,
+                                    _FakeMesh()) is None
+
+    # a cap under one group's bytes: no useful partial plan -> XLA path
+    cfg_tiny = make_config(
+        dataset="Stanford2D-3D-S", slab_init="auto",
+        slab_bytes_cap=int(est_c / 8),
+    )
+    assert _slab_admission(cfg_tiny, cache, grids, img) is None
+
+
 def test_tight_nb_retry_on_bucket_padding_overrun(scene, monkeypatch):
     """When the geometric nb bucket's padding alone pushes a compact plan
     over budget, admission retries once with a tight block count instead
