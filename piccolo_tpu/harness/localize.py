@@ -1103,7 +1103,7 @@ def _drop_slab_plans(room) -> None:
 
 
 def _run_fused(img_init, img_main, cache, rgb_used, cfg, init_dict, grids,
-               mesh=None, sync_plans=False, want_traj=False):
+               mesh=None, sync_plans=False, want_traj=False, probe=False):
     kw = dict(
         num_intermediate=cfg_get(cfg, "num_intermediate", 20),
         num_input=cfg_get(cfg, "num_input", 6),
@@ -1116,6 +1116,16 @@ def _run_fused(img_init, img_main, cache, rgb_used, cfg, init_dict, grids,
         criterion=cfg_get(cfg, "criterion", "loss_histogram"),
     )
     prune = _cfg_prune(cfg, want_traj=want_traj)
+    if probe:
+        # room='auto' PROBE (serve._select_room design 2, round 4): a
+        # truncated query whose winner loss only needs to RANK rooms, not
+        # localize — full stage 1+2 (the room's plans compose unchanged),
+        # then a short pruned descent at INIT resolution (img_main :=
+        # img_init: 4-16x smaller sampling table, and the descent is the
+        # dominant per-query cost at dense scale — docs/PERFORMANCE.md).
+        img_main = img_init
+        kw["num_iter"] = int(cfg_get(cfg, "room_auto_probe_iters", 30))
+        prune = (max(1, kw["num_iter"] // 3), min(2, kw["num_input"]))
     descent_table = cfg_get(cfg, "descent_table", "auto")
     seam_wrap = bool(cfg_get(cfg, "seam_wrap", False))
     if mesh is not None:
@@ -1175,7 +1185,22 @@ def _run_fused(img_init, img_main, cache, rgb_used, cfg, init_dict, grids,
     else:
         put = functools.partial(jax.device_put, device=dev)
         rgb_used = rgb_used if rgb_used is cache["rgb"] else put(rgb_used)
-    return localize_query(
+    call = localize_query
+    exec_cache_dir = cfg_get(cfg, "exec_cache_dir", None)
+    if exec_cache_dir:
+        # serving cold-start mitigation (round 4): the axon frontend
+        # recompiles server-side on every process start (~26 s/variant —
+        # the client persistent HLO cache never covers it), so restarts
+        # load the serialized EXECUTABLE instead (~4 s).  Steady-state
+        # cost is one dict lookup.  docs/ROUND4.md §3.
+        from ..pipeline import LOCALIZE_QUERY_STATICS
+        from ..utils.exec_cache import aot_call
+
+        call = functools.partial(
+            aot_call, localize_query, LOCALIZE_QUERY_STATICS,
+            os.path.expanduser(str(exec_cache_dir)),
+        )
+    return call(
         put(img_init), put(img_main),
         cache["xyz"], rgb_used, grids.trans, grids.rot, grids.valid,
         put(cache["lo"]), put(cache["hi"]), cache["mask"],

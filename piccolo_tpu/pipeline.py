@@ -129,16 +129,19 @@ def _descend(img, xyz, rgb, t0s, ypr0s, lo, hi, point_mask,
     return params, losses
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "num_intermediate", "num_input", "num_split_h", "num_split_w",
-        "num_iter", "lr", "patience", "factor", "masked",
-        "grid_chunk", "hist_chunk", "plan_refresh_rgb", "descent_table",
-        "seam_wrap", "trajectory", "criterion", "descent_prune",
-        "plan_tail",
-    ),
+# exported so utils.exec_cache.aot_call can split static from dynamic
+# kwargs without re-stating the list (a Compiled is invoked without its
+# statics — they are baked into the executable)
+LOCALIZE_QUERY_STATICS = (
+    "num_intermediate", "num_input", "num_split_h", "num_split_w",
+    "num_iter", "lr", "patience", "factor", "masked",
+    "grid_chunk", "hist_chunk", "plan_refresh_rgb", "descent_table",
+    "seam_wrap", "trajectory", "criterion", "descent_prune",
+    "plan_tail",
 )
+
+
+@functools.partial(jax.jit, static_argnames=LOCALIZE_QUERY_STATICS)
 def localize_query(
     img_init: jnp.ndarray,
     img_main: jnp.ndarray,

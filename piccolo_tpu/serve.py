@@ -249,6 +249,15 @@ class LocalizeService:
             )
             for di in range(len(self._devices)):  # every chip compiles
                 self._localize_checked(noise, room=name, device_index=di)
+                if (self._max_rooms > 1
+                        and cfg_get(self.cfg, "room_auto_probe", False)):
+                    # room='auto' probes are a distinct program variant
+                    # (init-res descent, truncated budget) — compile it at
+                    # load time too, so the first auto request is steady
+                    cache = self._rooms[name][di]
+                    self._probe_room(
+                        self._prepare(noise, cache), cache, di
+                    )
 
     def load_room_pcd(self, path: str, dataset: Optional[str] = None) -> None:
         """Load a room from an ``x y z r g b`` text cloud (either dataset's
@@ -283,13 +292,18 @@ class LocalizeService:
         ``image``: (H, W, 3) RGB, uint8 or float in [0, 1] (floats are
         requantized to uint8 — the CLI's decode path — so served results
         match the batch harness exactly).  ``room`` selects among resident
-        rooms (default: most recently used); ``room="auto"`` runs the FULL
-        query against every resident room and answers with the lowest
-        final winner loss, returning per-room ``room_scores`` alongside
-        the result (no reference counterpart — the reference assumes the
-        query's room is known; see ``_select_room`` for why the final
-        loss, not a stage-1 score, is the discriminator).  Cost: one full
-        query per resident room.  Preprocessing is the
+        rooms (default: most recently used); ``room="auto"`` picks the
+        room whose localization loss is lowest, returning per-room
+        ``room_scores`` alongside the result (no reference counterpart —
+        the reference assumes the query's room is known; see
+        ``_select_room`` for the two-phase probe design and why a
+        DESCENDED loss, not a stage-1 score, is the discriminator).
+        Cost: one full query per resident room by default; the opt-in
+        two-phase probe (``room_auto_probe = True``) pays one truncated
+        probe per room plus the full query on the probe-ranked finalists
+        — in ``room_scores``, rooms the probe ruled out report their
+        probe loss, finalists their full winner loss.  Preprocessing is
+        the
         harness's own per-query prep (harness.localize.prepare_*_images):
         resize/downsample semantics, color match/sharpen, synth ablations.
         Returns a dict with the winner pose (``t`` (3,), ``rot`` (3, 3)),
@@ -425,18 +439,44 @@ class LocalizeService:
             ypr=ypr, time_s=elapsed, tracked=True,
         )
 
-    def _select_room(self, img: np.ndarray, device_index: int):
-        """room='auto': run the FULL query against every resident room and
-        keep the lowest final winner loss.
+    def _probe_room(self, prep, cache, device_index: int) -> float:
+        """Truncated ranking query for room='auto' (design 2, round 4):
+        full stage 1+2 (the room's resident plans compose unchanged) then a
+        short pruned descent at init resolution — see harness._run_fused
+        ``probe=True``.  Returns the probe winner loss only."""
+        img_init, img_main, rgb_used, _ = prep
+        with self._compute_locks[device_index]:
+            res = _run_fused(
+                img_init, img_main, cache, rgb_used, self.cfg,
+                self.init_dict, cache["grids"], self.mesh, sync_plans=True,
+                probe=True,
+            )
+            return float(np.asarray(res.loss))
 
-        The final loss is the discriminator because the cheap alternative
-        measurably is not: on two same-generator synthetic offices the
-        stage-1 grid MINIMUM barely separates rooms (0.3178 vs 0.3138 —
-        wrong pick, 607 mm error) while the descended winner losses
-        separate decisively (the wrong room cannot descend to a good color
-        match).  Cost: one full query per resident room — the prune speed
-        mode and the mesh compose, since this is just the normal per-room
-        compute in a loop.
+    def _select_room(self, img: np.ndarray, device_index: int):
+        """room='auto': pick the resident room whose localization loss is
+        lowest.
+
+        Default: one FULL query per resident room, lowest finite winner
+        loss answers.  A descended loss is the discriminator because the
+        cheaper alternative measurably is not: on two same-generator
+        synthetic offices the stage-1 grid MINIMUM barely separates rooms
+        (0.3178 vs 0.3138 — wrong pick, 607 mm error) while descended
+        winner losses separate decisively (the wrong room cannot descend
+        to a good color match).
+
+        Opt-in two-phase mode (``room_auto_probe = True``, round 4): a
+        truncated PROBE per room — full stage 1+2 then a short pruned
+        descent at init resolution (``room_auto_probe_iters``, default
+        30) — ranks the rooms; only rooms whose probe loss is within
+        ``room_auto_margin`` (default 3x) of the best run the FULL query
+        (fallback to the full loop whenever no probe loss is finite).
+        Ranking accuracy holds (round-4 12-query/4-room TPU eval: 12/12
+        both modes) but the probe is NOT the default because at the
+        eval's Stanford-like scale it measured SLOWER than the full loop
+        (4.03 s vs 2.02 s median per auto request — the untruncated
+        stage 1+2 makes a probe cost ~a full query there, and the 3x
+        margin admits several finalists; docs/ROUND4.md §4).
         """
         with self._rooms_lock:
             candidates = [
@@ -444,7 +484,7 @@ class LocalizeService:
                 for name, replicas in self._rooms.items()
             ]
         scores: Dict[str, float] = {}
-        best = None
+        preps: Dict[str, tuple] = {}
         # one-ahead prep: room k+1's host prep (possibly hundreds of ms)
         # runs on a thread while room k holds the chip — the auto loop
         # keeps the module's prep/compute overlap design
@@ -453,14 +493,60 @@ class LocalizeService:
         def _prep_into(cache):
             next_prep[0] = self._prepare(img, cache)
 
-        for i, (name, cache) in enumerate(candidates):
-            prep = next_prep[0]
-            th = None
-            if i + 1 < len(candidates):
-                th = threading.Thread(
-                    target=_prep_into, args=(candidates[i + 1][1],)
+        probe = (
+            bool(cfg_get(self.cfg, "room_auto_probe", False))
+            and len(candidates) > 1
+        )
+        order, cut = candidates, None
+        if probe:
+            for i, (name, cache) in enumerate(candidates):
+                prep = preps[name] = next_prep[0]
+                th = None
+                if i + 1 < len(candidates):
+                    th = threading.Thread(
+                        target=_prep_into, args=(candidates[i + 1][1],)
+                    )
+                    th.start()
+                scores[name] = self._probe_room(prep, cache, device_index)
+                if th is not None:
+                    th.join()
+            finite = [s for s in scores.values() if np.isfinite(s)]
+            if finite:
+                margin = float(cfg_get(self.cfg, "room_auto_margin", 3.0))
+                cut = min(finite) * margin
+                # finalists by probe rank; non-finalists follow as the
+                # non-finite-loss fallback chain (a finalist whose FULL
+                # query degenerates must not block a probed-out room)
+                order = sorted(
+                    candidates,
+                    key=lambda nc: (
+                        not (np.isfinite(scores[nc[0]])
+                             and scores[nc[0]] <= cut),
+                        scores[nc[0]],
+                    ),
                 )
-                th.start()
+            # else: no finite probe anywhere — run the full loop below
+            # over every room, preserving the round-3 error semantics
+
+        best = None
+        for i, (name, cache) in enumerate(order):
+            if (cut is not None and best is not None
+                    and np.isfinite(best[1]["loss"])
+                    and not (np.isfinite(scores.get(name, np.inf))
+                             and scores[name] <= cut)):
+                break  # finalists exhausted with a finite answer
+            prep = preps.get(name)
+            if prep is None:
+                # probe-off path: keep the one-ahead prep/compute overlap
+                prep = preps[name] = next_prep[0]
+                th = None
+                if i + 1 < len(order):
+                    th = threading.Thread(
+                        target=_prep_into, args=(order[i + 1][1],)
+                    )
+                    th.start()
+            else:
+                th = None
             fields = self._compute_room(prep, cache, device_index)
             if th is not None:
                 th.join()
@@ -746,6 +832,13 @@ def main(argv=None) -> None:
                     help="pre-warm every preloaded room at this panorama "
                          "shape (e.g. 512x1024) so the first real query "
                          "skips plan build + cold compile (~1 min)")
+    ap.add_argument("--exec-cache", metavar="DIR",
+                    help="serialized-executable cache directory: process "
+                         "restarts load the compiled program (~4 s) instead "
+                         "of recompiling (~26 s/variant on the axon "
+                         "frontend, where the persistent HLO cache never "
+                         "hits — docs/ROUND4.md §3).  Shorthand for "
+                         "--override exec_cache_dir=DIR")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8321)
     ap.add_argument("--data-root",
@@ -764,6 +857,8 @@ def main(argv=None) -> None:
 
     enable_compilation_cache()
     cfg = apply_overrides(parse_ini(args.config), args.override)
+    if args.exec_cache:
+        cfg = apply_overrides(cfg, f"exec_cache_dir={args.exec_cache}")
     svc = LocalizeService(cfg, max_rooms=args.max_rooms,
                           max_pending=args.max_pending)
     for pcd in args.pcd:

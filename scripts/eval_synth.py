@@ -141,6 +141,17 @@ def main(argv=None) -> dict:
                     help="apply the harness's match_color prep (CDF "
                          "matching of the image to the cloud colors, "
                          "reference color_utils.py:146) per query")
+    ap.add_argument("--seam-gt", action="store_true",
+                    help="adversarial seam poses (raycast + yaw-only GT "
+                         "only): after drawing each GT pose, set its yaw so "
+                         "the nearest salient object (occluder center, else "
+                         "nearest wall corner) lands exactly at azimuth "
+                         "phi=+-pi — the panorama seam the reference's "
+                         "+-0.99 grid clip truncates (utils.py:85,97)")
+    ap.add_argument("--seam-wrap", action="store_true",
+                    help="sample across the seam with the opt-in periodic "
+                         "horizontal wrap (ops/sampling.py seam_wrap=True) "
+                         "instead of the reference-parity clip")
     ap.add_argument("--floor-ref", action="store_true",
                     help="floor-referenced scenes (floor at z=0, camera "
                          "height 1.3-1.7 m) with the reference's shipped "
@@ -149,6 +160,8 @@ def main(argv=None) -> dict:
     args = ap.parse_args(argv)
     if args.floor_ref and args.oracle != "raycast":
         raise SystemExit("--floor-ref needs --oracle raycast")
+    if args.seam_gt and (args.oracle != "raycast" or args.full_rot):
+        raise SystemExit("--seam-gt needs --oracle raycast and yaw-only GT")
     prune = None
     if args.prune:
         k, m = (int(v) for v in args.prune.split(","))
@@ -300,6 +313,27 @@ def main(argv=None) -> dict:
                 gt_t, gt_ypr = pose_outside_occluders(
                     rng, occ, size, yaw_only=not args.full_rot
                 )
+            if args.seam_gt:
+                # point the camera so the nearest salient object straddles
+                # the panorama seam: camera azimuth of a world direction at
+                # azimuth a under R = RZ(yaw) is a + yaw, so yaw = pi - a
+                # puts it at phi = +-pi (verified against rot_from_ypr)
+                if occ is not None and occ.size:
+                    centers = occ.mean(axis=1)
+                else:
+                    sx, sy = size[0] / 2.0, size[1] / 2.0
+                    centers = np.array(
+                        [[sx, sy, gt_t[2]], [sx, -sy, gt_t[2]],
+                         [-sx, sy, gt_t[2]], [-sx, -sy, gt_t[2]]],
+                        np.float32,
+                    )
+                d = centers[:, :2] - gt_t[:2]
+                tgt = d[int(np.argmin(np.linalg.norm(d, axis=1)))]
+                yaw = np.pi - np.arctan2(tgt[1], tgt[0])
+                gt_ypr = np.array(
+                    [(yaw + np.pi) % (2 * np.pi) - np.pi, 0.0, 0.0],
+                    np.float32,
+                )
             if scene is not None:
                 # dense camera-like capture: ray-cast + uint8 quantization
                 from piccolo_tpu.harness.localize import synth_ablate
@@ -359,6 +393,7 @@ def main(argv=None) -> dict:
                 lr=0.1, patience=5, factor=0.8, masked=True, plan=plan,
                 plan_refresh_rgb=refresh, hist_plan=hist_plan,
                 descent_table=args.descent_table,
+                seam_wrap=args.seam_wrap,
                 criterion=args.criterion,
                 descent_prune=prune,
             )
@@ -409,6 +444,8 @@ def main(argv=None) -> dict:
         full_rot=bool(args.full_rot),
         descent_table=args.descent_table,
         sharpen=bool(args.sharpen),
+        seam_gt=bool(args.seam_gt),
+        seam_wrap=bool(args.seam_wrap),
         prune=prune,
         queries=n,
         stanford_accuracy=float(stanford_ok / n),

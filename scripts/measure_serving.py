@@ -85,11 +85,20 @@ def mode_sustained(n_queries: int):
     }))
 
 
-def mode_room_auto():
+def mode_room_auto(probe: bool = True, points: int = 60000,
+                   height: int = 512):
+    """The DEPLOY '12/12 correct' eval, timed: 4 resident rooms (incl. the
+    hard same-generator checker pair), 3 auto queries each, plus an
+    explicit-room baseline so the auto overhead is a measured ratio.
+    ``--probe off`` restores the round-3 full-query-per-room selection;
+    ``--points 240000 --height 2048`` runs it at dense OmniScenes scale
+    (where descent dominates each query and the probe's truncated descent
+    should actually pay — docs/ROUND4.md §4)."""
     from piccolo_tpu.serve import LocalizeService
     from piccolo_tpu.testing import make_cluttered_room
 
-    svc = LocalizeService(max_rooms=4, **_CFG)
+    npw, hw = points // 6, (height, 2 * height)
+    svc = LocalizeService(max_rooms=4, room_auto_probe=probe, **_CFG)
     rooms = {}
     for name, (seed, texture, cluttered) in {
         "plain": (1, "plain", False),
@@ -100,24 +109,43 @@ def mode_room_auto():
         rng = np.random.default_rng(seed)
         if cluttered:
             xyz, rgb, _ = make_cluttered_room(
-                rng, n_per_wall=10000, size=SIZE, texture=texture
+                rng, n_per_wall=npw, size=SIZE, texture=texture
             )
         else:
-            xyz, rgb = _make_scene(seed=seed, texture=texture)
+            xyz, rgb = _make_scene(seed=seed, n_per_wall=npw,
+                                   texture=texture)
         rooms[name] = (xyz, rgb)
         svc.load_room(xyz, rgb, name=name)
-    correct, total, errs = 0, 0, []
+    correct, total, errs, times = 0, 0, [], []
     for name, (xyz, rgb) in rooms.items():
-        for img, gt_t in _query_images(xyz, rgb, 3, seed=99 + total):
+        for img, gt_t in _query_images(xyz, rgb, 3, hw=hw, seed=99 + total):
+            t0 = time.time()
             out = svc.localize(img, room="auto")
+            times.append(time.time() - t0)
             right = out["room"] == name
             correct += right
             total += 1
             if right:
                 errs.append(float(np.linalg.norm(out["t"] - gt_t)))
+    # explicit-room steady-state baseline on the same service (programs
+    # are warm by now): 3 queries against one known room
+    base = []
+    for img, _ in _query_images(*rooms["checker_a"], 3, hw=hw, seed=7):
+        t0 = time.time()
+        svc.localize(img, room="checker_a")
+        base.append(time.time() - t0)
+    med_auto = float(np.median(times))
+    med_base = float(np.median(base))
     print(json.dumps({
-        "mode": "room-auto", "correct": correct, "total": total,
+        "mode": "room-auto", "probe": probe,
+        "points": points, "pano": [height, 2 * height],
+        "correct": correct, "total": total,
         "median_t_err_m": round(float(np.median(errs)), 4) if errs else None,
+        "median_auto_s": round(med_auto, 3),
+        "steady_auto_s": round(float(np.median(times[4:])), 3),
+        "median_single_room_s": round(med_base, 3),
+        "x_single_room": round(med_auto / med_base, 2),
+        "auto_s": [round(t, 3) for t in times],
     }))
 
 
@@ -211,18 +239,75 @@ def mode_http(port: int):
     }))
 
 
+def mode_coldstart(exec_cache: str, points: int, height: int):
+    """Serve-level restart cost (docs/ROUND4.md §3): time-to-ready
+    (load_room incl. sync plan build + program warm) and the first real
+    query, in ONE fresh process.  Run three times for the paired numbers:
+    --exec-cache '' (off), --exec-cache DIR on an empty DIR (write), and
+    again on the populated DIR (the restart that matters)."""
+    import jax.numpy as jnp
+
+    from piccolo_tpu.serve import LocalizeService
+
+    # pay the one-time per-process fetch-path init on a 1-element array so
+    # it is reported separately, not inside ready/first-query
+    t0 = time.time()
+    np.asarray(jnp.zeros((1,), jnp.float32))
+    fetch_init_s = time.time() - t0
+
+    xyz, rgb = _make_scene(seed=3, n_per_wall=points // 6)
+    cfg = dict(_CFG)
+    if exec_cache:
+        cfg["exec_cache_dir"] = exec_cache
+    svc = LocalizeService(slab_background_build=False, **cfg)
+    t0 = time.time()
+    svc.load_room(xyz, rgb, name="dense", warm_shape=(height, 2 * height))
+    ready_s = time.time() - t0
+    img, gt_t = _query_images(xyz, rgb, 1, hw=(height, 2 * height),
+                              seed=21)[0]
+    t0 = time.time()
+    out = svc.localize(img)
+    first_s = time.time() - t0
+    print(json.dumps({
+        "mode": "coldstart", "exec_cache": bool(exec_cache),
+        "points": points, "pano": [height, 2 * height],
+        "fetch_init_s": round(fetch_init_s, 1),
+        "ready_s": round(ready_s, 2),
+        "first_query_s": round(first_s, 2),
+        "t_err_m": round(float(np.linalg.norm(out["t"] - gt_t)), 4),
+    }))
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=("http", "sustained", "room-auto"),
+    ap.add_argument("--mode",
+                    choices=("http", "sustained", "room-auto", "coldstart"),
                     default="sustained")
     ap.add_argument("--queries", type=int, default=30,
                     help="query count for --mode sustained")
     ap.add_argument("--port", type=int, default=8341)
+    ap.add_argument("--probe", choices=("on", "off"), default="on",
+                    help="room-auto probe phase (off = round-3 "
+                         "full-query-per-room selection)")
+    ap.add_argument("--exec-cache", default="",
+                    help="--mode coldstart: executable cache dir ('' = off)")
+    ap.add_argument("--points", type=int, default=None,
+                    help="room point count (coldstart default 240000; "
+                         "room-auto default 60000 — pass 240000 for the "
+                         "dense-scale probe measurement)")
+    ap.add_argument("--height", type=int, default=None,
+                    help="pano height, W = 2H (coldstart default 1024; "
+                         "room-auto default 512)")
     args = ap.parse_args(argv)
     if args.mode == "http":
         mode_http(args.port)
     elif args.mode == "room-auto":
-        mode_room_auto()
+        mode_room_auto(probe=args.probe == "on",
+                       points=args.points or 60000,
+                       height=args.height or 512)
+    elif args.mode == "coldstart":
+        mode_coldstart(args.exec_cache, args.points or 240000,
+                       args.height or 1024)
     else:
         mode_sustained(args.queries)
 

@@ -429,15 +429,121 @@ def test_room_auto_composes_with_query_devices(scene):
         assert np.linalg.norm(o["t"] - gt_t) < 0.2
 
 
+def test_room_auto_probe_prunes_full_queries(scene, monkeypatch):
+    """Probe mode (opt-in): every room pays the truncated probe, but the
+    FULL query runs only on probe finalists — with margin=1.0 exactly the
+    probe winner — and the answer still localizes correctly.
+    ``room_scores`` carries the probe loss for ruled-out rooms and the
+    full winner loss for finalists."""
+    rng = np.random.default_rng(31)
+    xyz_a, rgb_a = make_room(rng, n_per_wall=1500, texture="plain")
+    xyz_b, rgb_b, img_b, gt_t = scene
+
+    svc = LocalizeService(max_rooms=2, room_auto_probe=True,
+                          room_auto_margin=1.0, **_CFG)
+    svc.load_room(xyz_a, rgb_a, name="plain")
+    svc.load_room(xyz_b, rgb_b, name="checker")
+
+    full_rooms, probe_rooms = [], []
+    real_full = LocalizeService._compute_room
+    real_probe = LocalizeService._probe_room
+
+    def count_full(self, prep, cache, device_index):
+        full_rooms.append(cache)
+        return real_full(self, prep, cache, device_index)
+
+    def count_probe(self, prep, cache, device_index):
+        probe_rooms.append(cache)
+        return real_probe(self, prep, cache, device_index)
+
+    monkeypatch.setattr(LocalizeService, "_compute_room", count_full)
+    monkeypatch.setattr(LocalizeService, "_probe_room", count_probe)
+    out = svc.localize(img_b, room="auto")
+    assert out["room"] == "checker"
+    assert np.linalg.norm(out["t"] - gt_t) < 0.2
+    assert len(probe_rooms) == 2  # every room probed
+    assert full_rooms == [svc._rooms["checker"][0]]  # one full query
+    # finalist reports its full winner loss == the answered loss
+    assert out["room_scores"]["checker"] == out["loss"]
+    assert np.isfinite(out["room_scores"]["plain"])
+
+
+def test_room_auto_probe_nonfinite(scene, monkeypatch):
+    """Probe-phase non-finite handling: (a) a NaN probe defers that room
+    behind the finalists instead of poisoning the ranking; (b) every
+    probe non-finite falls back to the round-3 full loop over all rooms;
+    (c) when all finalists' full queries degenerate, the fallback chain
+    reaches probed-out rooms rather than erroring."""
+    rng = np.random.default_rng(37)
+    xyz_a, rgb_a = make_room(rng, n_per_wall=800, texture="plain")
+    xyz_b, rgb_b, img_b, gt_t = scene
+
+    svc = LocalizeService(max_rooms=2, room_auto_probe=True, **_CFG)
+    svc.load_room(xyz_a, rgb_a, name="void")
+    svc.load_room(xyz_b, rgb_b, name="checker")
+
+    real_probe = LocalizeService._probe_room
+    real_full = LocalizeService._compute_room
+
+    # (a) void's probe is NaN -> checker is the sole finalist, answers
+    # finite, and void never pays a full query
+    def nan_void_probe(self, prep, cache, device_index):
+        if cache is svc._rooms["void"][device_index]:
+            return float("nan")
+        return real_probe(self, prep, cache, device_index)
+
+    full_rooms = []
+
+    def count_full(self, prep, cache, device_index):
+        full_rooms.append(cache)
+        return real_full(self, prep, cache, device_index)
+
+    monkeypatch.setattr(LocalizeService, "_probe_room", nan_void_probe)
+    monkeypatch.setattr(LocalizeService, "_compute_room", count_full)
+    out = svc.localize(img_b, room="auto")
+    assert out["room"] == "checker"
+    assert np.isfinite(out["loss"])
+    assert np.isnan(out["room_scores"]["void"])
+    assert full_rooms == [svc._rooms["checker"][0]]
+
+    # (b) every probe non-finite -> full loop over every room (round-3
+    # semantics), still the right answer
+    monkeypatch.setattr(
+        LocalizeService, "_probe_room",
+        lambda self, prep, cache, device_index: float("inf"),
+    )
+    full_rooms.clear()
+    out = svc.localize(img_b, room="auto")
+    assert out["room"] == "checker"
+    assert len(full_rooms) == 2
+
+    # (c) finalists' full queries all degenerate -> probed-out rooms are
+    # tried before giving up
+    monkeypatch.setattr(LocalizeService, "_probe_room", real_probe)
+
+    def degrade_checker(self, prep, cache, device_index):
+        fields = real_full(self, prep, cache, device_index)
+        if cache is svc._rooms["checker"][device_index]:
+            fields["loss"] = float("inf")
+        return fields
+
+    monkeypatch.setattr(LocalizeService, "_compute_room", degrade_checker)
+    out = svc.localize(img_b, room="auto")
+    assert out["room"] == "void"
+    assert np.isfinite(out["loss"])
+
+
 def test_room_auto_nonfinite_first_room_cannot_poison_selection(scene, monkeypatch):
     """A room whose localization degenerates to a non-finite loss must
     neither win nor block a later finite room: 'finite < NaN' is False, so
-    naive best-tracking would lock in the first room forever."""
+    naive best-tracking would lock in the first room forever.  Runs
+    probe-off: this pins the FULL-loop semantics (the probe-phase
+    equivalents live in test_room_auto_probe_nonfinite)."""
     rng = np.random.default_rng(29)
     xyz_a, rgb_a = make_room(rng, n_per_wall=800, texture="plain")
     xyz_b, rgb_b, img_b, gt_t = scene
 
-    svc = LocalizeService(max_rooms=2, **_CFG)
+    svc = LocalizeService(max_rooms=2, room_auto_probe=False, **_CFG)
     svc.load_room(xyz_a, rgb_a, name="void")  # loaded FIRST
     svc.load_room(xyz_b, rgb_b, name="checker")
 
