@@ -1699,6 +1699,9 @@ def localize_omniscenes(cfg, writer=None, log_dir: str = "./log") -> float:
                                     jnp.asarray(cache["lo"]),
                                     jnp.asarray(cache["hi"]),
                                     cache["mask"], cdf=cache.get("cdf"),
+                                    exec_cache_dir=cfg_get(
+                                        cfg, "exec_cache_dir", None
+                                    ),
                                     **track_kw,
                                 )
                             )

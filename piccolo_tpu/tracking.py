@@ -27,6 +27,7 @@ every later frame is pure device time.
 from __future__ import annotations
 
 import functools
+import os
 from collections import deque
 from typing import Callable, NamedTuple, Optional, Tuple
 
@@ -139,13 +140,15 @@ def track_step_fetched(
     return _unpack_fetched(res)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "masked", "num_iter", "lr", "patience", "factor", "table_dtype",
-        "wrap",
-    ),
+# exported so utils.exec_cache.aot_call can split static from dynamic
+# kwargs (same pattern as pipeline.LOCALIZE_QUERY_STATICS)
+_TRACK_PREPPED_STATICS = (
+    "masked", "num_iter", "lr", "patience", "factor", "table_dtype",
+    "wrap",
 )
+
+
+@functools.partial(jax.jit, static_argnames=_TRACK_PREPPED_STATICS)
 def _track_prepped(
     img_u8, cdf, xyz, rgb, prev_t, prev_ypr, lo, hi, point_mask,
     *, masked, num_iter, lr, patience, factor, table_dtype, wrap,
@@ -176,6 +179,7 @@ def track_step_prepped_fetched(
     img_u8, xyz, rgb, prev_t, prev_ypr, lo, hi, point_mask=None,
     *, cdf=None, num_iter: int = 30, lr: float = 0.03, patience: int = 3,
     factor: float = 0.5, table_dtype: str = "auto", wrap: bool = False,
+    exec_cache_dir=None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, float]:
     """Tracked-frame fast path: the uint8 panorama goes in, the per-frame
     image prep runs ON THE DEVICE fused with the descent, one fetch out.
@@ -192,9 +196,22 @@ def track_step_prepped_fetched(
       img_u8: (H, W, 3) uint8 frame (host array or already device-put).
       cdf: None, or the room's ``(values, quant)`` pair from
         ``cloud_color_cdf`` — enables the ``match_color`` semantics.
+      exec_cache_dir: None, or the serialized-executable cache directory
+        (``utils.exec_cache``): a process restart loads the tracked
+        program in ~4 s instead of recompiling (~13 s measured on the
+        axon frontend, paid at frame 1 of the first video —
+        docs/ROUND4.md §1/§3).
       Everything else: as :func:`track_step`.
     """
-    flat = np.asarray(_track_prepped(
+    call = _track_prepped
+    if exec_cache_dir:
+        from .utils.exec_cache import aot_call
+
+        call = functools.partial(
+            aot_call, _track_prepped, _TRACK_PREPPED_STATICS,
+            os.path.expanduser(str(exec_cache_dir)),
+        )
+    flat = np.asarray(call(
         img_u8, cdf, xyz, rgb, prev_t, prev_ypr, lo, hi, point_mask,
         masked=point_mask is not None, num_iter=num_iter, lr=lr,
         patience=patience, factor=factor, table_dtype=table_dtype,

@@ -188,3 +188,38 @@ def test_track_step_prepped_matches_host_prep(room):
     np.testing.assert_allclose(t_p, t_f, atol=1e-5)
     np.testing.assert_allclose(ypr_p, ypr_f, atol=1e-5)
     assert abs(loss_p - loss_f) < 1e-5
+
+
+def test_track_step_prepped_exec_cache_identical(room, tmp_path):
+    """The tracked fast path through the executable cache
+    (exec_cache_dir) answers bit-identically to the direct jit call —
+    on CPU the disk layer is disabled by design (utils/exec_cache.py),
+    so this pins the kwarg plumbing + the in-process memoized Compiled."""
+    from piccolo_tpu.color import cloud_color_cdf
+    from piccolo_tpu.tracking import track_step_prepped_fetched
+    from piccolo_tpu.utils.exec_cache import clear_memo
+
+    scene, xyz, rgb, lo, hi = room
+    gt_t = np.array([0.2, -0.4, 0.15], np.float32)
+    gt_ypr = np.array([0.8, 0.0, 0.0], np.float32)
+    img_u8 = (raycast_pano(scene, gt_t, gt_ypr, (128, 256)) * 255).astype(
+        np.uint8)
+    prev_t = gt_t + np.array([0.02, -0.03, 0.01], np.float32)
+    prev_ypr = gt_ypr + np.array([-0.02, 0.0, 0.0], np.float32)
+    cdf = tuple(jnp.asarray(a) for a in cloud_color_cdf(np.asarray(rgb)))
+
+    kw = dict(cdf=cdf, num_iter=12)
+    want = track_step_prepped_fetched(
+        jnp.asarray(img_u8), xyz, rgb, prev_t, prev_ypr, lo, hi, **kw)
+    clear_memo()
+    got = track_step_prepped_fetched(
+        jnp.asarray(img_u8), xyz, rgb, prev_t, prev_ypr, lo, hi,
+        exec_cache_dir=str(tmp_path), **kw)
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
+    # second call rides the memo (no new lowering): still identical
+    got2 = track_step_prepped_fetched(
+        jnp.asarray(img_u8), xyz, rgb, prev_t, prev_ypr, lo, hi,
+        exec_cache_dir=str(tmp_path), **kw)
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(got2[0]))
+    clear_memo()
