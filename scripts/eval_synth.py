@@ -270,6 +270,9 @@ def main(argv=None) -> dict:
                     # sharpen rebinds cloud colors per query: compact plans
                     # must store point ids so targets can be re-baked
                     tp_is_pid=compact and args.sharpen,
+                    # plan table rows bake the seam mode (pipeline.py
+                    # rejects a mode mismatch loudly)
+                    wrap=args.seam_wrap,
                 )
 
         hist_plan = None
