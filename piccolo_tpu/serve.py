@@ -430,7 +430,9 @@ class LocalizeService:
                 jnp.asarray(img_main), cache["xyz"], rgb_used,
                 t_prev, ypr_prev,
                 jnp.asarray(cache["lo"]), jnp.asarray(cache["hi"]),
-                cache["mask"], **track_kwargs(self.cfg),
+                cache["mask"],
+                exec_cache_dir=cfg_get(self.cfg, "exec_cache_dir", None),
+                **track_kwargs(self.cfg),
             )
             elapsed = time.time() - t0 + prep_timed
         return dict(

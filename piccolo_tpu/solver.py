@@ -205,13 +205,15 @@ def _descend_pruned(
     return params, losses, lrs
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "num_iter", "lr", "patience", "factor", "masked", "trajectory",
-        "table_dtype", "wrap", "prune",
-    ),
+# exported so utils.exec_cache.aot_call can split static from dynamic
+# kwargs (same pattern as pipeline.LOCALIZE_QUERY_STATICS)
+DESCEND_STATICS = (
+    "num_iter", "lr", "patience", "factor", "masked", "trajectory",
+    "table_dtype", "wrap", "prune",
 )
+
+
+@functools.partial(jax.jit, static_argnames=DESCEND_STATICS)
 def descend(
     img: jnp.ndarray,
     xyz: jnp.ndarray,

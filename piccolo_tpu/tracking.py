@@ -95,6 +95,7 @@ def track_step(
     factor: float = 0.5,
     table_dtype: str = "auto",
     wrap: bool = False,
+    exec_cache_dir=None,
 ) -> SolveResult:
     """One warm-started descent from the previous frame's pose.
 
@@ -103,9 +104,20 @@ def track_step(
     0.5x plateau) are tuned for centimetre-scale inter-frame motion and
     were gated on a measured synthetic trajectory (docs/ROUND3.md
     "Tracking").  Use the full reference budget (100, 0.1, 5, 0.8/0.9)
-    when frames may be far apart.
+    when frames may be far apart.  ``exec_cache_dir`` routes the descent
+    through the serialized-executable cache (utils.exec_cache) so a
+    fresh process loads the compiled program instead of recompiling.
     """
-    return descend(
+    call = descend
+    if exec_cache_dir:
+        from .solver import DESCEND_STATICS
+        from .utils.exec_cache import aot_call
+
+        call = functools.partial(
+            aot_call, descend, DESCEND_STATICS,
+            os.path.expanduser(str(exec_cache_dir)),
+        )
+    return call(
         img, xyz, rgb,
         jnp.asarray(prev_t, jnp.float32).reshape(1, 3),
         jnp.asarray(prev_ypr, jnp.float32).reshape(1, 3),

@@ -223,3 +223,26 @@ def test_track_step_prepped_exec_cache_identical(room, tmp_path):
         exec_cache_dir=str(tmp_path), **kw)
     np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(got2[0]))
     clear_memo()
+
+
+def test_track_step_fetched_exec_cache_identical(room, tmp_path):
+    """track_step's exec-cache route (the serving tracked path) answers
+    identically to the direct descend jit."""
+    from piccolo_tpu.tracking import track_step_fetched
+    from piccolo_tpu.utils.exec_cache import clear_memo
+
+    scene, xyz, rgb, lo, hi = room
+    gt_t = np.array([0.1, -0.3, 0.05], np.float32)
+    gt_ypr = np.array([0.5, 0.0, 0.0], np.float32)
+    img = jnp.asarray(raycast_pano(scene, gt_t, gt_ypr, (128, 256)))
+    prev_t = gt_t + np.array([0.02, 0.02, -0.01], np.float32)
+    prev_ypr = gt_ypr + np.array([0.01, 0.0, 0.0], np.float32)
+
+    want = track_step_fetched(img, xyz, rgb, prev_t, prev_ypr, lo, hi,
+                              num_iter=12)
+    clear_memo()
+    got = track_step_fetched(img, xyz, rgb, prev_t, prev_ypr, lo, hi,
+                             num_iter=12, exec_cache_dir=str(tmp_path))
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
+    clear_memo()
