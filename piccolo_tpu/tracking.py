@@ -294,6 +294,8 @@ class Tracker:
       window: rolling-median window length.
       num_iter/lr/patience/factor/table_dtype/wrap: per-frame descent
         budget (see :func:`track_step`).
+      exec_cache_dir: optional serialized-executable cache directory
+        (see :func:`track_step`).
     """
 
     def __init__(
@@ -315,6 +317,7 @@ class Tracker:
         factor: float = 0.5,
         table_dtype: str = "auto",
         wrap: bool = False,
+        exec_cache_dir=None,
     ):
         self._cloud = (xyz, rgb, point_mask)
         self._box = (lo, hi)
@@ -327,6 +330,7 @@ class Tracker:
         self._kw = dict(
             num_iter=num_iter, lr=lr, patience=patience, factor=factor,
             table_dtype=table_dtype, wrap=wrap,
+            exec_cache_dir=exec_cache_dir,
         )
 
     @property
