@@ -984,13 +984,15 @@ def _maybe_hist_plan(cfg, cache, grids, img_init, sync: bool = False,
             )
         plane_bytes = hist_plan_bytes(n_pairs, H, W)
         if mesh is not None:
-            # per-DEVICE residency is what the cap protects: on the mesh
-            # the planes shard along 'cand' and the slab streams along
-            # 'point' (each point shard's plan further splits along
-            # 'cand'); dividing by one axis each is the conservative
-            # per-device bound (advisor r3 #5 — the unscaled sum
-            # under-admitted planes on large sharded rooms)
-            plane_bytes //= max(int(mesh.shape["cand"]), 1)
+            # per-DEVICE residency is what the cap protects.  The slab
+            # streams shard along 'point', so their per-device share is
+            # nbytes / point (advisor r3 #5 — the unscaled sum
+            # under-admitted planes on large sharded rooms).  The planes,
+            # however, are BUILT unsharded on one device before
+            # shard_hist_plan lays them out along 'cand' (the base copy is
+            # dropped right after — _maybe_sharded_hist_plan), so the
+            # build-time bound — FULL planes + this device's slab shard —
+            # is the binding one: plane bytes must not be divided.
             slab_bytes //= max(int(mesh.shape["point"]), 1)
         if plane_bytes + slab_bytes > cap:
             return None
@@ -1065,17 +1067,23 @@ def _maybe_sharded_hist_plan(cfg, cache, grids, img_init, mesh):
     size, mesh factorization).  Built synchronously like the sharded slab
     plan — the mesh path is a deliberate warm-room commitment.
     """
+    H, W = int(img_init.shape[0]), int(img_init.shape[1])
+    key = ("hist_plan_sharded", H, W,
+           mesh.shape["cand"], mesh.shape["point"], _mesh_fingerprint(mesh))
+    if key in cache:
+        return cache[key]
     base = _maybe_hist_plan(cfg, cache, grids, img_init, sync=True,
                             mesh=mesh)
     if base is None:
         return None
-    key = ("hist_plan_sharded", int(img_init.shape[0]),
-           int(img_init.shape[1]), mesh.shape["cand"], mesh.shape["point"],
-           _mesh_fingerprint(mesh))
-    if key not in cache:
-        from ..parallel.fused import shard_hist_plan
+    from ..parallel.fused import shard_hist_plan
 
-        cache[key] = shard_hist_plan(mesh, base)
+    cache[key] = shard_hist_plan(mesh, base)
+    # Drop the unsharded base: steady per-device residency must be the
+    # 'cand' shard alone, not shard + full copy on the build device (the
+    # admission in _maybe_hist_plan budgets the full planes only as a
+    # build-time transient).
+    cache.pop(("hist_plan", H, W), None)
     return cache[key]
 
 
@@ -1572,7 +1580,9 @@ def localize_omniscenes(cfg, writer=None, log_dir: str = "./log") -> float:
             jnp.asarray(img_main), cache["xyz"], rgb_used,
             track_prev["t"], track_prev["ypr"],
             jnp.asarray(cache["lo"]), jnp.asarray(cache["hi"]),
-            cache["mask"], **track_kw,
+            cache["mask"],
+            exec_cache_dir=cfg_get(cfg, "exec_cache_dir", None),
+            **track_kw,
         )
 
     def _prepare(filename):

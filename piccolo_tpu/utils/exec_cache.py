@@ -25,8 +25,10 @@ drop-in replacement for ``jitted(*args, **kwargs)``:
   * first call per variant per process: ``lower()`` (~2 s), then either a
     disk hit (deserialize, ~4 s) or ``compile()`` + atomic write for the
     next process.
-  * disk entries are keyed by a sha256 of the lowered StableHLO plus a
-    platform fingerprint (jax version, platform_version, device ids) —
+  * disk entries are keyed by a sha256 of the lowered StableHLO plus the
+    argument device assignment (per-device program variants lower to
+    identical text but must not share an executable) plus a platform
+    fingerprint (jax version, platform_version, device ids) —
     any code, shape, static, jax, or runtime change misses cleanly;
     corrupt/incompatible entries fall back to a fresh compile.
 
@@ -96,9 +98,16 @@ def _disk_enabled() -> bool:
     return jax.default_backend() != "cpu"
 
 
-def _entry_path(cache_dir: str, lowered) -> str:
+def _entry_path(cache_dir: str, lowered, avals) -> str:
+    # The StableHLO text is identical regardless of which device the
+    # arguments are committed to, so the hash must also cover the argument
+    # device assignment (``avals`` carries per-leaf device-id tuples) —
+    # otherwise per-device program variants (serving ``query_devices``,
+    # CLI ``device_index``) would share one entry and the loaded
+    # executable would be pinned to whichever device compiled first.
     h = hashlib.sha256()
     h.update(lowered.as_text().encode())
+    h.update(repr(avals).encode())
     h.update(_fingerprint().encode())
     return os.path.join(cache_dir, h.hexdigest()[:32] + ".jaxexec")
 
@@ -200,7 +209,7 @@ def aot_call(jitted, static_names, cache_dir, *args,
             if compiled is None:
                 lowered = jitted.lower(*args, **kwargs)
                 path = (
-                    _entry_path(cache_dir, lowered)
+                    _entry_path(cache_dir, lowered, sig[1][0])
                     if cache_dir and _disk_enabled() else None
                 )
                 if path is not None and os.path.exists(path):

@@ -172,3 +172,22 @@ def test_harness_exec_cache_switch(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(res_plain.loss), np.asarray(res_aot.loss)
     )
+
+
+def test_entry_path_separates_device_assignments(tmp_path):
+    """Per-device program variants lower to IDENTICAL StableHLO text, so
+    the disk key must also hash the argument device assignment — otherwise
+    serving ``query_devices`` / CLI ``device_index`` variants would share
+    one entry and the loaded executable would be pinned to whichever
+    device compiled first (round-4 review finding)."""
+    from piccolo_tpu.utils.exec_cache import _entry_path
+
+    x = jnp.ones((4,), jnp.float32)
+    lowered = _toy.lower(x, scale=2.0)
+    avals0 = (("arr", (4,), "float32", (0,)),)
+    avals1 = (("arr", (4,), "float32", (1,)),)
+    p0 = _entry_path(str(tmp_path), lowered, avals0)
+    p1 = _entry_path(str(tmp_path), lowered, avals1)
+    assert p0 != p1
+    # and the key is stable for the same assignment
+    assert p0 == _entry_path(str(tmp_path), lowered, avals0)
