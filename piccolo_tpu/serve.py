@@ -369,6 +369,60 @@ class LocalizeService:
             )
         return img_init, img_main, rgb_used, prep_timed
 
+    _PLAN_KEY_HEADS = ("slab_plan", "slab_plan_sharded",
+                       "hist_plan", "hist_plan_sharded")
+
+    def _resident_plan_bytes(self, exclude_cache, device_index: int) -> int:
+        """HBM already held by OTHER resident rooms' plans on this chip."""
+        with self._rooms_lock:
+            rooms = list(self._rooms.values())
+        total = 0
+        for caches in rooms:
+            if device_index >= len(caches):
+                continue
+            c = caches[device_index]
+            if c is exclude_cache:
+                continue
+            for k, v in list(c.items()):
+                if (isinstance(k, tuple) and k
+                        and k[0] in self._PLAN_KEY_HEADS):
+                    total += int(getattr(v, "nbytes", 0) or 0)
+        return total
+
+    def _budget_cfg(self, cache, device_index: int):
+        """Per-call cfg whose plan caps subtract the HBM other resident
+        rooms' plans already hold on this chip.
+
+        Plan admission (`harness.localize._slab_admission` /
+        `_maybe_hist_plan`) budgets each room against a PER-PLAN cap; with
+        ``max_rooms > 1`` the sum of admitted plans can exceed HBM — at
+        dense scale (each compact plan ~7 GB) four resident rooms OOM the
+        chip outright, and not just the plan build: a later ``device_put``
+        of a query image fails (measured, round 4).  Serving owns the
+        resident set, so it reduces the cap per room to what is actually
+        left; admission then demotes later rooms to partial plans / the
+        XLA stage 1 on its existing ladder instead of exhausting HBM.
+        """
+        if self._max_rooms <= 1:
+            return self.cfg
+        other = self._resident_plan_bytes(cache, device_index)
+        if not other:
+            return self.cfg
+        from .kernels.slab_sampling import default_plan_bytes_cap
+
+        base = cfg_get(self.cfg, "slab_bytes_cap")
+        if base is None:
+            base = default_plan_bytes_cap()
+        hist_base = cfg_get(self.cfg, "hist_planes_bytes_cap")
+        overrides = dict(
+            self.cfg._asdict(),
+            slab_bytes_cap=max(0, int(base) - other),
+            hist_planes_bytes_cap=max(
+                0, int(hist_base if hist_base is not None else base) - other
+            ),
+        )
+        return make_config(**overrides)
+
     def _compute_room(self, prep, cache, device_index: int) -> Dict:
         """One full fused query against a room: device compute + the single
         packed result fetch, under the device's compute lock."""
@@ -379,7 +433,8 @@ class LocalizeService:
             # path exists precisely to take this hit at load time; a
             # background build would leave warmed rooms half-compiled)
             res = _run_fused(
-                img_init, img_main, cache, rgb_used, self.cfg,
+                img_init, img_main, cache, rgb_used,
+                self._budget_cfg(cache, device_index),
                 self.init_dict, cache["grids"], self.mesh, sync_plans=True,
             )
             # ONE device fetch: each array fetched separately costs a full
@@ -449,7 +504,8 @@ class LocalizeService:
         img_init, img_main, rgb_used, _ = prep
         with self._compute_locks[device_index]:
             res = _run_fused(
-                img_init, img_main, cache, rgb_used, self.cfg,
+                img_init, img_main, cache, rgb_used,
+                self._budget_cfg(cache, device_index),
                 self.init_dict, cache["grids"], self.mesh, sync_plans=True,
                 probe=True,
             )

@@ -642,3 +642,40 @@ def test_ypr_from_rot_roundtrip():
         got = ypr_from_rot(R)
         R2 = np.asarray(rot_from_ypr(jnp.asarray(got)))
         np.testing.assert_allclose(R2, R, atol=1e-5)
+
+
+def test_budget_cfg_subtracts_resident_plan_bytes(scene):
+    """Plan admission is per room; the service must budget each room's
+    plans against the HBM OTHER resident rooms already hold (at dense
+    scale four ~7 GB plans OOM the chip outright — round-4 measurement).
+    _budget_cfg reduces the caps by the other rooms' resident plan bytes
+    so admission demotes later rooms on its existing ladder."""
+    from piccolo_tpu.config import cfg_get
+
+    xyz, rgb, img, gt_t = scene
+    svc = LocalizeService(max_rooms=2, slab_bytes_cap=1000, **_CFG)
+    svc.load_room(xyz, rgb, name="a")
+    svc.load_room(xyz, rgb, name="b")
+
+    class FakePlan:
+        nbytes = 600
+
+    cache_a = svc._rooms["a"][0]
+    cache_b = svc._rooms["b"][0]
+    cache_a[("slab_plan", 64, 128, True, False, False)] = FakePlan()
+
+    # room b sees a's 600 bytes: caps reduce, other keys untouched
+    cfg_b = svc._budget_cfg(cache_b, 0)
+    assert cfg_get(cfg_b, "slab_bytes_cap") == 400
+    assert cfg_get(cfg_b, "hist_planes_bytes_cap") == 400
+    assert cfg_get(cfg_b, "num_iter") == cfg_get(svc.cfg, "num_iter")
+    # a's own plans are excluded from its own budget
+    assert svc._budget_cfg(cache_a, 0) is svc.cfg
+    # caps floor at zero rather than going negative
+    cache_a[("hist_plan", 64, 128)] = FakePlan()
+    assert cfg_get(svc._budget_cfg(cache_b, 0), "slab_bytes_cap") == 0
+
+    # single-room services skip the accounting entirely
+    svc1 = LocalizeService(max_rooms=1, **_CFG)
+    svc1.load_room(xyz, rgb, name="solo")
+    assert svc1._budget_cfg(svc1._rooms["solo"][0], 0) is svc1.cfg
