@@ -30,7 +30,7 @@ its own intensity bin explicitly.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import numpy as np
 
@@ -43,12 +43,48 @@ except Exception:  # pragma: no cover
 
 __all__ = [
     "color_mod",
+    "color_mod_device",
+    "cloud_sharpen_state",
     "color_match",
     "color_match_device",
     "cloud_color_cdf",
     "rgb_to_ycrcb",
     "ycrcb_to_rgb",
 ]
+
+# cv2's 8-bit YCrCb conversion is FIXED-POINT: 14-bit coefficients with a
+# round-half-up descale ``(x + 2^13) >> 14`` (OpenCV color.cpp; YCRF=0.713,
+# YCBF=0.564 and the inverse 1.403/0.714/0.344/1.773 scaled by 2^14).
+# Replicating the integer math exactly lets (a) the no-cv2 host fallback and
+# (b) the on-device sharpen (color_mod_device) match cv2 BIT-FOR-BIT —
+# verified exhaustively over all 256^3 inputs in both directions
+# (tests/test_color.py).  All intermediates fit int32.
+_R2Y, _G2Y, _B2Y = 4899, 9617, 1868
+_R2CR, _B2CB = 11682, 9241
+_CR2R, _CR2G, _CB2G, _CB2B = 22987, -11698, -5636, 29049
+
+
+def _descale(x):
+    """cv2's CV_DESCALE(x, 14): round-half-up arithmetic shift."""
+    return (x + (1 << 13)) >> 14
+
+
+def _rgb2ycrcb_i32(rgb_i, xp=np):
+    """Exact cv2 RGB->YCrCb on int32 channels (numpy or jax.numpy)."""
+    r, g, b = rgb_i[..., 0], rgb_i[..., 1], rgb_i[..., 2]
+    y = _descale(r * _R2Y + g * _G2Y + b * _B2Y)
+    cr = _descale((r - y) * _R2CR) + 128
+    cb = _descale((b - y) * _B2CB) + 128
+    return xp.clip(xp.stack([y, cr, cb], -1), 0, 255)
+
+
+def _ycrcb2rgb_i32(ycc_i, xp=np):
+    """Exact cv2 YCrCb->RGB on int32 channels (numpy or jax.numpy)."""
+    y, cr, cb = ycc_i[..., 0], ycc_i[..., 1], ycc_i[..., 2]
+    r = y + _descale((cr - 128) * _CR2R)
+    g = y + _descale((cr - 128) * _CR2G + (cb - 128) * _CB2G)
+    b = y + _descale((cb - 128) * _CB2B)
+    return xp.clip(xp.stack([r, g, b], -1), 0, 255)
 
 
 def rgb_to_ycrcb(rgb_u8: np.ndarray) -> np.ndarray:
@@ -57,13 +93,7 @@ def rgb_to_ycrcb(rgb_u8: np.ndarray) -> np.ndarray:
         return cv2.cvtColor(rgb_u8.reshape(1, -1, 3), cv2.COLOR_RGB2YCR_CB).reshape(
             rgb_u8.shape
         )
-    r = rgb_u8[..., 0].astype(np.float64)
-    g = rgb_u8[..., 1].astype(np.float64)
-    b = rgb_u8[..., 2].astype(np.float64)
-    y = 0.299 * r + 0.587 * g + 0.114 * b
-    cr = (r - y) * 0.713 + 128.0
-    cb = (b - y) * 0.564 + 128.0
-    return np.clip(np.stack([y, cr, cb], -1).round(), 0, 255).astype(np.uint8)
+    return _rgb2ycrcb_i32(rgb_u8.astype(np.int32)).astype(np.uint8)
 
 
 def ycrcb_to_rgb(ycc_u8: np.ndarray) -> np.ndarray:
@@ -72,13 +102,7 @@ def ycrcb_to_rgb(ycc_u8: np.ndarray) -> np.ndarray:
         return cv2.cvtColor(ycc_u8.reshape(1, -1, 3), cv2.COLOR_YCR_CB2RGB).reshape(
             ycc_u8.shape
         )
-    y = ycc_u8[..., 0].astype(np.float64)
-    cr = ycc_u8[..., 1].astype(np.float64) - 128.0
-    cb = ycc_u8[..., 2].astype(np.float64) - 128.0
-    r = y + 1.403 * cr
-    g = y - 0.714 * cr - 0.344 * cb
-    b = y + 1.773 * cb
-    return np.clip(np.stack([r, g, b], -1).round(), 0, 255).astype(np.uint8)
+    return _ycrcb2rgb_i32(ycc_u8.astype(np.int32)).astype(np.uint8)
 
 
 def color_mod(
@@ -206,6 +230,155 @@ def cloud_color_cdf(rgb: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
                 1, k_max - n + 1, dtype=np.float32
             )
     return values, quant
+
+
+class SharpenState(NamedTuple):
+    """Room-static inputs of :func:`color_mod_device` (host numpy arrays).
+
+    ``color_mod`` couples the image and the cloud through ONE joint Y
+    histogram, so its cloud side cannot be finished offline the way
+    :func:`cloud_color_cdf` finishes ``color_match``'s — but everything the
+    cloud contributes IS static: its Y histogram (joins the per-frame image
+    histogram) and its YCrCb integer channels (re-luminated through the
+    per-frame LUT).  Rows past the true point count are zero one-hots with
+    Cr = Cb = 128, which the device math maps to exact black — padded cloud
+    rows stay inert without a mask.
+    """
+
+    y_hist: np.ndarray    # (256,) f32 — cloud Y-bin counts (unpadded rows)
+    oh_hi: np.ndarray     # (M, 16) f32 — one-hot of Y>>4 per (padded) point
+    oh_lo: np.ndarray     # (M, 16) f32 — one-hot of Y&15
+    crcb: np.ndarray      # (M, 2) f32 — integer Cr/Cb channels (pads 128)
+
+
+def cloud_sharpen_state(
+    rgb: np.ndarray, pad_to: int | None = None, num_bins: int = 256
+) -> SharpenState:
+    """Precompute the cloud side of :func:`color_mod` for device sharpening.
+
+    Args:
+      rgb: (N, 3) float cloud colors in [0, 1] (the room's UNPADDED colors
+        — the histogram must not count padding rows).
+      pad_to: pad the per-point arrays to this row count (the room's cloud
+        size bucket) so the device output matches the padded cloud shape.
+      num_bins: must be 256 — the device LUT is factored into hi/lo
+        16-digits (kernels/histogram_mxu.py); other values keep the host
+        path (the reference default is 256, ``localize.py:27``).
+    """
+    if num_bins != 256:
+        raise ValueError(
+            f"color_mod_device supports num_bins=256 only (got {num_bins})"
+        )
+    cloud_i = rgb_to_ycrcb(
+        (np.asarray(rgb) * 255).astype(np.uint8)
+    ).astype(np.int32)
+    y = cloud_i[:, 0]
+    n = int(y.shape[0])
+    m = n if pad_to is None else int(pad_to)
+    if m < n:
+        raise ValueError(f"pad_to={m} < cloud size {n}")
+    # host bin index is trunc((y/255)*255) == y exactly for all uint8 y
+    # (verified for the f64 host chain and the f32 device chain alike)
+    hist = np.bincount(y, minlength=256).astype(np.float32)
+    oh_hi = np.zeros((m, 16), np.float32)
+    oh_lo = np.zeros((m, 16), np.float32)
+    rows = np.arange(n)
+    oh_hi[rows, y >> 4] = 1.0
+    oh_lo[rows, y & 15] = 1.0
+    crcb = np.full((m, 2), 128.0, np.float32)
+    crcb[:n] = cloud_i[:, 1:3]
+    return SharpenState(y_hist=hist, oh_hi=oh_hi, oh_lo=oh_lo, crcb=crcb)
+
+
+def _lut_select(oh_hi, oh_lo, lut256):
+    """lut256[bin] for every row, as two tiny MXU dots instead of a gather.
+
+    Rows of ``oh_hi``/``oh_lo`` hold at most one 1 each (zero rows select
+    0.0), so ``((oh_hi @ lut.reshape(16,16)) * oh_lo).sum(-1)`` is an exact
+    f32 selection — the same trick as :func:`color_match_device`, shared
+    here because sharpening applies the LUT to image AND cloud rows.
+    """
+    import jax
+
+    return (
+        jax.lax.dot_general(
+            oh_hi, lut256.reshape(16, 16),
+            (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        * oh_lo
+    ).sum(-1)
+
+
+def color_mod_device(img, state: SharpenState):
+    """:func:`color_mod` as a jittable device program (tracking fast path).
+
+    The host sharpen reduces EXACTLY to integer math: cv2's fixed-point
+    YCrCb conversions (replicated bit-for-bit by ``_rgb2ycrcb_i32`` /
+    ``_ycrcb2rgb_i32``), a joint 256-bin Y histogram, and a 256-entry
+    luminance LUT ``lut[k] = trunc(cdf[k] * 255)``.  Here the image
+    histogram runs as a factored one-hot MXU dot (scatter-free, docs/
+    ROUND4.md §1), the LUT is computed with exact int32 arithmetic
+    ``(255 * cumsum) // total``, and both LUT applications (2M image
+    pixels + the cloud) are one-hot dot selections — no gathers, no
+    scatters anywhere.
+
+    Documented delta vs the host: the host computes the CDF in f64
+    (normalize, cumsum, scale) whose rounding can cross a truncation
+    boundary where ``255 * cumsum`` is an exact multiple of the total —
+    the device's integer floor is the mathematically exact value there.
+    At most one luminance level per affected bin; golden-tested
+    (tests/test_color.py) to >=99.9% bit-equality and <=1 Y-level
+    everywhere.
+
+    Args:
+      img: (H, W, 3) float array in [0, 1] (traced).
+      state: the room's :func:`cloud_sharpen_state`.
+    Returns:
+      ``(img, rgb)`` — the sharpened image (H, W, 3) f32 and the
+      re-luminated (padded) cloud colors (M, 3) f32, matching the host
+      ``color_mod`` outputs.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    H, W, _ = img.shape
+    img_i = (img * 255).astype(jnp.int32)  # truncation = reference .long()
+    nonblack = img_i.sum(-1) > 0
+    ycc = _rgb2ycrcb_i32(img_i, xp=jnp)
+    y = ycc[..., 0].reshape(-1)
+    w = nonblack.reshape(-1).astype(jnp.float32)
+    digits = jnp.arange(16, dtype=jnp.int32)
+    oh_hi = ((y[:, None] >> 4) == digits).astype(jnp.float32)
+    oh_lo = ((y[:, None] & 15) == digits).astype(jnp.float32)
+    img_hist = jax.lax.dot_general(
+        oh_hi * w[:, None], oh_lo,
+        (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(256)
+    # joint counts are exact integers in f32 (< 2^24), so the LUT floor is
+    # exact in int32: 255 * cumsum <= 255 * (pixels + points) < 2^31
+    joint = (img_hist + jnp.asarray(state.y_hist)).astype(jnp.int32)
+    csum = jnp.cumsum(joint)
+    lut = ((255 * csum) // csum[-1]).astype(jnp.float32)
+
+    y_img = _lut_select(oh_hi, oh_lo, lut).astype(jnp.int32)
+    new_rgb_i = _ycrcb2rgb_i32(
+        jnp.stack([y_img.reshape(H, W), ycc[..., 1], ycc[..., 2]], -1),
+        xp=jnp,
+    )
+    img_out = jnp.where(
+        nonblack[..., None], new_rgb_i.astype(jnp.float32) / 255.0, img
+    )
+
+    y_cloud = _lut_select(
+        jnp.asarray(state.oh_hi), jnp.asarray(state.oh_lo), lut
+    ).astype(jnp.int32)
+    crcb = jnp.asarray(state.crcb).astype(jnp.int32)
+    cloud_i = _ycrcb2rgb_i32(
+        jnp.stack([y_cloud, crcb[:, 0], crcb[:, 1]], -1), xp=jnp
+    )
+    return img_out.astype(jnp.float32), cloud_i.astype(jnp.float32) / 255.0
 
 
 def color_match_device(img, cdf_values, cdf_quant):

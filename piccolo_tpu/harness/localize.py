@@ -1165,6 +1165,7 @@ def _run_fused(img_init, img_main, cache, rgb_used, cfg, init_dict, grids,
             descent_table=descent_table, seam_wrap=seam_wrap, plan=plan,
             plan_refresh_rgb=plan is not None and rgb_used is not cache["rgb"],
             hist_plan=hist_plan, descent_prune=prune,
+            exec_cache_dir=cfg_get(cfg, "exec_cache_dir", None),
             **kw,
         )
     plan = _maybe_slab_plan(cfg, cache, grids, img_init, sync=sync_plans)
@@ -1558,20 +1559,31 @@ def localize_omniscenes(cfg, writer=None, log_dir: str = "./log") -> float:
         track_kw = track_kwargs(cfg)
         # Tracked-frame FAST PREP (device-side): eligible unless a frame
         # needs a host-side surface — starting-point dumps render against
-        # the color-processed uint8 `orig`, and sharpen_color rebinds the
-        # CLOUD colors per frame (host color_mod).  match_color IS
-        # eligible: the room CDF is precomputed once and the per-pixel
-        # matching runs on-device fused with the descent
-        # (color.color_match_device).  Restricted to main_downsample = 1
-        # when matching, so device (match at main size) and host (match at
-        # 2048x1024, then resize) operation orders cannot diverge.
+        # the color-processed uint8 `orig`.  match_color IS eligible: the
+        # room CDF is precomputed once and the per-pixel matching runs
+        # on-device fused with the descent (color.color_match_device).
+        # sharpen_color is ALSO eligible (round 5): the cloud's Y
+        # histogram and YCrCb channels are room-static
+        # (color.cloud_sharpen_state), and the joint equalization —
+        # including the per-frame CLOUD color rebind — runs inside the
+        # tracked jit (color.color_mod_device); requires the 256-bin
+        # default (the device LUT is hi/lo-16 factored).  Both color modes
+        # are restricted to main_downsample = 1, so device (color work at
+        # main size) and host (at 2048x1024, then resize) operation orders
+        # cannot diverge.
+        # `track_fast_prep = False` forces the host prep frame-for-frame
+        # (debug/measurement escape hatch; behavior equality between the
+        # two placements is test-guarded, tests/test_tracking.py).
         match_on = cfg_get(cfg, "match_color", False)
+        sharpen_on = cfg_get(cfg, "sharpen_color", False)
+        main_full = (cfg_get(cfg, "main_downsample_h", 1) == 1
+                     and cfg_get(cfg, "main_downsample_w", 1) == 1)
         track_fast_ok = (
-            not cfg_get(cfg, "save_starting_point", False)
-            and not cfg_get(cfg, "sharpen_color", False)
-            and (not match_on
-                 or (cfg_get(cfg, "main_downsample_h", 1) == 1
-                     and cfg_get(cfg, "main_downsample_w", 1) == 1))
+            cfg_get(cfg, "track_fast_prep", True)
+            and not cfg_get(cfg, "save_starting_point", False)
+            and (not match_on or main_full)
+            and (not sharpen_on
+                 or (main_full and cfg_get(cfg, "num_bins", 256) == 256))
         )
         fast_track: set = set()
 
@@ -1609,6 +1621,16 @@ def localize_omniscenes(cfg, writer=None, log_dir: str = "./log") -> float:
 
                 vals, qnt = cloud_color_cdf(rgb_np)
                 room["cdf"] = (jnp.asarray(vals), jnp.asarray(qnt))
+            if tracking_on and track_fast_ok and sharpen_on:
+                from ..color import SharpenState, cloud_sharpen_state
+
+                st = cloud_sharpen_state(
+                    rgb_np, pad_to=int(mask_d.shape[0]),
+                    num_bins=cfg_get(cfg, "num_bins", 256),
+                )
+                room["sharpen"] = SharpenState(
+                    *(jnp.asarray(a) for a in st)
+                )
             _commit_room(room, qdev)
             prep_cache.clear()
             prep_cache.update(pcd=pcd_name, room=room)
@@ -1709,6 +1731,7 @@ def localize_omniscenes(cfg, writer=None, log_dir: str = "./log") -> float:
                                     jnp.asarray(cache["lo"]),
                                     jnp.asarray(cache["hi"]),
                                     cache["mask"], cdf=cache.get("cdf"),
+                                    sharpen=cache.get("sharpen"),
                                     exec_cache_dir=cfg_get(
                                         cfg, "exec_cache_dir", None
                                     ),

@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .color import color_match_device
+from .color import color_match_device, color_mod_device
 from .solver import SolveResult, descend
 
 __all__ = [
@@ -162,10 +162,15 @@ _TRACK_PREPPED_STATICS = (
 
 @functools.partial(jax.jit, static_argnames=_TRACK_PREPPED_STATICS)
 def _track_prepped(
-    img_u8, cdf, xyz, rgb, prev_t, prev_ypr, lo, hi, point_mask,
+    img_u8, cdf, sharpen, xyz, rgb, prev_t, prev_ypr, lo, hi, point_mask,
     *, masked, num_iter, lr, patience, factor, table_dtype, wrap,
 ):
-    """uint8 frame -> normalize (+ device color match) -> descend, fused."""
+    """uint8 frame -> normalize (+ device color match/sharpen) -> descend,
+    fused in one program.  ``sharpen`` (a ``color.SharpenState`` of device
+    arrays, or None) mirrors the host prep's ``color_mod`` AFTER the
+    optional match (harness finish_omniscenes_images order; reference
+    localize.py:396-410) and rebinds the CLOUD colors for this frame's
+    descent, exactly as the host path rebinds ``rgb_used``."""
     img = img_u8.astype(jnp.float32) / 255.0
     if cdf is not None:
         img = color_match_device(img, cdf[0], cdf[1])
@@ -174,6 +179,11 @@ def _track_prepped(
         # localize.py:403-405) so tracked and seed frames see the same
         # quantization regime
         img = jnp.floor(img * 255.0) / 255.0
+    if sharpen is not None:
+        # the host applies color_mod to the float matched image — its
+        # internal trunc-to-uint8 sees the same integers as the
+        # requantized image above, so the chain is order-exact
+        img, rgb = color_mod_device(img, sharpen)
     res = descend(
         img, xyz, rgb,
         jnp.asarray(prev_t, jnp.float32).reshape(1, 3),
@@ -189,9 +199,9 @@ def _track_prepped(
 
 def track_step_prepped_fetched(
     img_u8, xyz, rgb, prev_t, prev_ypr, lo, hi, point_mask=None,
-    *, cdf=None, num_iter: int = 30, lr: float = 0.03, patience: int = 3,
-    factor: float = 0.5, table_dtype: str = "auto", wrap: bool = False,
-    exec_cache_dir=None,
+    *, cdf=None, sharpen=None, num_iter: int = 30, lr: float = 0.03,
+    patience: int = 3, factor: float = 0.5, table_dtype: str = "auto",
+    wrap: bool = False, exec_cache_dir=None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, float]:
     """Tracked-frame fast path: the uint8 panorama goes in, the per-frame
     image prep runs ON THE DEVICE fused with the descent, one fetch out.
@@ -208,6 +218,10 @@ def track_step_prepped_fetched(
       img_u8: (H, W, 3) uint8 frame (host array or already device-put).
       cdf: None, or the room's ``(values, quant)`` pair from
         ``cloud_color_cdf`` — enables the ``match_color`` semantics.
+      sharpen: None, or the room's ``color.cloud_sharpen_state`` — enables
+        the ``sharpen_color`` semantics (joint Y-histogram equalization,
+        rebinding BOTH the frame and the cloud colors on-device).  Applied
+        after the match, in host-prep order.
       exec_cache_dir: None, or the serialized-executable cache directory
         (``utils.exec_cache``): a process restart loads the tracked
         program in ~4 s instead of recompiling (~13 s measured on the
@@ -224,7 +238,8 @@ def track_step_prepped_fetched(
             os.path.expanduser(str(exec_cache_dir)),
         )
     flat = np.asarray(call(
-        img_u8, cdf, xyz, rgb, prev_t, prev_ypr, lo, hi, point_mask,
+        img_u8, cdf, sharpen, xyz, rgb, prev_t, prev_ypr, lo, hi,
+        point_mask,
         masked=point_mask is not None, num_iter=num_iter, lr=lr,
         patience=patience, factor=factor, table_dtype=table_dtype,
         wrap=wrap,

@@ -72,6 +72,70 @@ def test_color_mod_matches_reference(rng):
     assert np.all(our_img[:4, :4] == 0)
 
 
+def test_ycrcb_int32_exhaustive_vs_cv2():
+    """The int32 fixed-point YCrCb conversions (the no-cv2 host fallback
+    AND the device sharpen's math) equal cv2 BIT-FOR-BIT over all 256^3
+    uint8 triples, in both directions (chunked to bound peak memory)."""
+    from piccolo_tpu.color import _rgb2ycrcb_i32, _ycrcb2rgb_i32
+
+    n = 256 ** 3
+    step = 1 << 22
+    base = np.arange(step, dtype=np.int64)
+    for lo in range(0, n, step):
+        v = lo + base
+        tri = np.stack([v >> 16, (v >> 8) & 255, v & 255], -1).astype(np.uint8)
+        ref = cv2.cvtColor(tri.reshape(1, -1, 3), cv2.COLOR_RGB2YCR_CB)
+        got = _rgb2ycrcb_i32(tri.astype(np.int32)).astype(np.uint8)
+        np.testing.assert_array_equal(got, ref.reshape(-1, 3))
+        ref_b = cv2.cvtColor(tri.reshape(1, -1, 3), cv2.COLOR_YCR_CB2RGB)
+        got_b = _ycrcb2rgb_i32(tri.astype(np.int32)).astype(np.uint8)
+        np.testing.assert_array_equal(got_b, ref_b.reshape(-1, 3))
+
+
+def test_color_mod_device_matches_host(rng):
+    """The tracking fast path's device sharpen (cloud_sharpen_state +
+    color_mod_device) reproduces the host color_mod: the YCrCb math and
+    the LUT are integer-exact, so the only permitted delta is the
+    documented f64-vs-int32 truncation boundary — at most ONE uint8 level
+    (a Y-level shift moves every RGB channel by exactly that level), at a
+    tiny per-pixel rate.  Black pixels and padding rows stay exact black."""
+    import jax.numpy as jnp
+
+    from piccolo_tpu.color import (
+        SharpenState,
+        cloud_sharpen_state,
+        color_mod_device,
+    )
+
+    img = (rng.random((48, 96, 3)) * 255).astype(np.uint8)
+    imgf = img.astype(np.float32) / 255.0
+    imgf[:6, :6] = 0.0
+    rgb = (rng.random((3000, 3)) * 255).astype(np.uint8).astype(np.float32) / 255.0
+
+    h_img, h_rgb = color_mod(imgf.copy(), rgb, 256)
+    st = cloud_sharpen_state(rgb, pad_to=3300)
+    st_j = SharpenState(*(jnp.asarray(a) for a in st))
+    d_img, d_rgb = color_mod_device(jnp.asarray(imgf), st_j)
+    d_img, d_rgb = np.asarray(d_img), np.asarray(d_rgb)
+
+    tol = 1.001 / 255.0
+    assert np.abs(d_img - h_img).max() <= tol
+    assert np.abs(d_rgb[:3000] - h_rgb).max() <= tol
+    assert (np.abs(d_img - h_img) > 1e-7).mean() < 1e-3
+    assert np.all(d_img[:6, :6] == 0.0)
+    assert np.all(d_rgb[3000:] == 0.0)
+
+
+def test_cloud_sharpen_state_validation(rng):
+    from piccolo_tpu.color import cloud_sharpen_state
+
+    rgb = rng.random((100, 3)).astype(np.float32)
+    with pytest.raises(ValueError, match="num_bins"):
+        cloud_sharpen_state(rgb, num_bins=128)
+    with pytest.raises(ValueError, match="pad_to"):
+        cloud_sharpen_state(rgb, pad_to=50)
+
+
 def test_color_match_statistics(rng):
     """color_match shifts the image CDF toward the cloud's colors."""
     img = np.clip(rng.random((32, 64, 3)) * 0.5, 0, 1).astype(np.float32)  # dark image

@@ -488,3 +488,47 @@ def test_cli_tracking_fast_prep_match_color(tmp_path):
     assert len(rows) == 6
     for r in rows:
         assert float(r[6]) < 0.5, rows
+
+
+def test_cli_tracking_fast_prep_sharpen_color(tmp_path):
+    """tracking=True with sharpen_color=True (the Stanford-profile default)
+    rides the device-prep fast path: the room's cloud_sharpen_state is
+    precomputed once and the joint Y-equalization — including the
+    per-frame CLOUD color rebind — runs inside the tracked jit
+    (color.color_mod_device).  Accuracy must match the host-prep batch
+    semantics frame-for-frame."""
+    from piccolo_tpu.main import main
+    from scripts.make_synth_dataset import main as gen
+
+    root = str(tmp_path / "data")
+    gen([
+        "--root", root, "--rooms", "1", "--queries", "6",
+        "--points", "12000", "--height", "128", "--oracle", "raycast",
+        "--datasets", "omniscenes",
+    ])
+    cfg = _write_cfg(
+        str(tmp_path / "cfg.ini"), "OmniScenes", root,
+        extra="sharpen_color = True\ninit_downsample_h = 2\n"
+              "init_downsample_w = 2\ntracking = True\n"
+              "track_window = 4\n",
+    )
+    cfg_text = (
+        open(cfg).read()
+        .replace("z_prior = None", "z_prior = 1.5")
+        .replace("num_trans = 12", "num_trans = 24")
+    )
+    open(cfg, "w").write(cfg_text)
+    log = str(tmp_path / "log_track_sharpen")
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        main(["--config", cfg, "--log", log, "--no-tensorboard"])
+    out = buf.getvalue()
+    assert "tracking : seed" in out
+    assert "tracking : tracked" in out
+    _, rows = _read_results(os.path.join(log, "omniscenes_results.csv"))
+    assert len(rows) == 6
+    for r in rows:
+        assert float(r[6]) < 0.5, rows

@@ -190,6 +190,69 @@ def test_track_step_prepped_matches_host_prep(room):
     assert abs(loss_p - loss_f) < 1e-5
 
 
+def test_track_step_prepped_sharpen_matches_host_prep(room):
+    """sharpen_color inside the tracked jit: the fused device path (uint8
+    in, joint Y-equalization of frame AND cloud on device) localizes
+    identically to the host path (color_mod on the host, sharpened image
+    and rebound cloud colors fed to the plain descent).  The sharpen math
+    is integer-exact up to the documented 1-level truncation boundary, so
+    the poses agree to descent float noise."""
+    from piccolo_tpu.color import (
+        SharpenState,
+        cloud_sharpen_state,
+        color_match,
+        color_mod,
+        cloud_color_cdf,
+    )
+    from piccolo_tpu.tracking import track_step_fetched, track_step_prepped_fetched
+
+    scene, xyz, rgb, lo, hi = room
+    gt_t = np.array([0.3, -0.5, 0.2], np.float32)
+    gt_ypr = np.array([1.0, 0.0, 0.0], np.float32)
+    img_u8 = (raycast_pano(scene, gt_t, gt_ypr, (128, 256)) * 255).astype(np.uint8)
+    prev_t = gt_t + np.array([0.03, -0.02, 0.01], np.float32)
+    prev_ypr = gt_ypr + np.array([0.02, 0.0, 0.0], np.float32)
+    rgb_np = np.asarray(rgb)
+
+    # host path: color_mod + requantize (harness finish_omniscenes_images)
+    imgf = img_u8.astype(np.float32) / 255.0
+    mod_img, mod_rgb = color_mod(imgf, rgb_np, 256)
+    mod_img = (mod_img * 255).astype(np.uint8).astype(np.float32) / 255.0
+    t_h, ypr_h, _, loss_h = track_step_fetched(
+        jnp.asarray(mod_img), xyz, jnp.asarray(mod_rgb), prev_t, prev_ypr,
+        lo, hi,
+    )
+
+    st = cloud_sharpen_state(rgb_np, pad_to=rgb_np.shape[0])
+    st_j = SharpenState(*(jnp.asarray(a) for a in st))
+    t_d, ypr_d, _, loss_d = track_step_prepped_fetched(
+        jnp.asarray(img_u8), xyz, rgb, prev_t, prev_ypr, lo, hi,
+        sharpen=st_j,
+    )
+    assert np.linalg.norm(t_h - t_d) < 2e-3
+    assert np.linalg.norm(ypr_h - ypr_d) < 2e-3
+    assert abs(loss_h - loss_d) < 1e-4
+
+    # match + sharpen chained (finish_omniscenes_images order): host does
+    # match -> color_mod on the float matched image; the intermediate
+    # uint8 requantization is trunc-equivalent in both paths
+    matched = color_match(imgf, rgb_np)
+    mod_img2, mod_rgb2 = color_mod(matched, rgb_np, 256)
+    mod_img2 = (mod_img2 * 255).astype(np.uint8).astype(np.float32) / 255.0
+    t_h2, ypr_h2, _, loss_h2 = track_step_fetched(
+        jnp.asarray(mod_img2), xyz, jnp.asarray(mod_rgb2), prev_t, prev_ypr,
+        lo, hi,
+    )
+    cdf = tuple(jnp.asarray(a) for a in cloud_color_cdf(rgb_np))
+    t_d2, ypr_d2, _, loss_d2 = track_step_prepped_fetched(
+        jnp.asarray(img_u8), xyz, rgb, prev_t, prev_ypr, lo, hi,
+        cdf=cdf, sharpen=st_j,
+    )
+    assert np.linalg.norm(t_h2 - t_d2) < 5e-3
+    assert np.linalg.norm(ypr_h2 - ypr_d2) < 5e-3
+    assert abs(loss_h2 - loss_d2) < 1e-3
+
+
 def test_track_step_prepped_exec_cache_identical(room, tmp_path):
     """The tracked fast path through the executable cache
     (exec_cache_dir) answers bit-identically to the direct jit call —
