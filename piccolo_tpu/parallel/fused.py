@@ -311,15 +311,22 @@ def _pad_clone_rows(a: jnp.ndarray, multiple: int) -> jnp.ndarray:
     return a
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "mesh", "num_intermediate", "num_input", "num_split_h", "num_split_w",
-        "num_iter", "lr", "patience", "factor", "grid_chunk", "hist_chunk",
-        "descent_table", "plan_refresh_rgb", "seam_wrap", "criterion",
-        "descent_prune",
-    ),
+# exported so utils.exec_cache.aot_call can split static from dynamic
+# kwargs (same pattern as pipeline.LOCALIZE_QUERY_STATICS).  `mesh` is a
+# static too; its repr covers axis names/sizes but NOT device ids — the
+# device assignment is keyed by the argument arrays instead (every array
+# reaching the jit was device_put onto the mesh, and exec_cache._aval
+# records each leaf's device-id tuple), so same-shape meshes over
+# different chips never share an entry.
+SHARDED_QUERY_STATICS = (
+    "mesh", "num_intermediate", "num_input", "num_split_h", "num_split_w",
+    "num_iter", "lr", "patience", "factor", "grid_chunk", "hist_chunk",
+    "descent_table", "plan_refresh_rgb", "seam_wrap", "criterion",
+    "descent_prune",
 )
+
+
+@functools.partial(jax.jit, static_argnames=SHARDED_QUERY_STATICS)
 def _localize_query_sharded_jit(
     img_init, img_main, xyz, rgb, trans_grid, rot_grid, trans_valid,
     lo, hi, point_mask, plan=None, hist_plan=None,
@@ -608,6 +615,7 @@ def localize_query_sharded(
     seam_wrap: bool = False,
     criterion: str = "loss_histogram",
     descent_prune=None,
+    exec_cache_dir=None,
 ) -> LocalizeResult:
     """Localize one panorama end-to-end over a ('cand', 'point') device mesh.
 
@@ -639,6 +647,14 @@ def localize_query_sharded(
     'cand', the m globally-best survivors redistribute evenly across the
     cand groups, survivor finals scatter back into the original rows.
     Default None = full reference-parity descent.
+
+    ``exec_cache_dir``: route the jitted SPMD program through the
+    serialized-executable cache (utils.exec_cache) — a process restart
+    loads the compiled executable instead of recompiling server-side
+    (the multi-chip analog of pipeline.localize_query's routing;
+    docs/ROUND4.md §3).  All arguments are device_put onto the mesh
+    BEFORE the cached call, so the cache key carries the exact device
+    assignment.
     """
     check_criterion(criterion)
     if plan is not None:
@@ -696,7 +712,17 @@ def localize_query_sharded(
     lo = jax.device_put(jnp.asarray(lo, jnp.float32), dev(P()))
     hi = jax.device_put(jnp.asarray(hi, jnp.float32), dev(P()))
 
-    return _localize_query_sharded_jit(
+    call = _localize_query_sharded_jit
+    if exec_cache_dir:
+        import os
+
+        from ..utils.exec_cache import aot_call
+
+        call = functools.partial(
+            aot_call, _localize_query_sharded_jit, SHARDED_QUERY_STATICS,
+            os.path.expanduser(str(exec_cache_dir)),
+        )
+    return call(
         img_init, img_main, xyz, rgb, trans_grid, rot_grid, trans_valid,
         lo, hi, point_mask, plan, hist_plan,
         mesh=mesh, num_intermediate=num_intermediate, num_input=num_input,

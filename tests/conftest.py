@@ -7,12 +7,19 @@ Must run before jax initializes, hence the env mutation at import time.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# PICCOLO_TEST_TPU=1 keeps the real accelerator so the few TPU-gated tests
+# (e.g. the exec-cache disk round trip, CPU-unsafe by design) can run on
+# hardware: run ONLY those tests under it — the virtual 8-device mesh
+# tests require the CPU platform.
+_KEEP_TPU = bool(os.environ.get("PICCOLO_TEST_TPU"))
+
+if not _KEEP_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 # f64 stays off: the framework is f32 end-to-end like the reference.
 
 import jax  # noqa: E402
@@ -20,7 +27,8 @@ import jax  # noqa: E402
 # Some environments register an accelerator plugin at interpreter start and
 # force jax_platforms through jax.config (ignoring the env var) — override it
 # back to CPU here, before any computation runs.
-jax.config.update("jax_platforms", "cpu")
+if not _KEEP_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -174,6 +174,92 @@ def test_harness_exec_cache_switch(tmp_path):
     )
 
 
+def test_sharded_exec_cache_identical_and_mesh_keyed(tmp_path):
+    """The multi-chip path (parallel.localize_query_sharded) routes through
+    the executable cache too (round-5): results must equal the direct jit
+    call bit-for-bit, and DIFFERENT mesh factorizations must occupy
+    DIFFERENT memo variants (the lowered programs differ; sharing one
+    entry would run the wrong collective layout)."""
+    from piccolo_tpu.parallel import localize_query_sharded, make_mesh
+    from piccolo_tpu.testing import make_room, random_pose_inside, render_at
+    from piccolo_tpu.init import default_init_dict
+    from piccolo_tpu.harness.localize import _FusedGrids
+
+    rng = np.random.default_rng(7)
+    size = (4.0, 3.0, 2.5)
+    xyz, rgb = make_room(rng, n_per_wall=1200, size=size, texture="checker")
+    xyz = xyz.astype(np.float32)
+    rgb = rgb.astype(np.float32)
+    init_dict = default_init_dict(
+        xy_only=True, yaw_only=True, num_yaw=4, num_trans=12, z_prior=None,
+        num_split_h=4, num_split_w=4,
+    )
+    grids = _FusedGrids(xyz, init_dict)
+    gt_t, gt_ypr = random_pose_inside(np.random.default_rng(11), size)
+    img = np.asarray(render_at(xyz, rgb, gt_t, gt_ypr, (64, 128)))
+    lo = xyz.min(0)
+    hi = xyz.max(0)
+    kw = dict(
+        num_intermediate=8, num_input=3, num_iter=5, grid_chunk=8,
+        hist_chunk=4,
+    )
+    n_variants = 0
+    for n_cand, n_point in [(2, 4), (4, 2)]:
+        mesh = make_mesh(n_cand, n_point)
+        want = localize_query_sharded(
+            mesh, img, img, xyz, rgb, grids.trans, grids.rot, grids.valid,
+            lo, hi, **kw,
+        )
+        got = localize_query_sharded(
+            mesh, img, img, xyz, rgb, grids.trans, grids.rot, grids.valid,
+            lo, hi, exec_cache_dir=str(tmp_path), **kw,
+        )
+        np.testing.assert_array_equal(np.asarray(want.t), np.asarray(got.t))
+        np.testing.assert_array_equal(
+            np.asarray(want.loss), np.asarray(got.loss)
+        )
+        assert int(want.winner) == int(got.winner)
+        n_variants += 1
+        assert len(exec_cache._memo) == n_variants  # new mesh => new entry
+
+
+def test_disk_round_trip_on_tpu(tmp_path, monkeypatch):
+    """The serialize -> restart -> deserialize -> answer round trip, pinned
+    IN THE SUITE on real hardware (round-4 verdict: the happy path's only
+    evidence was a measurement script — a jax upgrade breaking
+    serialize_executable must fail CI, not a production restart).
+
+    Auto-skips on the CPU backend (the disk layer is CPU-gated by design);
+    run it on the chip with:
+
+        PICCOLO_TEST_TPU=1 python -m pytest \
+            tests/test_exec_cache.py::test_disk_round_trip_on_tpu -q
+    """
+    if jax.default_backend() == "cpu":
+        pytest.skip("disk layer is disabled on CPU (runtime-unsafe AOT)")
+    x = jnp.arange(128.0)
+    want = np.asarray(
+        aot_call(_toy, _TOY_STATICS, str(tmp_path), x, scale=3.0, bias=1.0)
+    )
+    entries = [n for n in os.listdir(tmp_path) if n.endswith(".jaxexec")]
+    assert len(entries) == 1, "first call must serialize an entry"
+    clear_memo()  # simulate a process restart
+    loads = []
+    real_load = exec_cache._load
+
+    def spy(path):
+        r = real_load(path)
+        loads.append(r is not None)
+        return r
+
+    monkeypatch.setattr(exec_cache, "_load", spy)
+    got = np.asarray(
+        aot_call(_toy, _TOY_STATICS, str(tmp_path), x, scale=3.0, bias=1.0)
+    )
+    assert loads == [True], "restart did not deserialize from disk"
+    np.testing.assert_array_equal(got, want)
+
+
 def test_entry_path_separates_device_assignments(tmp_path):
     """Per-device program variants lower to IDENTICAL StableHLO text, so
     the disk key must also hash the argument device assignment — otherwise
