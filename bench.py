@@ -147,6 +147,13 @@ def main() -> None:
     # 24-query eval shows (40, 3) restores 24/24 where (30, 2) costs a
     # query.
     prune = (30, 2) if "--prune" in sys.argv else None
+    # --multires enables the multi-resolution descent speed mode (opt-in,
+    # round 5): first 70 iterations on the stride-2 table (the ~2.4x
+    # small-table gather regime), last 30 full-res with optimizer state
+    # carried across the switch (solver._descend_single_multires).
+    multires = (70, 2) if "--multires" in sys.argv else None
+    if multires is not None and prune is not None:
+        raise SystemExit("--multires and --prune cannot combine")
     plan = None
     if use_fused and "--no-slab" not in sys.argv:
         from piccolo_tpu.kernels.slab_sampling import build_grid_plan
@@ -168,6 +175,143 @@ def main() -> None:
             pano_hw[0] // init_step, pano_hw[1] // init_step,
             point_mask=mask_d,
         )
+
+    if "--breakdown-fused" in sys.argv:
+        # Per-phase decomposition of the HEAD fused program: the same
+        # three phases the one-dispatch localize_query runs (slab stage 1
+        # + top-k, hist-plane trim, multi-start descent), jitted
+        # separately with a forced fetch after each, plus the bare fetch
+        # cost and the measured one-dispatch fused time in the same
+        # process.  composite = s1 + s2 + s3 - 2*fetch (the fused program
+        # pays ONE fetch, already inside the descent term) — the
+        # docs/PERFORMANCE.md "Speed-of-light accounting" input.
+        from piccolo_tpu.init.refine import hist_scores_from_planes
+        from piccolo_tpu.kernels.slab_sampling import make_pairs, slab_pair_scores
+
+        T, R = trans_grid.shape[0], rot_grid.shape[0]
+        TR = T * R
+        k1 = num_intermediate
+        pair_valid_full = jnp.repeat(trans_valid, R)
+        pair_t_full, pair_r_full = make_pairs(trans_grid, rot_grid)
+
+        @jax.jit
+        def phase1(img_init):
+            # mirrors pipeline.localize_query stage 1 (plan_tail="pad")
+            s_all = slab_pair_scores(img_init, plan)[:TR]
+            if plan.n_pairs < TR:
+                s_all = jnp.concatenate([
+                    s_all,
+                    jnp.full(TR - plan.n_pairs, jnp.inf, s_all.dtype),
+                ])
+            scores = jnp.where(pair_valid_full, s_all, jnp.inf)
+            neg, idx1 = jax.lax.top_k(-scores, k1)
+            return neg, idx1
+
+        @jax.jit
+        def phase2(img_init, neg, idx1):
+            # mirrors stage 2 (hist-plane gather + block histograms)
+            sel_valid = jnp.isfinite(neg)
+            t1 = jnp.take(pair_t_full, idx1, axis=0)
+            r1 = jnp.take(pair_r_full, idx1, axis=0)
+            sel = jnp.take(
+                hist_plan.planes,
+                jnp.minimum(idx1, hist_plan.n_pairs - 1), axis=0,
+            )
+            padh = (-k1) % 4
+            if padh:
+                sel = jnp.concatenate(
+                    [sel, jnp.broadcast_to(sel[:1], (padh, sel.shape[1]))]
+                )
+            hs = hist_scores_from_planes(img_init, sel, 4, 4, 4)[:k1]
+            hs = jnp.where(sel_valid, hs, -jnp.inf)
+            _, idx2 = jax.lax.top_k(hs, 6)
+            t2 = jnp.take(t1, idx2, axis=0)
+            r2 = jnp.take(r1, idx2, axis=0)
+            fv = jnp.take(sel_valid, idx2)
+            t2 = jnp.where(fv[:, None], t2, t2[0])
+            r2 = jnp.where(fv[:, None], r2, r2[0])
+            return t2, r2, fv
+
+        def one_fused_breakdown(seed: int):
+            q = np.random.default_rng(seed)
+            gt_t, gt_ypr = random_pose_inside(q, size)
+            img_main = render_at(xyz, rgb, gt_t, gt_ypr, pano_hw)
+            img_init = jnp.asarray(img_main[::init_step, ::init_step])
+            np.asarray(img_init[0, 0])
+            t0 = time.time()
+            neg, idx1 = phase1(img_init)
+            np.asarray(idx1[0])
+            s1 = time.time() - t0
+            t0 = time.time()
+            t2c, r2c, fv = phase2(img_init, neg, idx1)
+            np.asarray(t2c[0])
+            s2 = time.time() - t0
+            t0 = time.time()
+            res = descend(
+                img_main, xyz_d, rgb_d, t2c, r2c, lo_d, hi_d, mask_d,
+                num_iter=100, lr=0.1, patience=5, factor=0.8, masked=True,
+                table_dtype=descent_table, prune=prune, multires=multires,
+                start_valid=fv if prune is not None else None,
+            )
+            k = int(jnp.argmin(res.loss))
+            t = np.asarray(res.t[k])
+            s3 = time.time() - t0
+            # bare fetch: a tiny device array already computed
+            z = jnp.zeros(())
+            np.asarray(z)
+            fts = []
+            for _ in range(5):
+                tf = time.time()
+                np.asarray(z)
+                fts.append(time.time() - tf)
+            f = float(np.median(fts))
+            return s1, s2, s3, f, float(np.linalg.norm(t - gt_t))
+
+        one_fused_breakdown(100)  # compile
+        rows = [one_fused_breakdown(200 + i) for i in range(5)]
+        s1 = float(np.median([r[0] for r in rows]))
+        s2 = float(np.median([r[1] for r in rows]))
+        s3 = float(np.median([r[2] for r in rows]))
+        fetch = float(np.median([r[3] for r in rows]))
+        # the fused one-dispatch program on the same scene, same process
+        def one_fused(seed: int) -> float:
+            q = np.random.default_rng(seed)
+            gt_t, gt_ypr = random_pose_inside(q, size)
+            img_main = render_at(xyz, rgb, gt_t, gt_ypr, pano_hw)
+            img_init = img_main[::init_step, ::init_step]
+            np.asarray(img_init[0, 0])
+            t0 = time.time()
+            res = localize_query(
+                img_init, img_main, xyz_d, rgb_d, trans_grid, rot_grid,
+                trans_valid, lo_d, hi_d, mask_d,
+                num_intermediate=num_intermediate, num_input=6,
+                num_iter=100, lr=0.1, patience=5, factor=0.8, masked=True,
+                plan=plan, hist_plan=hist_plan,
+                descent_table=descent_table, descent_prune=prune,
+                descent_multires=multires,
+            )
+            np.asarray(res.t)
+            return time.time() - t0
+
+        one_fused(100)
+        fused = float(np.median([one_fused(300 + i) for i in range(5)]))
+        out = {
+            "metric": f"fused_phase_seconds ({mode})",
+            "slab_stage1_s": round(s1, 4),
+            "hist_trim_s": round(s2, 4),
+            "descent_s": round(s3, 4),
+            "fetch_s": round(fetch, 4),
+            "composite_s": round(s1 + s2 + s3 - 2 * fetch, 4),
+            "fused_measured_s": round(fused, 4),
+            "median_t_err_m": round(
+                float(np.median([r[4] for r in rows])), 4
+            ),
+            "descent_table": descent_table,
+            "prune": prune, "multires": multires,
+            "device": str(jax.devices()[0]),
+        }
+        print(json.dumps(out))
+        return
 
     if "--breakdown" in sys.argv:
         # Per-stage fetch-forced timing (the staged dispatch path), for
@@ -258,6 +402,7 @@ def main() -> None:
                 lr=0.1, patience=5, factor=0.8, masked=True, plan=plan,
                 hist_plan=hist_plan,
                 descent_table=descent_table, descent_prune=prune,
+                descent_multires=multires,
             )
             t = np.asarray(res.t)
         else:
@@ -272,7 +417,7 @@ def main() -> None:
             res = descend(
                 img_main, xyz_d, rgb_d, t2, r2, lo_d, hi_d, mask_d,
                 num_iter=100, lr=0.1, patience=5, factor=0.8, masked=True,
-                table_dtype=descent_table, prune=prune,
+                table_dtype=descent_table, prune=prune, multires=multires,
             )
             k = int(jnp.argmin(res.loss))
             t = np.asarray(res.t[k])

@@ -203,6 +203,30 @@ def _cfg_prune(cfg, want_traj: bool = False):
     return (k, m)
 
 
+def _cfg_multires(cfg, want_traj: bool = False, prune=None):
+    """Resolve ``descent_multires_iter``/``descent_multires_stride`` to a
+    ``(low_iters, stride)`` tuple, or None when off.
+
+    Like descent prune, a speed knob the visualize path cannot honor
+    (per-iteration losses change scale at the resolution switch), so
+    trajectory queries fall back to the full-resolution descent with a
+    one-time warning; combining with descent_prune_* raises in the solver
+    (no silent precedence)."""
+    k = int(cfg_get(cfg, "descent_multires_iter", 0) or 0)
+    if k <= 0:
+        return None
+    s = int(cfg_get(cfg, "descent_multires_stride", 2) or 2)
+    if want_traj:
+        if "traj_mr" not in _prune_warned:
+            _prune_warned.add("traj_mr")
+            warnings.warn(
+                "visualize queries run the full-resolution descent — "
+                "descent_multires_* ignored"
+            )
+        return None
+    return (k, s)
+
+
 def _solve_query(img_main, xyz, rgb, mask, lo, hi, trans0, ypr0, cfg,
                  want_traj: bool):
     kw = dict(
@@ -215,6 +239,7 @@ def _solve_query(img_main, xyz, rgb, mask, lo, hi, trans0, ypr0, cfg,
         table_dtype=cfg_get(cfg, "descent_table", "auto"),
         wrap=cfg_get(cfg, "seam_wrap", False),
         prune=_cfg_prune(cfg, want_traj=want_traj),
+        multires=_cfg_multires(cfg, want_traj=want_traj),
     )
     out = descend(
         img_main, xyz, rgb,
@@ -1124,7 +1149,9 @@ def _run_fused(img_init, img_main, cache, rgb_used, cfg, init_dict, grids,
         criterion=cfg_get(cfg, "criterion", "loss_histogram"),
     )
     prune = _cfg_prune(cfg, want_traj=want_traj)
+    multires = _cfg_multires(cfg, want_traj=want_traj)
     if probe:
+        multires = None  # probes already run at init resolution + pruned
         # room='auto' PROBE (serve._select_room design 2, round 4): a
         # truncated query whose winner loss only needs to RANK rooms, not
         # localize — full stage 1+2 (the room's plans compose unchanged),
@@ -1139,6 +1166,14 @@ def _run_fused(img_init, img_main, cache, rgb_used, cfg, init_dict, grids,
     if mesh is not None:
         from ..parallel import localize_query_sharded
         from ..parallel.fused import shard_cloud
+
+        if multires is not None and "mesh_mr" not in _prune_warned:
+            _prune_warned.add("mesh_mr")
+            warnings.warn(
+                "descent_multires_* is single-device only (the mesh "
+                "descent has no multi-resolution mode) — ignored under "
+                "n_devices"
+            )
 
         # lay the room-static cloud out on the mesh once per room; only a
         # sharpen_color per-query rgb rebind re-places the color shard
@@ -1217,6 +1252,7 @@ def _run_fused(img_init, img_main, cache, rgb_used, cfg, init_dict, grids,
         plan_refresh_rgb=plan is not None and rgb_used is not cache["rgb"],
         descent_table=descent_table, seam_wrap=seam_wrap,
         trajectory=want_traj, descent_prune=prune,
+        descent_multires=multires,
         **kw,
     )
 

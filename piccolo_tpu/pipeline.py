@@ -43,7 +43,13 @@ from .ops.sampling import (
     resolve_descent_table,
 )
 from .optim import init_adam_plateau
-from .solver import _check_prune, _descend_pruned, _make_step
+from .solver import (
+    _check_multires,
+    _check_prune,
+    _descend_pruned,
+    _descend_single_multires,
+    _make_step,
+)
 
 __all__ = ["LocalizeResult", "localize_query", "localize_query_batch"]
 
@@ -84,7 +90,8 @@ def _grid_scores(img, xyz, rgb, pair_t, pair_ypr, pair_valid, point_mask,
 
 def _descend(img, xyz, rgb, t0s, ypr0s, lo, hi, point_mask,
              num_iter, lr, patience, factor, table_dtype=jnp.float32,
-             wrap=False, trajectory=False, prune=None, start_valid=None):
+             wrap=False, trajectory=False, prune=None, multires=None,
+             table_arg="auto", start_valid=None):
     H, W, _ = img.shape
     # bf16/u8 tables shrink the descent's gather table 2x/4x (the dominant
     # query cost at large panoramas — docs/PERFORMANCE.md "gather rate vs
@@ -95,6 +102,27 @@ def _descend(img, xyz, rgb, t0s, ypr0s, lo, hi, point_mask,
                                table_dtype)
 
     prune = _check_prune(prune, num_iter, t0s.shape[0], trajectory)
+    multires = _check_multires(multires, num_iter, prune, trajectory)
+    if multires is not None:
+        # multi-resolution speed mode (solver._descend_single_multires):
+        # early iterations on a stride-downsampled table, full-res finish
+        k_low, stride = multires
+        img_lo = img[::stride, ::stride]
+        h_lo, w_lo = int(img_lo.shape[0]), int(img_lo.shape[1])
+        blocks_lo = cast_packed_table(
+            pack_bilinear_blocks(img_lo, wrap=wrap),
+            resolve_descent_table(table_arg, h_lo, w_lo),
+        )
+
+        def one_mr(t0, y0):
+            params, loss, _, _ = _descend_single_multires(
+                blocks_lo, h_lo, w_lo, blocks, H, W, xyz, rgb, t0, y0,
+                lo, hi, point_mask, k_low, num_iter, lr, patience, factor,
+                wrap,
+            )
+            return params, loss
+
+        return jax.vmap(one_mr)(t0s, ypr0s)
     if prune is not None:
         # two-phase prune speed mode (solver._descend_pruned): all starts
         # for prune[0] iters, the prune[1] best finish the budget;
@@ -137,7 +165,7 @@ LOCALIZE_QUERY_STATICS = (
     "num_iter", "lr", "patience", "factor", "masked",
     "grid_chunk", "hist_chunk", "plan_refresh_rgb", "descent_table",
     "seam_wrap", "trajectory", "criterion", "descent_prune",
-    "plan_tail",
+    "plan_tail", "descent_multires",
 )
 
 
@@ -174,6 +202,7 @@ def localize_query(
     criterion: str = "loss_histogram",
     descent_prune: Optional[Tuple[int, int]] = None,
     plan_tail: str = "pad",
+    descent_multires: Optional[Tuple[int, int]] = None,
 ) -> LocalizeResult:
     """Localize one panorama end-to-end on device.
 
@@ -234,9 +263,18 @@ def localize_query(
     on the descent stage at bench scale).  Off by default: the reference
     descends every start for the full budget.  Incompatible with
     ``trajectory=True``.
+
+    ``descent_multires``: optional ``(low_iters, stride)`` descent speed
+    mode — the first ``low_iters`` iterations sample a stride-downsampled
+    table (the small-table gather regime runs ~2.4x the large-table rate)
+    and the rest refine at full resolution with optimizer state carried
+    exactly across the switch (solver._descend_single_multires).  Off by
+    default (reference parity); incompatible with ``descent_prune`` and
+    ``trajectory``.
     """
     check_criterion(criterion)
     pm = point_mask if masked else None
+    table_arg = descent_table
     descent_table = resolve_descent_table(
         descent_table, img_main.shape[0], img_main.shape[1]
     )
@@ -383,7 +421,9 @@ def localize_query(
     out = _descend(
         img_main, xyz, rgb, t2, r2, lo, hi, pm, num_iter, lr, patience,
         factor, table_dtype=jnp.dtype(descent_table), wrap=seam_wrap,
-        trajectory=trajectory, prune=descent_prune, start_valid=final_valid,
+        trajectory=trajectory, prune=descent_prune,
+        multires=descent_multires, table_arg=table_arg,
+        start_valid=final_valid,
     )
     if trajectory:
         params, losses, traj = out

@@ -67,6 +67,40 @@ def _check_prune(prune, num_iter: int, n_cand: int, trajectory: bool):
     return (k, m)
 
 
+def _check_multires(multires, num_iter: int, prune, trajectory: bool):
+    """Validate/normalise the multi-resolution descent knob.
+
+    Returns None when it is a no-op (off, or no low-res iterations, or all
+    iterations low-res would leave no full-res refinement); raises on
+    nonsensical combinations.
+    """
+    if multires is None:
+        return None
+    k, s = int(multires[0]), int(multires[1])
+    if k <= 0:
+        return None
+    if s < 2:
+        raise ValueError(f"multires stride must be >= 2, got {s}")
+    if k >= num_iter:
+        raise ValueError(
+            f"multires low-res iterations ({k}) must leave full-res "
+            f"refinement iterations (num_iter={num_iter})"
+        )
+    if prune is not None:
+        raise ValueError(
+            "descent multires and descent prune cannot combine (the prune "
+            "split and the resolution split would need a shared schedule) "
+            "— enable one of the two"
+        )
+    if trajectory:
+        raise ValueError(
+            "trajectory=True is incompatible with multires descent (the "
+            "per-iteration losses change scale at the resolution switch, "
+            "so the frames would not be comparable) — disable one"
+        )
+    return (k, s)
+
+
 def _make_step_for(loss_fn, lo, hi, patience, factor, trajectory=False):
     """One fused loss+Adam+plateau+clamp transition for the descent scan,
     from an arbitrary differentiable pose loss.
@@ -134,6 +168,38 @@ def _descend_single(
         losses, traj = ys
         return params, losses[-1], state.lr, traj
     return params, ys[-1], state.lr, None
+
+
+def _descend_single_multires(
+    blocks_lo, h_lo, w_lo, blocks, height, width, xyz, rgb,
+    t0, ypr0, lo, hi, point_mask,
+    k_low, num_iter, lr, patience, factor, wrap,
+):
+    """One candidate's multi-resolution descent (opt-in SPEED mode, no
+    reference counterpart — the reference descends at one resolution,
+    omniloc.py:44-58).
+
+    The first ``k_low`` iterations sample a stride-downsampled table —
+    the small-table gather regime runs ~2.4x the large-table rate
+    (docs/PERFORMANCE.md "gather rate vs table size") — then the
+    remaining iterations refine on the full-resolution table with the
+    Adam + plateau state carried EXACTLY across the switch.  The final
+    loss is evaluated at full resolution, so the caller's argmin
+    compares all candidates on the same footing.
+    """
+    params = Pose(t=t0, yaw=ypr0[0], pitch=ypr0[1], roll=ypr0[2])
+    state = init_adam_plateau(params, lr)
+    step_lo = _make_step(blocks_lo, h_lo, w_lo, xyz, rgb, lo, hi,
+                         point_mask, patience, factor, False, wrap)
+    step_hi = _make_step(blocks, height, width, xyz, rgb, lo, hi,
+                         point_mask, patience, factor, False, wrap)
+    (params, state), _ = jax.lax.scan(
+        step_lo, (params, state), None, length=k_low
+    )
+    (params, state), losses = jax.lax.scan(
+        step_hi, (params, state), None, length=num_iter - k_low
+    )
+    return params, losses[-1], state.lr, None
 
 
 def _descend_pruned(
@@ -209,7 +275,7 @@ def _descend_pruned(
 # kwargs (same pattern as pipeline.LOCALIZE_QUERY_STATICS)
 DESCEND_STATICS = (
     "num_iter", "lr", "patience", "factor", "masked", "trajectory",
-    "table_dtype", "wrap", "prune",
+    "table_dtype", "wrap", "prune", "multires",
 )
 
 
@@ -233,6 +299,7 @@ def descend(
     table_dtype: str = "auto",
     wrap: bool = False,
     prune: Optional[Tuple[int, int]] = None,
+    multires: Optional[Tuple[int, int]] = None,
     start_valid: Optional[jnp.ndarray] = None,
 ):
     """Descend all candidates in parallel.
@@ -251,6 +318,13 @@ def descend(
         finish the budget (state carried exactly across the split; see
         ``_descend_pruned``).  Pruned rows report their frozen phase-1
         state.  Off (None) = reference-parity full descent.
+      multires: optional ``(low_iters, stride)`` speed mode — the first
+        ``low_iters`` iterations sample a stride-downsampled table (the
+        ~2.4x-faster small-table gather regime), the rest refine at full
+        resolution with optimizer state carried exactly across the
+        switch (``_descend_single_multires``).  Off (None) =
+        reference-parity single-resolution descent; incompatible with
+        ``prune`` and ``trajectory``.
       start_valid: optional (B,) bool marking duplicate/clone starting rows
         False so they never claim prune survivor slots (only meaningful
         with ``prune``).
@@ -265,12 +339,32 @@ def descend(
     # ops.sampling.cast_packed_table).  "auto" (default) picks bf16 only in
     # the footprint-bound large-table regime; f32 is trajectory-exact vs
     # the torch reference and stays the resolution everywhere else.
+    table_arg = table_dtype
     table_dtype = resolve_descent_table(table_dtype, H, W)
     blocks = cast_packed_table(pack_bilinear_blocks(img, wrap=wrap),
                                table_dtype)
 
     prune = _check_prune(prune, num_iter, trans0.shape[0], trajectory)
-    if prune is not None:
+    multires = _check_multires(multires, num_iter, prune, trajectory)
+    if multires is not None:
+        k_low, stride = multires
+        img_lo = img[::stride, ::stride]
+        h_lo, w_lo = int(img_lo.shape[0]), int(img_lo.shape[1])
+        # the low-res table resolves its own dtype (small tables stay f32
+        # under "auto" even when the full-res table flips to bf16)
+        blocks_lo = cast_packed_table(
+            pack_bilinear_blocks(img_lo, wrap=wrap),
+            resolve_descent_table(table_arg, h_lo, w_lo),
+        )
+
+        def one_mr(t0, y0):
+            return _descend_single_multires(
+                blocks_lo, h_lo, w_lo, blocks, H, W, xyz, rgb, t0, y0,
+                lo, hi, pm, k_low, num_iter, lr, patience, factor, wrap,
+            )
+
+        params, losses, lrs, traj = jax.vmap(one_mr)(trans0, ypr0)
+    elif prune is not None:
         params, losses, lrs = _descend_pruned(
             blocks, H, W, xyz, rgb, trans0, ypr0, lo, hi, pm,
             num_iter, lr, patience, factor, wrap, prune[0], prune[1],

@@ -223,3 +223,102 @@ def test_descend_prune_clone_rows_cannot_claim_survivor_slots(rng):
         np.testing.assert_allclose(
             np.asarray(pruned.t[i]), np.asarray(phase1.t[i]), atol=1e-5
         )
+
+
+# ---- multi-resolution descent speed mode (_descend_single_multires) ----
+
+
+def test_check_multires_normalisation():
+    """Off / no-op / invalid multires combinations resolve like prune's."""
+    import pytest
+
+    from piccolo_tpu.solver import _check_multires
+
+    assert _check_multires(None, 100, None, False) is None
+    assert _check_multires((0, 2), 100, None, False) is None  # off
+    assert _check_multires((70, 2), 100, None, False) == (70, 2)
+    with pytest.raises(ValueError, match="stride"):
+        _check_multires((70, 1), 100, None, False)
+    with pytest.raises(ValueError, match="full-res"):
+        _check_multires((100, 2), 100, None, False)
+    with pytest.raises(ValueError, match="prune"):
+        _check_multires((70, 2), 100, (30, 2), False)
+    with pytest.raises(ValueError, match="trajectory"):
+        _check_multires((70, 2), 100, None, True)
+
+
+def test_descend_multires_recovers(rng):
+    """Multi-resolution descent lands on the full-resolution answer: the
+    winner matches the single-resolution descent's pose to mm and the
+    final loss is evaluated at full resolution (comparable argmin)."""
+    xyz, rgb = make_room(rng, n_per_wall=2000)
+    gt_t = np.array([0.3, -0.2, 0.1], np.float32)
+    gt_ypr = np.array([1.0, 0.0, 0.0], np.float32)
+    img = render_at(xyz, rgb, gt_t, gt_ypr, resolution=(256, 512))
+    lo, hi = cloud_bounds(jnp.asarray(xyz), 0.05)
+    t0 = jnp.asarray(np.stack([
+        gt_t + [0.2, -0.15, 0.05], [1.0, 1.0, 0.3],
+    ]).astype(np.float32))
+    ypr0 = jnp.asarray(np.stack([
+        [1.2, 0, 0], [3.0, 0, 0],
+    ]).astype(np.float32))
+    kw = dict(num_iter=100, lr=0.1, patience=5, factor=0.8)
+    full = descend(img, jnp.asarray(xyz), jnp.asarray(rgb), t0, ypr0,
+                   lo, hi, **kw)
+    mr = descend(img, jnp.asarray(xyz), jnp.asarray(rgb), t0, ypr0,
+                 lo, hi, multires=(70, 2), **kw)
+    assert int(jnp.argmin(mr.loss)) == int(jnp.argmin(full.loss)) == 0
+    # the near start converges to the same pose through the switch
+    assert float(jnp.linalg.norm(mr.t[0] - jnp.asarray(gt_t))) < 0.02
+    np.testing.assert_allclose(
+        np.asarray(mr.t[0]), np.asarray(full.t[0]), atol=5e-3
+    )
+    # final losses are full-resolution (same scale as the full descent's)
+    np.testing.assert_allclose(
+        float(mr.loss[0]), float(full.loss[0]), atol=5e-3
+    )
+
+
+def test_localize_query_multires_matches_full(rng):
+    """The fused pipeline's descent_multires picks the same winner and
+    lands within mm of the full-resolution fused query."""
+    from piccolo_tpu.init import default_init_dict
+    from piccolo_tpu.init.candidates import (
+        generate_rot_points,
+        generate_trans_points,
+    )
+    from piccolo_tpu.pipeline import localize_query
+
+    xyz, rgb = make_room(rng, n_per_wall=2000)
+    gt_t = np.array([0.2, -0.3, 0.15], np.float32)
+    gt_ypr = np.array([0.8, 0.0, 0.0], np.float32)
+    img = render_at(xyz, rgb, gt_t, gt_ypr, resolution=(128, 256))
+    init_dict = default_init_dict(
+        xy_only=True, yaw_only=True, num_yaw=4, num_trans=12, z_prior=None,
+        num_split_h=4, num_split_w=4,
+    )
+    trans = generate_trans_points(np.asarray(xyz), init_dict)
+    rot = generate_rot_points(init_dict)
+    valid = np.ones(trans.shape[0], bool)
+    lo, hi = cloud_bounds(jnp.asarray(xyz), 0.05)
+    kw = dict(
+        num_intermediate=8, num_input=3, num_iter=60, lr=0.1,
+        patience=5, factor=0.8,
+    )
+    full = localize_query(
+        img, img, jnp.asarray(xyz), jnp.asarray(rgb), jnp.asarray(trans),
+        jnp.asarray(rot), jnp.asarray(valid), lo, hi, **kw,
+    )
+    mr = localize_query(
+        img, img, jnp.asarray(xyz), jnp.asarray(rgb), jnp.asarray(trans),
+        jnp.asarray(rot), jnp.asarray(valid), lo, hi,
+        descent_multires=(40, 2), **kw,
+    )
+    assert int(mr.winner) == int(full.winner)
+    np.testing.assert_array_equal(  # stages 1+2 are untouched by multires
+        np.asarray(mr.start_t), np.asarray(full.start_t)
+    )
+    np.testing.assert_allclose(
+        np.asarray(mr.t), np.asarray(full.t), atol=1e-2
+    )
+    assert float(jnp.linalg.norm(mr.t - jnp.asarray(gt_t))) < 0.05
