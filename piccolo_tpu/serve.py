@@ -40,7 +40,7 @@ from typing import Dict, Optional
 
 import numpy as np
 
-from collections import OrderedDict
+from collections import OrderedDict, deque
 
 from .config import cfg_get, make_config, parse_ini
 from .harness.localize import (
@@ -138,6 +138,15 @@ class LocalizeService:
         self._max_pending = max(1, int(max_pending))
         self._pending = 0
         self._pending_lock = threading.Lock()
+        # room='auto' batched-probe state per device (probe.py, round 5) —
+        # rebuilt lazily whenever the resident set changes
+        self._batched_probes: Dict[int, object] = {}
+        # multi-stream tracking (round 5): tracked requests that pile up
+        # behind a chip's compute lock are drained as ONE vmapped program
+        # by whichever request next acquires the lock (opportunistic
+        # micro-batch — no added latency when traffic is serial)
+        self._track_queues = [deque() for _ in self._devices]
+        self._track_qlocks = [threading.Lock() for _ in self._devices]
 
     @staticmethod
     def _resolve_query_devices(cfg):
@@ -249,15 +258,22 @@ class LocalizeService:
             )
             for di in range(len(self._devices)):  # every chip compiles
                 self._localize_checked(noise, room=name, device_index=di)
-                if (self._max_rooms > 1
-                        and cfg_get(self.cfg, "room_auto_probe", False)):
+                probe_cfg = cfg_get(self.cfg, "room_auto_probe", False)
+                if self._max_rooms > 1 and probe_cfg:
                     # room='auto' probes are a distinct program variant
                     # (init-res descent, truncated budget) — compile it at
                     # load time too, so the first auto request is steady
                     cache = self._rooms[name][di]
-                    self._probe_room(
-                        self._prepare(noise, cache), cache, di
-                    )
+                    if (probe_cfg == "batched"
+                            and self._batched_probe_usable(
+                                len(self._rooms))):
+                        st = self._probe_state_batched(di)
+                        prep = self._prepare(noise, cache)
+                        st.losses(prep[0], **self._probe_kwargs())
+                    else:
+                        self._probe_room(
+                            self._prepare(noise, cache), cache, di
+                        )
 
     def load_room_pcd(self, path: str, dataset: Optional[str] = None) -> None:
         """Load a room from an ``x y z r g b`` text cloud (either dataset's
@@ -496,6 +512,130 @@ class LocalizeService:
             ypr=ypr, time_s=elapsed, tracked=True,
         )
 
+    def _track_room_maybe_batched(self, prep, cache, device_index: int,
+                                  prev_pose) -> Dict:
+        """Multi-stream tracking (round 5): tracked requests that are
+        waiting on the same chip for the same room are drained as ONE
+        vmapped program (tracking.track_steps_batched) by whichever
+        request next acquires the compute lock.
+
+        Opportunistic micro-batching: a batch forms ONLY from requests
+        already queued — serial traffic runs the single-stream path with
+        zero added latency, while K concurrent camera streams cost ~one
+        frame's device time + one fetch instead of K of each.  Batches
+        are padded up to a size bucket ({2, 4, 8, ...} up to
+        ``track_max_batch``) so concurrent load compiles a handful of
+        program shapes, not one per K.  ``track_batch = False`` restores
+        strict per-request stepping; sharpen_color configs fall back
+        per-request automatically (each frame rebinds the CLOUD colors,
+        so streams no longer share the room state the vmap closes over).
+        """
+        _, img_main, rgb_used, prep_timed = prep
+        if (not cfg_get(self.cfg, "track_batch", True)
+                or rgb_used is not cache["rgb"]):
+            return self._track_room(prep, cache, device_index, prev_pose)
+        t_prev, ypr_prev = self._parse_prev_pose(prev_pose)
+        entry = dict(
+            img=img_main, t=t_prev, ypr=ypr_prev, prep_timed=prep_timed,
+            key=(id(cache), tuple(np.shape(img_main))),
+            event=threading.Event(), out=None,
+        )
+        qlock = self._track_qlocks[device_index]
+        queue = self._track_queues[device_index]
+        with qlock:
+            queue.append(entry)
+        with self._compute_locks[device_index]:
+            if not entry["event"].is_set():
+                with qlock:
+                    # drain by IDENTITY — entries hold numpy arrays, so
+                    # deque.remove's == would be ambiguous on them
+                    max_batch = max(
+                        1, int(cfg_get(self.cfg, "track_max_batch", 8))
+                    )
+                    batch, keep = [entry], []
+                    for e in queue:
+                        if e is entry:
+                            continue
+                        if (e["key"] == entry["key"]
+                                and len(batch) < max_batch):
+                            batch.append(e)
+                        else:
+                            keep.append(e)
+                    queue.clear()
+                    queue.extend(keep)
+                self._run_track_batch(batch, cache, device_index)
+        out = entry["out"]
+        if isinstance(out, BaseException):
+            raise out
+        return out
+
+    def _run_track_batch(self, batch, cache, device_index: int) -> None:
+        """Execute one drained tracked-request batch (compute lock held)."""
+        import jax
+        import jax.numpy as jnp
+
+        from .tracking import track_kwargs, track_steps_batched
+
+        try:
+            t0 = time.time()
+            kw = dict(
+                exec_cache_dir=cfg_get(self.cfg, "exec_cache_dir", None),
+                **track_kwargs(self.cfg),
+            )
+            if len(batch) == 1:
+                from .tracking import track_step_fetched
+
+                e = batch[0]
+                results = [track_step_fetched(
+                    jnp.asarray(e["img"]), cache["xyz"], cache["rgb"],
+                    e["t"], e["ypr"],
+                    jnp.asarray(cache["lo"]), jnp.asarray(cache["hi"]),
+                    cache["mask"], **kw,
+                )]
+            else:
+                # pad K up to a power-of-two bucket (repeat the last
+                # stream; padded rows are computed and discarded) so
+                # variable concurrency reuses a handful of compiled shapes
+                bucket = 2
+                while bucket < len(batch):
+                    bucket *= 2
+                imgs = np.stack(
+                    [np.asarray(e["img"]) for e in batch]
+                    + [np.asarray(batch[-1]["img"])] * (bucket - len(batch))
+                )
+                ts = np.stack(
+                    [e["t"] for e in batch]
+                    + [batch[-1]["t"]] * (bucket - len(batch))
+                )
+                yprs = np.stack(
+                    [e["ypr"] for e in batch]
+                    + [batch[-1]["ypr"]] * (bucket - len(batch))
+                )
+                dev = cache.get("device")
+                imgs = (jax.device_put(imgs, dev) if dev is not None
+                        else jnp.asarray(imgs))
+                results = track_steps_batched(
+                    imgs, cache["xyz"], cache["rgb"], ts, yprs,
+                    jnp.asarray(cache["lo"]), jnp.asarray(cache["hi"]),
+                    cache["mask"], **kw,
+                )[: len(batch)]
+            elapsed = time.time() - t0
+            extra = {"batched": len(batch)} if len(batch) > 1 else {}
+            for e, (t, ypr, rot, loss) in zip(batch, results):
+                e["out"] = dict(
+                    t=t, rot=rot, loss=loss, winner=0,
+                    cand_loss=np.asarray([loss], np.float32),
+                    ypr=ypr, time_s=elapsed + e["prep_timed"],
+                    tracked=True, **extra,
+                )
+        except BaseException as exc:
+            for e in batch:
+                e["out"] = exc
+            raise
+        finally:
+            for e in batch:
+                e["event"].set()
+
     def _probe_room(self, prep, cache, device_index: int) -> float:
         """Truncated ranking query for room='auto' (design 2, round 4):
         full stage 1+2 (the room's resident plans compose unchanged) then a
@@ -510,6 +650,59 @@ class LocalizeService:
                 probe=True,
             )
             return float(np.asarray(res.loss))
+
+    def _probe_state_batched(self, device_index: int):
+        """The batched-probe arrays for the current resident set (cached;
+        rebuilt when the set changes — pure host padding/stacking)."""
+        from .probe import build_probe_state
+
+        with self._rooms_lock:
+            rooms = [(n, r[device_index]) for n, r in self._rooms.items()]
+        key = tuple(n for n, _ in rooms)
+        st = self._batched_probes.get(device_index)
+        if st is None or st.names != key:
+            # the rotation grid is config-derived, identical across rooms
+            rot = np.asarray(rooms[0][1]["grids"].rot)
+            st = build_probe_state(
+                rooms, rot,
+                max_pairs=int(
+                    cfg_get(self.cfg, "room_auto_probe_pairs", 512)
+                ),
+                device=self._devices[device_index],
+            )
+            self._batched_probes[device_index] = st
+        return st
+
+    def _probe_kwargs(self) -> Dict:
+        return dict(
+            num_starts=int(cfg_get(self.cfg, "room_auto_probe_starts", 6)),
+            num_iter=int(cfg_get(self.cfg, "room_auto_probe_iters", 30)),
+            lr=cfg_get(self.cfg, "lr", 0.1),
+            patience=cfg_get(self.cfg, "patience", 5),
+            factor=cfg_get(self.cfg, "factor", 0.8),
+            wrap=bool(cfg_get(self.cfg, "seam_wrap", False)),
+        )
+
+    def _batched_probe_usable(self, n_rooms: int) -> bool:
+        """'batched' probes share ONE prepared init image across rooms, so
+        per-room color prep (match/sharpen rebinds against each room's
+        cloud) disqualifies it — fall back to the per-room probe with a
+        one-time warning."""
+        if n_rooms < 2:
+            return False
+        if (cfg_get(self.cfg, "match_color", False)
+                or cfg_get(self.cfg, "sharpen_color", False)):
+            if not getattr(self, "_warned_batched_color", False):
+                self._warned_batched_color = True
+                import warnings
+
+                warnings.warn(
+                    "room_auto_probe='batched' needs a room-independent "
+                    "init image; match_color/sharpen_color rebind colors "
+                    "per room — falling back to the per-room probe"
+                )
+            return False
+        return True
 
     def _select_room(self, img: np.ndarray, device_index: int):
         """room='auto': pick the resident room whose localization loss is
@@ -551,12 +744,35 @@ class LocalizeService:
         def _prep_into(cache):
             next_prep[0] = self._prepare(img, cache)
 
-        probe = (
-            bool(cfg_get(self.cfg, "room_auto_probe", False))
-            and len(candidates) > 1
+        probe_cfg = cfg_get(self.cfg, "room_auto_probe", False)
+        probe = bool(probe_cfg) and len(candidates) > 1
+        batched = (
+            probe and probe_cfg == "batched"
+            and self._batched_probe_usable(len(candidates))
         )
         order, cut = candidates, None
-        if probe:
+        if batched:
+            # design 3 (round 5, probe.py): ONE padded vmap program scores
+            # every resident room — one dispatch, one (R,) fetch — on a
+            # TRUNCATED per-room pair budget.  The prep is room-independent
+            # here (no color rebinds, _batched_probe_usable), so the
+            # finalists reuse it too.
+            st = self._probe_state_batched(device_index)
+            prep0 = next_prep[0]
+            with self._compute_locks[device_index]:
+                losses = st.losses(prep0[0], **self._probe_kwargs())
+            # the images are room-independent here, but rgb_used must be
+            # EACH room's own cloud colors (identity with cache["rgb"]
+            # gates the room's baked plans in _run_fused)
+            for name, cache in candidates:
+                preps[name] = (prep0[0], prep0[1], cache["rgb"], prep0[3])
+            scores.update(zip(st.names, (float(v) for v in losses)))
+            for name, _ in candidates:
+                # a load/evict racing between the candidate snapshot and
+                # the probe-state rebuild could leave a candidate unscored
+                # — treat it as a non-finalist instead of KeyError-ing
+                scores.setdefault(name, float("inf"))
+        elif probe:
             for i, (name, cache) in enumerate(candidates):
                 prep = preps[name] = next_prep[0]
                 th = None
@@ -568,6 +784,7 @@ class LocalizeService:
                 scores[name] = self._probe_room(prep, cache, device_index)
                 if th is not None:
                     th.join()
+        if probe:
             finite = [s for s in scores.values() if np.isfinite(s)]
             if finite:
                 margin = float(cfg_get(self.cfg, "room_auto_margin", 3.0))
@@ -662,8 +879,9 @@ class LocalizeService:
                 cache = self._rooms[room][device_index]
             prep = self._prepare(img, cache)
             if prev_pose is not None:
-                fields = self._track_room(prep, cache, device_index,
-                                          prev_pose)
+                fields = self._track_room_maybe_batched(
+                    prep, cache, device_index, prev_pose
+                )
                 if recover_above is not None and not (
                     np.isfinite(fields["loss"])
                     and fields["loss"] <= float(recover_above)
@@ -831,6 +1049,8 @@ def serve_forever(service: LocalizeService, host: str = "127.0.0.1",
                         reply["recovered"] = bool(out.get("recovered"))
                         if "ypr" in out:
                             reply["ypr"] = np.asarray(out["ypr"]).tolist()
+                        if "batched" in out:  # multi-stream micro-batch size
+                            reply["batched"] = int(out["batched"])
                     if "room_scores" in out:  # room="auto" requests
                         # non-finite losses (all-masked rooms) would make
                         # json.dumps emit bare Infinity/NaN — not RFC 8259

@@ -43,6 +43,7 @@ __all__ = [
     "track_step",
     "track_step_fetched",
     "track_step_prepped_fetched",
+    "track_steps_batched",
     "track_kwargs",
     "DivergenceGate",
     "Tracker",
@@ -245,6 +246,82 @@ def track_step_prepped_fetched(
         wrap=wrap,
     ))
     return flat[0:3], flat[3:6], flat[6:15].reshape(3, 3), float(flat[15])
+
+
+@functools.partial(jax.jit, static_argnames=_TRACK_PREPPED_STATICS)
+def _track_batch(
+    imgs, xyz, rgb, prev_t, prev_ypr, lo, hi, point_mask,
+    *, masked, num_iter, lr, patience, factor, table_dtype, wrap,
+):
+    """K tracked steps as ONE program: vmap of the scalar tracked descent
+    over per-stream (image, warm-start pose), room state shared."""
+
+    def one(img, t, y):
+        res = descend(
+            img, xyz, rgb, t.reshape(1, 3), y.reshape(1, 3), lo, hi,
+            point_mask, num_iter=num_iter, lr=lr, patience=patience,
+            factor=factor, masked=masked, table_dtype=table_dtype,
+            wrap=wrap,
+        )
+        return jnp.concatenate([
+            res.t[0], res.ypr[0], res.rot[0].ravel(), res.loss[0:1]
+        ])
+
+    return jax.vmap(one)(imgs, prev_t, prev_ypr)
+
+
+def track_steps_batched(
+    imgs, xyz, rgb, prev_ts, prev_yprs, lo, hi, point_mask=None,
+    *, num_iter: int = 30, lr: float = 0.03, patience: int = 3,
+    factor: float = 0.5, table_dtype: str = "auto", wrap: bool = False,
+    exec_cache_dir=None,
+):
+    """Multi-stream tracking: K streams' tracked frames in ONE device
+    program with ONE fetch (no reference counterpart — the reference has
+    no tracking at all; multi-camera serving is a production extension).
+
+    Serving N cameras means N concurrent tracked sequences against the
+    same room; stepping them one at a time serializes K dispatches + K
+    ~25 ms fetches per frame round on a remote-tunnel frontend.  This is
+    the house-style batch (CLAUDE.md: batched = vmap of the scalar
+    program): ``jax.vmap`` over per-stream (frame, warm-start pose) with
+    the room cloud/box shared, so K streams cost ~one frame's device
+    time plus one fetch.  Results match per-stream :func:`track_step` to
+    f32 batching noise (guarded in tests/test_tracking.py).
+
+    Args:
+      imgs: (K, H, W, 3) float frames in [0, 1] — one per stream, same
+        shape (streams of one room share the camera profile; serving
+        groups by room + shape before batching).
+      prev_ts / prev_yprs: (K, 3) warm-start poses.
+      Everything else: as :func:`track_step` (shared across streams).
+
+    Returns:
+      list of K ``(t (3,), ypr (3,), rot (3, 3), loss)`` host tuples, in
+      stream order.
+    """
+    call = _track_batch
+    if exec_cache_dir:
+        from .utils.exec_cache import aot_call
+
+        call = functools.partial(
+            aot_call, _track_batch, _TRACK_PREPPED_STATICS,
+            os.path.expanduser(str(exec_cache_dir)),
+        )
+    flat = np.asarray(call(
+        jnp.asarray(imgs), xyz, rgb,
+        jnp.asarray(prev_ts, jnp.float32).reshape(-1, 3),
+        jnp.asarray(prev_yprs, jnp.float32).reshape(-1, 3),
+        lo, hi, point_mask,
+        masked=point_mask is not None, num_iter=num_iter, lr=lr,
+        patience=patience, factor=factor, table_dtype=table_dtype,
+        wrap=wrap,
+    ))
+    return [
+        (flat[k, 0:3], flat[k, 3:6], flat[k, 6:15].reshape(3, 3),
+         float(flat[k, 15]))
+        for k in range(flat.shape[0])
+    ]
 
 
 def track_kwargs(cfg) -> dict:

@@ -85,7 +85,7 @@ def mode_sustained(n_queries: int):
     }))
 
 
-def mode_room_auto(probe: bool = True, points: int = 60000,
+def mode_room_auto(probe=True, points: int = 60000,
                    height: int = 512):
     """The DEPLOY '12/12 correct' eval, timed: 4 resident rooms (incl. the
     hard same-generator checker pair), 3 auto queries each, plus an
@@ -137,7 +137,7 @@ def mode_room_auto(probe: bool = True, points: int = 60000,
     med_auto = float(np.median(times))
     med_base = float(np.median(base))
     print(json.dumps({
-        "mode": "room-auto", "probe": probe,
+        "mode": "room-auto", "probe": str(probe),
         "points": points, "pano": [height, 2 * height],
         "correct": correct, "total": total,
         "median_t_err_m": round(float(np.median(errs)), 4) if errs else None,
@@ -278,17 +278,127 @@ def mode_coldstart(exec_cache: str, points: int, height: int):
     }))
 
 
+def mode_track_streams(k: int, frames: int, batch: bool, points: int,
+                       height: int):
+    """Multi-stream tracking drive (round 5, verdict #8): K camera streams
+    track smooth trajectories through ONE room on one chip, each stream a
+    free-running thread of serving requests.  With ``track_batch`` on,
+    requests that pile up behind the chip drain as one vmapped program
+    (serve._track_room_maybe_batched); ``--batch off`` is the strict
+    per-request baseline.  Reports per-request latency percentiles, the
+    aggregate frame rate, the realized batch-size histogram, and accuracy
+    vs the streams' GT poses."""
+    import threading
+
+    from piccolo_tpu.serve import LocalizeService
+    from piccolo_tpu.testing import render_at
+    from piccolo_tpu.tracking import ypr_from_rot
+
+    hw = (height, 2 * height)
+    xyz, rgb = _make_scene(seed=3, n_per_wall=points // 6)
+    svc = LocalizeService(track_batch=batch, max_pending=2 * k, **_CFG)
+    svc.load_room(xyz, rgb, name="box", warm_shape=hw)
+
+    # per-stream smooth trajectories (~3 cm / ~1.1 deg per frame), frames
+    # rendered up front so the drive times serving, not the oracle
+    rng = np.random.default_rng(11)
+    streams = []
+    for s in range(k):
+        t0 = np.float32([rng.uniform(-1.5, 1.5), rng.uniform(-1.0, 1.0),
+                         rng.uniform(-0.5, 0.5)])
+        yaw0 = rng.uniform(-np.pi, np.pi)
+        step = np.float32([rng.uniform(-0.03, 0.03),
+                           rng.uniform(-0.03, 0.03), 0.01])
+        gts, imgs = [], []
+        for f in range(frames + 1):
+            t = t0 + f * step
+            ypr = np.float32([yaw0 + 0.02 * f, 0.0, 0.0])
+            gts.append((t, ypr))
+            imgs.append(np.asarray(
+                render_at(xyz, rgb, t, ypr, hw) * 255).astype(np.uint8))
+        streams.append((gts, imgs))
+
+    # seed each stream with one full query on its frame 0
+    poses = []
+    for gts, imgs in streams:
+        out = svc.localize(imgs[0])
+        poses.append({"t": out["t"].tolist(),
+                      "ypr": ypr_from_rot(out["rot"]).tolist()})
+
+    def drive(record):
+        lat = [[] for _ in range(k)]
+        errs, hist = [], {}
+        t_wall = time.time()
+
+        def run_stream(s):
+            gts, imgs = streams[s]
+            prev = dict(poses[s])
+            for f in range(1, frames + 1):
+                t0 = time.time()
+                out = svc.localize(imgs[f], prev_pose=prev)
+                lat[s].append(time.time() - t0)
+                prev = {"t": out["t"].tolist(), "ypr": out["ypr"].tolist()}
+                b = int(out.get("batched", 1))
+                hist[b] = hist.get(b, 0) + 1
+                errs.append(float(np.linalg.norm(out["t"] - gts[f][0])))
+
+        threads = [threading.Thread(target=run_stream, args=(s,))
+                   for s in range(k)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        wall = time.time() - t_wall
+        if not record:
+            return None
+        flat = sorted(x for per in lat for x in per)
+        return dict(
+            wall_s=round(wall, 3),
+            agg_fps=round(k * frames / wall, 2),
+            lat_p50_s=round(flat[len(flat) // 2], 4),
+            lat_p90_s=round(flat[int(len(flat) * 0.9)], 4),
+            batch_hist={str(b): n for b, n in sorted(hist.items())},
+            median_t_err_m=round(float(np.median(errs)), 4),
+            max_t_err_m=round(float(np.max(errs)), 4),
+        )
+
+    drive(record=False)  # warm-up: compiles whichever buckets concurrency hits
+    measured = drive(record=True)
+
+    # single-stream steady baseline on the same warm service
+    gts, imgs = streams[0]
+    prev = dict(poses[0])
+    single = []
+    for f in range(1, frames + 1):
+        t0 = time.time()
+        out = svc.localize(imgs[f], prev_pose=prev)
+        single.append(time.time() - t0)
+        prev = {"t": out["t"].tolist(), "ypr": out["ypr"].tolist()}
+    print(json.dumps({
+        "mode": "track-streams", "batch": batch, "streams": k,
+        "frames_per_stream": frames, "points": points, "pano": list(hw),
+        **measured,
+        "single_stream_median_s": round(float(np.median(single)), 4),
+        "x_single_stream": round(
+            measured["lat_p50_s"] / float(np.median(single)), 2
+        ),
+    }))
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode",
-                    choices=("http", "sustained", "room-auto", "coldstart"),
+                    choices=("http", "sustained", "room-auto", "coldstart",
+                             "track-streams"),
                     default="sustained")
     ap.add_argument("--queries", type=int, default=30,
                     help="query count for --mode sustained")
     ap.add_argument("--port", type=int, default=8341)
-    ap.add_argument("--probe", choices=("on", "off"), default="on",
-                    help="room-auto probe phase (off = round-3 "
-                         "full-query-per-room selection)")
+    ap.add_argument("--probe", choices=("on", "off", "batched"),
+                    default="on",
+                    help="room-auto probe phase: off = round-3 full-query-"
+                         "per-room, on = round-4 per-room probe, batched = "
+                         "round-5 one-program probe over all rooms")
     ap.add_argument("--exec-cache", default="",
                     help="--mode coldstart: executable cache dir ('' = off)")
     ap.add_argument("--points", type=int, default=None,
@@ -298,16 +408,29 @@ def main(argv=None):
     ap.add_argument("--height", type=int, default=None,
                     help="pano height, W = 2H (coldstart default 1024; "
                          "room-auto default 512)")
+    ap.add_argument("--streams", type=int, default=6,
+                    help="--mode track-streams: concurrent camera streams")
+    ap.add_argument("--frames", type=int, default=12,
+                    help="--mode track-streams: tracked frames per stream")
+    ap.add_argument("--batch", choices=("on", "off"), default="on",
+                    help="--mode track-streams: serving micro-batch on/off")
     args = ap.parse_args(argv)
     if args.mode == "http":
         mode_http(args.port)
     elif args.mode == "room-auto":
-        mode_room_auto(probe=args.probe == "on",
-                       points=args.points or 60000,
-                       height=args.height or 512)
+        mode_room_auto(
+            probe={"on": True, "off": False,
+                   "batched": "batched"}[args.probe],
+            points=args.points or 60000,
+            height=args.height or 512)
     elif args.mode == "coldstart":
         mode_coldstart(args.exec_cache, args.points or 240000,
                        args.height or 1024)
+    elif args.mode == "track-streams":
+        mode_track_streams(args.streams, args.frames,
+                           batch=args.batch == "on",
+                           points=args.points or 60000,
+                           height=args.height or 512)
     else:
         mode_sustained(args.queries)
 

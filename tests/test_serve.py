@@ -468,6 +468,123 @@ def test_room_auto_probe_prunes_full_queries(scene, monkeypatch):
     assert np.isfinite(out["room_scores"]["plain"])
 
 
+def test_room_auto_probe_batched_selects_and_prunes(scene, monkeypatch):
+    """room_auto_probe='batched' (design 3, probe.py): ONE vmapped program
+    scores every resident room (no per-room _probe_room calls), the margin
+    prunes full queries to the finalists, and the answer localizes."""
+    rng = np.random.default_rng(41)
+    xyz_a, rgb_a = make_room(rng, n_per_wall=1500, texture="plain")
+    xyz_b, rgb_b, img_b, gt_t = scene
+
+    svc = LocalizeService(max_rooms=3, room_auto_probe="batched",
+                          room_auto_margin=1.0, **_CFG)
+    svc.load_room(xyz_a, rgb_a, name="plain")
+    svc.load_room(xyz_b, rgb_b, name="checker")
+
+    full_rooms, perroom_probes = [], []
+    real_full = LocalizeService._compute_room
+
+    def count_full(self, prep, cache, device_index):
+        full_rooms.append(cache)
+        return real_full(self, prep, cache, device_index)
+
+    monkeypatch.setattr(LocalizeService, "_compute_room", count_full)
+    monkeypatch.setattr(
+        LocalizeService, "_probe_room",
+        lambda self, prep, cache, device_index: perroom_probes.append(cache),
+    )
+    out = svc.localize(img_b, room="auto")
+    assert out["room"] == "checker"
+    assert np.linalg.norm(out["t"] - gt_t) < 0.2
+    assert perroom_probes == []  # the batched program replaced design 2
+    assert full_rooms == [svc._rooms["checker"][0]]  # one full query
+    assert out["room_scores"]["checker"] == out["loss"]
+    assert np.isfinite(out["room_scores"]["plain"])
+
+    # the full query for the finalist used the finalist's OWN cloud colors
+    # (identity with cache["rgb"] gates its baked plans)
+    # second query reuses the cached probe state (no rebuild)
+    st = svc._batched_probes[0]
+    out2 = svc.localize(img_b, room="auto")
+    assert out2["room"] == "checker"
+    assert svc._batched_probes[0] is st
+
+    # loading another room invalidates the cached state (names change)
+    xyz_c, rgb_c = make_room(np.random.default_rng(43), n_per_wall=1000,
+                             texture="plain")
+    svc.load_room(xyz_c, rgb_c, name="third")
+    out3 = svc.localize(img_b, room="auto")
+    assert out3["room"] == "checker"
+    assert svc._batched_probes[0] is not st
+    assert set(out3["room_scores"]) == {"plain", "checker", "third"}
+
+
+def test_room_auto_probe_batched_falls_back_on_color_rebinds(scene,
+                                                             monkeypatch):
+    """match_color rebinding disqualifies the shared-image batched probe:
+    the service warns once and runs the per-room probe instead."""
+    xyz_b, rgb_b, img_b, gt_t = scene
+    rng = np.random.default_rng(47)
+    xyz_a, rgb_a = make_room(rng, n_per_wall=1200, texture="plain")
+
+    svc = LocalizeService(max_rooms=2, room_auto_probe="batched",
+                          match_color=True, **_CFG)
+    svc.load_room(xyz_a, rgb_a, name="plain")
+    svc.load_room(xyz_b, rgb_b, name="checker")
+
+    perroom = []
+    real_probe = LocalizeService._probe_room
+
+    def count_probe(self, prep, cache, device_index):
+        perroom.append(cache)
+        return real_probe(self, prep, cache, device_index)
+
+    monkeypatch.setattr(LocalizeService, "_probe_room", count_probe)
+    with pytest.warns(UserWarning, match="batched"):
+        out = svc.localize(img_b, room="auto")
+    assert out["room"] == "checker"
+    assert len(perroom) == 2  # every room probed per-room (design 2)
+
+
+def test_probe_rooms_ranks_and_masks(scene):
+    """The batched probe program itself: the query's own room scores
+    lowest; an all-padding room reports +inf (not a finite garbage loss)."""
+    import jax.numpy as jnp
+
+    from piccolo_tpu.harness.localize import _FusedGrids, _order_bounds
+    from piccolo_tpu.init import default_init_dict
+    from piccolo_tpu.probe import build_probe_state
+
+    xyz_b, rgb_b, img_b, gt_t = scene
+    rng = np.random.default_rng(53)
+    xyz_a, rgb_a = make_room(rng, n_per_wall=1500, texture="plain")
+
+    init_dict = default_init_dict(
+        xy_only=True, yaw_only=True, num_yaw=4, num_trans=16, z_prior=None,
+        num_split_h=4, num_split_w=4,
+    )
+
+    def cache_for(xyz, rgb):
+        lo, hi = _order_bounds(xyz, 0.05)
+        return dict(xyz_np=xyz, rgb_np=rgb, lo=lo, hi=hi,
+                    grids=_FusedGrids(np.asarray(xyz, np.float32),
+                                      init_dict))
+
+    rooms = [("plain", cache_for(xyz_a, rgb_a)),
+             ("checker", cache_for(xyz_b, rgb_b))]
+    rot = np.asarray(rooms[0][1]["grids"].rot)
+    st = build_probe_state(rooms, rot, max_pairs=48)
+    img_init = np.asarray(img_b, np.float32) / (
+        255.0 if img_b.dtype == np.uint8 else 1.0
+    )
+    losses = st.losses(img_init[::2, ::2], num_starts=4, num_iter=20)
+    assert losses.shape == (2,)
+    assert losses[1] < losses[0]  # the checker query ranks its own room
+
+    # pair budget honored: rows * n_rot <= max_pairs per room
+    assert int(np.asarray(st.trans_valid).sum(1).max()) * rot.shape[0] <= 48
+
+
 def test_room_auto_probe_nonfinite(scene, monkeypatch):
     """Probe-phase non-finite handling: (a) a NaN probe defers that room
     behind the finalists instead of poisoning the ranking; (b) every
@@ -679,3 +796,58 @@ def test_budget_cfg_subtracts_resident_plan_bytes(scene):
     svc1 = LocalizeService(max_rooms=1, **_CFG)
     svc1.load_room(xyz, rgb, name="solo")
     assert svc1._budget_cfg(svc1._rooms["solo"][0], 0) is svc1.cfg
+
+
+def test_tracked_requests_batch_across_streams(scene):
+    """Multi-stream tracking (round 5): tracked requests queued behind the
+    chip's compute lock drain as ONE vmapped program — every reply reports
+    the batch size, and poses equal strict per-request stepping."""
+    from piccolo_tpu.testing import render_at as _render
+    from piccolo_tpu.tracking import ypr_from_rot
+
+    xyz, rgb, img, gt_t = scene
+    svc = LocalizeService(**_CFG)
+    svc.load_room(xyz, rgb, name="box")
+    out0 = svc.localize(img)
+    prev = {"t": out0["t"].tolist(),
+            "ypr": ypr_from_rot(out0["rot"]).tolist()}
+
+    # three camera streams, one frame each, all near the seed pose
+    gts = [gt_t + np.float32([0.03, -0.02, 0.01]),
+           gt_t + np.float32([-0.02, 0.03, 0.0]),
+           gt_t + np.float32([0.01, 0.02, -0.02])]
+    frames = [np.asarray(_render(xyz, rgb, t, np.float32([0.92, 0, 0]),
+                                 (128, 256))) for t in gts]
+
+    # deterministic pile-up: hold the chip while all three requests queue
+    results = [None] * 3
+
+    def one(k):
+        results[k] = svc.localize(frames[k], prev_pose=prev)
+
+    svc._compute_locks[0].acquire()
+    try:
+        threads = [threading.Thread(target=one, args=(k,)) for k in range(3)]
+        for th in threads:
+            th.start()
+        deadline = time.time() + 30
+        while len(svc._track_queues[0]) < 3:
+            assert time.time() < deadline, "tracked requests never queued"
+            time.sleep(0.01)
+    finally:
+        svc._compute_locks[0].release()
+    for th in threads:
+        th.join(timeout=120)
+    assert all(r is not None for r in results)
+    assert [r["batched"] for r in results] == [3, 3, 3]
+    for k, r in enumerate(results):
+        assert r["tracked"]
+        assert np.linalg.norm(r["t"] - gts[k]) < 0.05
+
+    # strict per-request stepping (track_batch=False) answers the same
+    svc2 = LocalizeService(track_batch=False, **_CFG)
+    svc2.load_room(xyz, rgb, name="box")
+    for k, r in enumerate(results):
+        ref = svc2.localize(frames[k], prev_pose=prev)
+        assert "batched" not in ref
+        np.testing.assert_allclose(r["t"], ref["t"], atol=1e-4)

@@ -309,3 +309,45 @@ def test_track_step_fetched_exec_cache_identical(room, tmp_path):
     for w, g in zip(want, got):
         np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
     clear_memo()
+
+
+def test_track_steps_batched_matches_single(room):
+    """Multi-stream tracking: the vmapped K-stream step answers each
+    stream like per-stream track_step (to f32 batching noise) through
+    ONE program, and padding/near-GT convergence hold."""
+    from piccolo_tpu.tracking import track_step_fetched, track_steps_batched
+
+    scene, xyz, rgb, lo, hi = room
+    gts = [
+        (np.array([0.3, -0.5, 0.2], np.float32),
+         np.array([1.0, 0.0, 0.0], np.float32)),
+        (np.array([-0.8, 0.4, -0.1], np.float32),
+         np.array([2.2, 0.0, 0.0], np.float32)),
+        (np.array([1.1, 0.9, 0.3], np.float32),
+         np.array([-0.7, 0.0, 0.0], np.float32)),
+    ]
+    off_t = np.array([0.04, -0.03, 0.02], np.float32)
+    off_y = np.array([0.03, 0.0, 0.0], np.float32)
+    imgs = np.stack([
+        raycast_pano(scene, t, y, (128, 256)) for t, y in gts
+    ])
+    prev_ts = np.stack([t + off_t for t, _ in gts])
+    prev_yprs = np.stack([y + off_y for _, y in gts])
+
+    batched = track_steps_batched(
+        imgs, xyz, rgb, prev_ts, prev_yprs, lo, hi
+    )
+    assert len(batched) == 3
+    for k, (gt_t, _) in enumerate(gts):
+        t_b, ypr_b, rot_b, loss_b = batched[k]
+        t_s, ypr_s, rot_s, loss_s = track_step_fetched(
+            jnp.asarray(imgs[k]), xyz, rgb, prev_ts[k], prev_yprs[k],
+            lo, hi,
+        )
+        # each stream converges near its own GT...
+        assert np.linalg.norm(t_b - gt_t) < 0.02
+        # ...and equals the per-stream scalar program to batching noise
+        np.testing.assert_allclose(t_b, t_s, atol=1e-4)
+        np.testing.assert_allclose(ypr_b, ypr_s, atol=1e-4)
+        np.testing.assert_allclose(rot_b, rot_s, atol=1e-4)
+        assert abs(loss_b - loss_s) < 1e-4
