@@ -23,10 +23,16 @@ def enable_compilation_cache(path: Optional[str] = None) -> None:
 
     First-compile of the init+descent pipeline costs minutes; the cache
     brings warm-start runs down to seconds. Safe to call repeatedly.
+
+    ``PICCOLO_XLA_CACHE_DIR`` overrides the default location (explicit
+    ``path`` still wins).  tests/conftest.py points it at a per-session
+    temp dir: the default dir is shared machine-wide state, and a stale
+    entry from a run killed mid-write can SEGFAULT jax's cache read
+    (observed on the CPU backend) — CI must not depend on it.
     """
     import os
 
-    path = path or os.path.join(
+    path = path or os.environ.get("PICCOLO_XLA_CACHE_DIR") or os.path.join(
         os.path.expanduser("~"), ".cache", "piccolo_tpu", "xla"
     )
     os.makedirs(path, exist_ok=True)

@@ -22,6 +22,18 @@ if not _KEEP_TPU:
         ).strip()
 # f64 stays off: the framework is f32 end-to-end like the reference.
 
+# Isolate the persistent XLA compilation cache from the machine-wide
+# default dir: in-process CLI tests enable it process-wide
+# (utils.enable_compilation_cache), and a corrupt entry left by any
+# earlier killed run segfaults jax's cache READ mid-suite (observed:
+# zstd/deserialize crash in compilation_cache.get_executable_and_time).
+import tempfile
+
+os.environ.setdefault(
+    "PICCOLO_XLA_CACHE_DIR",
+    tempfile.mkdtemp(prefix="piccolo_test_xla_cache_"),
+)
+
 import jax  # noqa: E402
 
 # Some environments register an accelerator plugin at interpreter start and
