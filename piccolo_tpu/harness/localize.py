@@ -568,6 +568,7 @@ def _slab_admission(cfg, cache, grids, img_init):
         cfg_get(cfg, "slab_init", "auto"),
         bool(cfg_get(cfg, "sharpen_color", False)),
         bool(cfg_get(cfg, "slab_compact", False)),
+        bool(cfg_get(cfg, "slab_quant", False)),
         cfg_get(cfg, "slab_bytes_cap"),
         bool(cfg_get(cfg, "seam_wrap", False)),
     )
@@ -604,7 +605,13 @@ def _slab_admission_uncached(cfg, cache, grids, img_init):
     # (4 of 16 B/sample -> 1.25x).  Admission budgets the copy per layout.
     m_f32 = 2.0 if sharpen else 1.0
     m_compact = 1.25 if sharpen else 1.0
+    m_q8 = 1.5 if sharpen else 1.0  # refresh copies 4 of 8 B/sample
     n_t_build = n_t
+    # slab_quant=True forces the quantized layout (tests, apples-to-apples
+    # measurement); auto admission reaches it only over the compact cap
+    quant = bool(cfg_get(cfg, "slab_quant", False))
+    if quant:
+        compact = True
     if mode == "auto":
         from ..kernels.slab_sampling import GROUP
 
@@ -618,18 +625,29 @@ def _slab_admission_uncached(cfg, cache, grids, img_init):
             plan_bytes_estimate(n_pairs, n_points, compact=True) * m_compact
         )
         if est_compact > cap:
-            # PARTIAL plan (stretch scales, e.g. 1M pts x 1.4k pairs would
-            # need ~11 GB even compact): cover as many leading candidate
-            # groups as fit the budget and let the pipeline XLA-score the
-            # tail (plan_tail="xla").  The estimate is linear in groups;
-            # n_t must stay a whole number of trans rows so plan.n_pairs
-            # is a multiple of R (localize_query's staleness check).
+            # q8 tier (round 5): the QUANTIZED 8 B/sample layout (fractions
+            # to 1/255 — score shift ~1e-3 relative, ranking-insensitive)
+            # covers workloads the 16 B compact plan cannot; full slab
+            # coverage at slight quantization beats exact partial coverage
+            # whose tail runs at the COLLAPSED XLA gather rate
+            # (docs/PERFORMANCE.md "Scale stress").
             compact = True
-            groups_total = -(-n_pairs // GROUP)
-            groups_fit = int(groups_total * cap / est_compact)
-            n_t_build = groups_fit * GROUP // R
-            if n_t_build < max(1, GROUP // R) or n_t_build >= n_t:
-                return None
+            quant = True
+            est_q8 = (
+                plan_bytes_estimate(n_pairs, n_points, quant=True) * m_q8
+            )
+            if est_q8 > cap:
+                # PARTIAL q8 plan (e.g. 1M pts x 1.4k pairs still ~23 GB):
+                # cover as many leading candidate groups as fit the budget
+                # and let the pipeline XLA-score the tail (plan_tail=
+                # "xla").  The estimate is linear in groups; n_t must stay
+                # a whole number of trans rows so plan.n_pairs is a
+                # multiple of R (localize_query's staleness check).
+                groups_total = -(-n_pairs // GROUP)
+                groups_fit = int(groups_total * cap / est_q8)
+                n_t_build = groups_fit * GROUP // R
+                if n_t_build < max(1, GROUP // R) or n_t_build >= n_t:
+                    return None
         # sharpen_color rebinds cloud colors per query, forcing a per-query
         # target re-bake — only worth it when the XLA gather is slow enough
         # (a partial plan is judged on the pairs it actually covers)
@@ -639,7 +657,9 @@ def _slab_admission_uncached(cfg, cache, grids, img_init):
         ):
             return None
     return dict(mode=mode, n_t=n_t, n_t_build=n_t_build, compact=compact,
-                cap=dict(f32=int(cap / m_f32), compact=int(cap / m_compact)),
+                quant=quant,
+                cap=dict(f32=int(cap / m_f32), compact=int(cap / m_compact),
+                         q8=int(cap / m_q8)),
                 sharpen=sharpen, wrap=bool(cfg_get(cfg, "seam_wrap", False)))
 
 
@@ -671,6 +691,7 @@ def _maybe_sharded_slab_plan(cfg, cache, grids, img_init, mesh):
         return None
     key = ("slab_plan_sharded", img_init.shape[0], img_init.shape[1],
            adm["compact"], adm["compact"] and adm["sharpen"], adm["wrap"],
+           adm.get("quant", False),
            mesh.shape["cand"], mesh.shape["point"], _mesh_fingerprint(mesh))
     if key not in cache:
         from ..parallel.fused import shard_grid_plan
@@ -681,7 +702,7 @@ def _maybe_sharded_slab_plan(cfg, cache, grids, img_init, mesh):
             img_init.shape[0], img_init.shape[1],
             compact=adm["compact"],
             tp_is_pid=adm["compact"] and adm["sharpen"],
-            wrap=adm["wrap"],
+            wrap=adm["wrap"], quant=adm.get("quant", False),
         )
     return cache[key]
 
@@ -751,18 +772,21 @@ def _maybe_slab_plan(cfg, cache, grids, img_init, sync: bool = False):
     mode, n_t = adm["mode"], adm.get("n_t_build", adm["n_t"])
     compact, cap, sharpen = adm["compact"], adm["cap"], adm["sharpen"]
     wrap = adm["wrap"]
+    quant = adm.get("quant", False)
 
     def _build(compact, nb=None):
+        q = quant and compact
         return build_grid_plan(
             cache["xyz"], cache["rgb"], cache["mask"],
             grids.trans[:n_t], grids.rot,
             img_init.shape[0], img_init.shape[1],
             compact=compact, tp_is_pid=compact and sharpen, wrap=wrap,
-            nb=nb,
+            nb=nb, quant=q,
             # forced modes (slab_init=True) build whatever was asked for;
             # only auto admission enforces the (layout-specific) budget
             bytes_cap=(
-                cap["compact" if compact else "f32"]
+                cap.get("q8") if q and mode == "auto"
+                else cap["compact" if compact else "f32"]
                 if mode == "auto" else None
             ),
         )
@@ -809,13 +833,14 @@ def _maybe_slab_plan(cfg, cache, grids, img_init, sync: bool = False):
         # content digest memoized per room (hashing the cloud costs ~ms
         # but not nothing; the digest is invariant across queries)
         mk = ("slab_dkey", img_init.shape[0], img_init.shape[1], attempt,
-              attempt and sharpen, wrap)
+              attempt and sharpen, wrap, quant and attempt)
         if mk not in cache:
             cache[mk] = pc.plan_key(
                 cache["xyz"], cache["rgb"], cache["mask"],
                 grids.trans[:n_t], grids.rot,
                 img_init.shape[0], img_init.shape[1],
                 attempt, attempt and sharpen, wrap=wrap,
+                quant=quant and attempt,
             )
         return cache[mk]
 
@@ -850,7 +875,7 @@ def _maybe_slab_plan(cfg, cache, grids, img_init, sync: bool = False):
 
     for attempt in (compact, True):
         key = ("slab_plan", img_init.shape[0], img_init.shape[1], attempt,
-               attempt and sharpen, wrap)
+               attempt and sharpen, wrap, quant and attempt)
         if key in cache:
             return cache[key]
         pend_key = ("slab_plan_pending",) + key[1:]
@@ -1116,9 +1141,10 @@ def _mark_plan_failed(cache, key, sharpen) -> None:
     """Mark BOTH plan layouts failed for this (room, shape): a non-budget
     build failure (OOM, compile error) is not layout-specific, so the
     compact retry would pay the same failing build once more per room."""
-    _, H_, W_, _, _, wrap_ = key
+    _, H_, W_, _, _, wrap_, quant_ = key
     for a in (False, True):
-        cache[("slab_plan_failed", H_, W_, a, a and sharpen, wrap_)] = True
+        cache[("slab_plan_failed", H_, W_, a, a and sharpen, wrap_,
+               quant_ and a)] = True
 
 
 def _drop_slab_plans(room) -> None:

@@ -45,7 +45,8 @@ __all__ = [
 # Bump whenever the on-disk layout OR the plan semantics change (field
 # order, packing, window math) — old entries then miss by construction.
 # v3: per-plan window/block geometry (round 3).
-PLAN_FORMAT_VERSION = 3
+# v4: quantized (q8) plan layout flag in the aux record (round 5).
+PLAN_FORMAT_VERSION = 4
 
 
 def default_plan_cache_dir() -> str:
@@ -74,6 +75,7 @@ def plan_key(
     wrap: bool = False,
     window=None,
     block=None,
+    quant: bool = False,
 ) -> str:
     """Content digest of everything a plan is a function of.
 
@@ -91,7 +93,8 @@ def plan_key(
     _digest_array(h, trans_grid)
     _digest_array(h, rot_grid)
     h.update(
-        f"{height}x{width}:{int(compact)}{int(tp_is_pid)}{int(wrap)}".encode()
+        f"{height}x{width}:{int(compact)}{int(tp_is_pid)}{int(wrap)}"
+        f"{int(quant)}".encode()
     )
     if window is not None or block is not None:
         # explicit geometry overrides change plan contents; the auto
@@ -122,7 +125,7 @@ def save_plan(cache_dir: str, key: str, plan: GridPlan,
     aux = np.array(
         [plan.n_pairs, int(plan.compact), int(plan.tp_is_pid),
          plan.height, plan.width, int(plan.wrap),
-         plan.window, plan.block],
+         plan.window, plan.block, int(plan.quant)],
         np.int64,
     )
     path = _path(cache_dir, key)
@@ -173,16 +176,15 @@ def load_plan(cache_dir: str, key: str) -> Optional[GridPlan]:
         os.utime(path)  # LRU touch
     except OSError:
         pass  # concurrently evicted: the data is already in memory
-    n_pairs, compact, tp_is_pid, height, width, wrap, window, block = (
-        int(v) for v in aux
-    )
+    (n_pairs, compact, tp_is_pid, height, width, wrap, window, block,
+     quant) = (int(v) for v in aux)
     return GridPlan(
         fields=[jnp.asarray(f) for f in fields],
         windows=[jnp.asarray(w) for w in windows],
         tps=[jnp.asarray(t) for t in tps] if tps.size else (),
         n_pairs=n_pairs, compact=bool(compact), tp_is_pid=bool(tp_is_pid),
         height=height, width=width, wrap=bool(wrap),
-        window=window, block=block,
+        window=window, block=block, quant=bool(quant),
     )
 
 

@@ -152,9 +152,9 @@ class PlanOverBudget(RuntimeError):
 
 
 def plan_exact_bytes(n_groups: int, nb: int, compact: bool,
-                     block: int = BLOCK) -> int:
+                     block: int = BLOCK, quant: bool = False) -> int:
     """Exact HBM footprint of a plan once the padded block count is known."""
-    per = 16 if compact else 32
+    per = 8 if quant else (16 if compact else 32)
     return n_groups * (nb * block * per + nb * 4)
 
 # field order in the packed (8, BLOCK) sample block; _F_PID rides the spare
@@ -201,7 +201,7 @@ class GridPlan:
                  compact: bool = False, tp_is_pid: bool = False,
                  height: int = 0, width: int = 0, wrap: bool = False,
                  window: int = WINDOW, block: int = BLOCK,
-                 tps=()):
+                 quant: bool = False, tps=()):
         self.fields = tuple(fields)
         self.windows = tuple(windows)
         self.tps = tuple(tps)
@@ -213,12 +213,14 @@ class GridPlan:
         self.wrap = bool(wrap)
         self.window = int(window)
         self.block = int(block)
+        self.quant = bool(quant)
 
     def tree_flatten(self):
         return (
             (self.fields, self.windows, self.tps),
             (self.n_pairs, self.compact, self.tp_is_pid,
-             self.height, self.width, self.wrap, self.window, self.block),
+             self.height, self.width, self.wrap, self.window, self.block,
+             self.quant),
         )
 
     @classmethod
@@ -241,14 +243,15 @@ jax.tree_util.register_pytree_node(
 
 
 def plan_bytes_estimate(
-    n_pairs: int, n_points: int, compact: bool = False
+    n_pairs: int, n_points: int, compact: bool = False, quant: bool = False
 ) -> int:
     """Approximate HBM footprint of a plan before building it (32 B/sample
-    f32, 16 B compact, plus ~25% block padding) — lets auto mode skip
-    planning workloads whose streams would crowd out the rest of the query
-    (e.g. 1M-point clouds with 1.4k pairs would need ~45 GB even compact)."""
+    f32, 16 B compact, 8 B quantized, plus ~25% block padding) — lets auto
+    mode skip planning workloads whose streams would crowd out the rest of
+    the query (e.g. 1M-point clouds with 1.4k pairs would need ~45 GB even
+    compact)."""
     groups = (n_pairs + GROUP - 1) // GROUP
-    per = 16 if compact else 32
+    per = 8 if quant else (16 if compact else 32)
     return int(groups * GROUP * n_points * per * 1.25)
 
 
@@ -393,11 +396,11 @@ def pack_rgb24(rgb: jnp.ndarray) -> jnp.ndarray:
 @functools.partial(
     jax.jit,
     static_argnames=("height", "width", "nb", "compact", "tp_is_pid", "wrap",
-                     "window", "block"),
+                     "window", "block", "quant"),
 )
 def _plan_group(xyz, rgb, point_mask, t_g, ypr_g, *, height, width, nb,
                 compact=False, tp_is_pid=False, wrap=False,
-                window=WINDOW, block=BLOCK):
+                window=WINDOW, block=BLOCK, quant=False):
     """Sorted, window-padded sample blocks for one candidate group."""
     n_win = _rpad(height, width, window) // window
     N = xyz.shape[0]
@@ -409,7 +412,32 @@ def _plan_group(xyz, rgb, point_mask, t_g, ypr_g, *, height, width, nb,
     pid = jnp.broadcast_to(
         jnp.arange(N, dtype=jnp.float32)[None], (GROUP, N)
     )
-    if compact:
+    if quant:
+        if not compact:
+            raise ValueError("quant=True is a sub-mode of compact plans "
+                             "(pass compact=True)")
+        if window > 256:
+            raise ValueError(
+                "q8 plans need window <= 256 (the 9-bit lidx field's "
+                f"sentinel 511 must never name a real row), got {window}"
+            )
+        # pre-pack cid|wx|wy into ONE int32 payload BEFORE the sort: the
+        # device sort dominates plan-build time and its cost scales with
+        # operand count, so q8 sorts (key + 2 payloads) where compact
+        # sorts (key + 4) — the quantization q8 commits to anyway makes
+        # the pack lossless here
+        tp1 = pid if tp_is_pid else jnp.broadcast_to(
+            pack_rgb24(rgb)[None], (GROUP, N)
+        )
+        pp = (
+            (jnp.broadcast_to(
+                jnp.arange(GROUP, dtype=jnp.int32)[:, None], (GROUP, N)
+            ) << 16)
+            | (jnp.round(wx1 * 255.0).astype(jnp.int32) << 8)
+            | jnp.round(wy1 * 255.0).astype(jnp.int32)
+        )
+        vals = (pp.reshape(-1), tp1.reshape(-1))
+    elif compact:
         # one payload slot: point id (refresh-capable) or packed target
         tp1 = pid if tp_is_pid else jnp.broadcast_to(
             pack_rgb24(rgb)[None], (GROUP, N)
@@ -439,6 +467,31 @@ def _plan_group(xyz, rgb, point_mask, t_g, ypr_g, *, height, width, nb,
     i = jnp.arange(row_s.shape[0], dtype=jnp.int32)
     positions = i - starts[win] + block_off[win] * block
     lidx = (row_s - win * window).astype(jnp.float32)
+
+    if quant:
+        # q8 layout: ONE int32 per sample — lidx(9) | cid(7) | wx(8) | wy(8)
+        # — plus the split 4 B target/pid stream = 8 B/sample, half the
+        # compact plan.  Fractions quantize to 1/255 steps (score shift
+        # ~1e-3 relative, ranking-insensitive; admission only reaches q8
+        # where the alternative is the COLLAPSED XLA gather tail).  The
+        # pad sentinel lidx=511 can never name a real row (window <= 256
+        # enforced above), so the kernel's window one-hot selects nothing
+        # and pads contribute neither loss nor count.
+        _, pp_s, tp_s = srt
+        li_i = (row_s - win * window).astype(jnp.int32)
+        g = (li_i << 23) | pp_s
+        flat = (
+            jnp.full(nb * block, 511 << 23, jnp.int32)
+            .at[positions].set(g)
+        )
+        fields = flat.reshape(nb, 1, block)
+        tps = (
+            jnp.zeros(nb * block, jnp.float32)
+            .at[positions].set(tp_s)
+            .reshape(nb, 1, block)
+        )
+        windows = jnp.zeros(nb, jnp.int32).at[positions // block].max(win)
+        return fields, windows, tps
 
     if compact:
         _, wx_s, wy_s, cid_s, tp_s = srt
@@ -493,6 +546,7 @@ def build_grid_plan(
     wrap: bool = False,
     window: Optional[int] = None,
     block: Optional[int] = None,
+    quant: bool = False,
 ) -> GridPlan:
     """Build the room-static sorted sample streams (once per room+image size).
 
@@ -548,8 +602,10 @@ def build_grid_plan(
             window=window, block=block,
         )
         nb = _nb_bucket(int(np.max(np.asarray(totals))))
+    if quant and not compact:
+        raise ValueError("quant=True is a sub-mode of compact plans")
     if bytes_cap is not None:
-        exact = plan_exact_bytes(n_groups, nb, compact, block)
+        exact = plan_exact_bytes(n_groups, nb, compact, block, quant=quant)
         if exact > bytes_cap:
             raise PlanOverBudget(exact, bytes_cap)
 
@@ -559,7 +615,7 @@ def build_grid_plan(
             xyz, rgb, point_mask, *group_args(g),
             height=height, width=width, nb=nb,
             compact=compact, tp_is_pid=tp_is_pid, wrap=wrap,
-            window=window, block=block,
+            window=window, block=block, quant=quant,
         )
         fields.append(f)
         windows.append(w)
@@ -568,7 +624,7 @@ def build_grid_plan(
     return GridPlan(fields=fields, windows=windows, n_pairs=P,
                     compact=compact, tp_is_pid=tp_is_pid,
                     height=height, width=width, wrap=wrap,
-                    window=window, block=block, tps=tps)
+                    window=window, block=block, quant=quant, tps=tps)
 
 
 def _score_core(t1, t2, t3, li, x1, y1, tgt, cidf, *, window):
@@ -652,6 +708,31 @@ def _kernel_compact(w_ref, t1, t2, t3, f_ref, tp_ref, out_ref, *, window):
                              window=window)
 
 
+def _kernel_q8(w_ref, t1, t2, t3, g_ref, tp_ref, out_ref, *, window):
+    """Quantized-plan variant: unpack lidx|cid|wx|wy bitfields + split tp.
+
+    Integer unpacks are exact; the /255 fraction decode reproduces the
+    builder's round(w*255) quantization (±1/510 per fraction — the ONLY
+    approximation in the q8 path; targets decode exactly as in
+    _kernel_compact).  The pad sentinel lidx=511 exceeds every real
+    window row, so the window one-hot selects nothing and pads contribute
+    neither loss nor count.
+    """
+    g = g_ref[0]                         # (1, BLOCK) int32
+    li = (g >> 23) & 0x1FF
+    cidf = ((g >> 16) & 0x7F).astype(jnp.float32)
+    x1 = ((g >> 8) & 0xFF).astype(jnp.float32) * (1.0 / 255.0)
+    y1 = (g & 0xFF).astype(jnp.float32) * (1.0 / 255.0)
+    tp = tp_ref[0]                       # (1, BLOCK) f32 split stream
+    tr = jnp.floor(tp * (1.0 / 65536.0))
+    rem = tp - tr * 65536.0
+    tg = jnp.floor(rem * (1.0 / 256.0))
+    tb = rem - tg * 256.0
+    tgt = jnp.concatenate([tr, tg, tb], axis=0) / 255.0    # (3, block)
+    out_ref[0] = _score_core(t1, t2, t3, li, x1, y1, tgt, cidf,
+                             window=window)
+
+
 def _slab_tables(img: jnp.ndarray, height: int, width: int,
                  wrap: bool = False, window: int = WINDOW):
     """Packed sampling table, transposed and exactly split into 3 bf16 parts."""
@@ -684,7 +765,7 @@ def _check_refresh(compact: bool, tp_is_pid: bool, rgb) -> None:
 def slab_group_partials(tables, fields, windows, compact: bool,
                         rgb: Optional[jnp.ndarray] = None,
                         tps: Optional[jnp.ndarray] = None,
-                        window: int = WINDOW):
+                        window: int = WINDOW, quant: bool = False):
     """(loss_sum, valid_count) per pair of ONE candidate group.
 
     ``tables``: the 3-way bf16 split from :func:`_slab_tables`;
@@ -700,7 +781,7 @@ def slab_group_partials(tables, fields, windows, compact: bool,
     propagate varying-axis metadata; see CLAUDE.md / parallel/fused.py).
     """
     t1, t2, t3 = tables
-    nf = 3 if compact else 8
+    nf = 1 if quant else (3 if compact else 8)
     if rgb is not None:
         if compact:
             # one packed gather re-bakes ONLY the split target stream
@@ -741,7 +822,9 @@ def slab_group_partials(tables, fields, windows, compact: bool,
     out_shape = jax.ShapeDtypeStruct((nb, 8, GROUP), jnp.float32)
     out = pl.pallas_call(
         functools.partial(
-            _kernel_compact if compact else _kernel, window=window
+            _kernel_q8 if quant else
+            (_kernel_compact if compact else _kernel),
+            window=window,
         ),
         grid_spec=grid_spec,
         out_shape=out_shape,
@@ -777,7 +860,8 @@ def slab_pair_scores(
     def group_scores(fields, windows, tps):
         tot, cnt = slab_group_partials(tables, fields, windows,
                                        plan.compact, rgb, tps=tps,
-                                       window=plan.window)
+                                       window=plan.window,
+                                       quant=plan.quant)
         mean = tot / jnp.maximum(cnt, 1.0)
         return jnp.where(cnt > 0, mean, jnp.inf)
 

@@ -74,7 +74,7 @@ class ShardedGridPlan:
     def __init__(self, fields, windows, n_pairs: int, compact: bool,
                  tp_is_pid: bool, height: int, width: int,
                  wrap: bool = False, window: int = 512, block: int = 1024,
-                 tps=None):
+                 quant: bool = False, tps=None):
         self.fields = fields
         self.windows = windows
         self.tps = tps  # (n_point, n_cand, Gc, NB, block) or None (f32)
@@ -86,12 +86,14 @@ class ShardedGridPlan:
         self.wrap = bool(wrap)
         self.window = int(window)
         self.block = int(block)
+        self.quant = bool(quant)
 
     def tree_flatten(self):
         return (
             (self.fields, self.windows, self.tps),
             (self.n_pairs, self.compact, self.tp_is_pid,
-             self.height, self.width, self.wrap, self.window, self.block),
+             self.height, self.width, self.wrap, self.window, self.block,
+             self.quant),
         )
 
     @classmethod
@@ -125,6 +127,7 @@ def shard_grid_plan(
     compact: bool = False,
     tp_is_pid: bool = False,
     wrap: bool = False,
+    quant: bool = False,
 ) -> ShardedGridPlan:
     """Build per-point-shard slab plans for :func:`localize_query_sharded`.
 
@@ -189,7 +192,7 @@ def shard_grid_plan(
         plan = build_grid_plan(
             *shard_args(s), trans_grid, rot_grid, height, width,
             compact=compact, tp_is_pid=tp_is_pid, nb=nb, wrap=wrap,
-            window=window, block=block,
+            window=window, block=block, quant=quant,
         )
         n_pairs = plan.n_pairs
         f = np.stack([np.asarray(x) for x in plan.fields])  # (G, NB, nf, B)
@@ -198,12 +201,17 @@ def shard_grid_plan(
              if compact else None)                           # (G, NB, 1, B)
         gpad = (-f.shape[0]) % n_cand
         if gpad:
-            # empty groups: sentinel payloads contribute nothing
-            empty = np.broadcast_to(
-                np.array([-1, 0, 0] if compact
-                         else [-1, 0, 0, 0, 0, 0, -1, 0], np.float32)[:, None],
-                (f.shape[2], block),
-            )
+            # empty groups: sentinel payloads contribute nothing (q8:
+            # the 511<<23 lidx sentinel, int32)
+            if quant:
+                empty = np.full((1, block), 511 << 23, np.int32)
+            else:
+                empty = np.broadcast_to(
+                    np.array([-1, 0, 0] if compact
+                             else [-1, 0, 0, 0, 0, 0, -1, 0],
+                             np.float32)[:, None],
+                    (f.shape[2], block),
+                )
             f = np.concatenate(
                 [f, np.broadcast_to(empty, (gpad,) + f.shape[1:])]
             )
@@ -235,7 +243,7 @@ def shard_grid_plan(
     return ShardedGridPlan(
         fields=fields, windows=windows, n_pairs=n_pairs, compact=compact,
         tp_is_pid=tp_is_pid, height=height, width=width, wrap=wrap,
-        window=window, block=block, tps=tps,
+        window=window, block=block, quant=quant, tps=tps,
     )
 
 
@@ -389,6 +397,7 @@ def _localize_query_sharded_jit(
             slab_group_partials(
                 tables, fl[g], wl[g], plan.compact, ref,
                 tps=tl[g] if tl is not None else None, window=plan.window,
+                quant=plan.quant,
             )
             for g in range(fl.shape[0])
         ]

@@ -105,6 +105,12 @@ def main() -> None:
         "xla" if plan is not None and plan.n_pairs < n_real_pairs else "pad"
     )
     prune = (30, 2) if "--prune" in sys.argv else None
+    # --multires: the multi-resolution descent mode at the scale where the
+    # full-res table (4096x2048, ~200 MB bf16) gathers at the collapsed
+    # rate — 70 iterations on the stride-2 table, 30 full-res
+    multires = (70, 2) if "--multires" in sys.argv else None
+    if multires is not None and prune is not None:
+        raise SystemExit("--multires and --prune cannot combine")
 
     def one_query(seed: int):
         q = np.random.default_rng(seed)
@@ -119,6 +125,7 @@ def main() -> None:
             num_intermediate=20, num_input=6, num_iter=100,
             lr=0.1, patience=5, factor=0.8, masked=True,
             plan=plan, plan_tail=plan_tail, descent_prune=prune,
+            descent_multires=multires,
         )
         t = np.asarray(res.t)
         return time.time() - t0, float(np.linalg.norm(t - gt_t))
@@ -131,11 +138,13 @@ def main() -> None:
         "unit": "s/pano",
         "stage1": (
             "xla" if plan is None
-            else f"slab {plan.n_pairs}/{n_real_pairs} + {plan_tail} tail"
+            else f"slab[{'q8' if plan.quant else 'compact' if plan.compact else 'f32'}] "
+                 f"{plan.n_pairs}/{n_real_pairs} + {plan_tail} tail"
         ),
         "plan_gb": round(plan.nbytes / 1e9, 2) if plan is not None else 0.0,
         "median_t_err_m": round(float(np.median([r[1] for r in rows])), 4),
         "prune": bool(prune),
+        "multires": multires,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(out))

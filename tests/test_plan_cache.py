@@ -250,9 +250,19 @@ def test_admission_budgets_the_sharpen_refresh_copy(scene):
         )
         assert adm is not None and adm["compact"]
         assert adm["cap"]["compact"] == int(cap / 1.25)
-        # cap below 1.25x compact: sharpen refused (copy would not fit)
-        assert _slab_admission(
+        # cap below 1.25x compact: the q8 tier takes over (round 5) —
+        # full coverage at 8 B/sample instead of refusing the plan
+        adm_q = _slab_admission(
             cfg(sharpen_color=True, slab_bytes_cap=int(est_c * 1.2)),
+            cache, grids, img,
+        )
+        assert adm_q is not None and adm_q["quant"] and adm_q["compact"]
+        assert adm_q["n_t_build"] == adm_q["n_t"]  # full coverage
+        # cap below even the q8 estimate + its 1.5x refresh copy, too
+        # small for a one-group partial: refused outright
+        est_q = plan_bytes_estimate(n_pairs, n_points, quant=True)
+        assert _slab_admission(
+            cfg(sharpen_color=True, slab_bytes_cap=int(est_q * 0.5)),
             cache, grids, img,
         ) is None
         # ...while the SAME cap without sharpen admits (no copy)
@@ -303,13 +313,23 @@ def test_admission_truncates_to_partial_plan_over_budget(scene, monkeypatch):
 
     monkeypatch.setattr(sm, "slab_worthwhile", lambda *a, **k: True)
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
-    # cap = half the compact estimate: 2 of 4 groups fit
+    # cap = half the compact estimate = exactly the q8 estimate: the q8
+    # tier (round 5) restores FULL coverage at 8 B/sample — no partial
     cfg = make_config(
         dataset="Stanford2D-3D-S", slab_init="auto",
         slab_bytes_cap=int(est_c / 2),
     )
     adm = _slab_admission(cfg, cache, grids, img)
-    assert adm is not None and adm["compact"]
+    assert adm is not None and adm["compact"] and adm["quant"]
+    assert adm["n_t_build"] == adm["n_t"] == n_t
+
+    # cap = a quarter: even q8 exceeds it -> PARTIAL q8, 2 of 4 groups
+    cfg_half = make_config(
+        dataset="Stanford2D-3D-S", slab_init="auto",
+        slab_bytes_cap=int(est_c / 4),
+    )
+    adm = _slab_admission(cfg_half, cache, grids, img)
+    assert adm is not None and adm["compact"] and adm["quant"]
     assert adm["n_t"] == n_t
     assert adm["n_t_build"] == 2 * GROUP // R  # 64 of 128 rows
     assert (adm["n_t_build"] * R) % R == 0
@@ -320,13 +340,13 @@ def test_admission_truncates_to_partial_plan_over_budget(scene, monkeypatch):
         shape = {"cand": 2, "point": 4}
         devices = np.empty((0,), object)
 
-    assert _maybe_sharded_slab_plan(cfg, cache, grids, img,
+    assert _maybe_sharded_slab_plan(cfg_half, cache, grids, img,
                                     _FakeMesh()) is None
 
-    # a cap under one group's bytes: no useful partial plan -> XLA path
+    # a cap under one q8 group's bytes: no useful partial plan -> XLA path
     cfg_tiny = make_config(
         dataset="Stanford2D-3D-S", slab_init="auto",
-        slab_bytes_cap=int(est_c / 8),
+        slab_bytes_cap=int(est_c / 16),
     )
     assert _slab_admission(cfg_tiny, cache, grids, img) is None
 

@@ -268,3 +268,70 @@ def test_plan_geometry_resolver_and_overrides(scene):
         assert (plan.window, plan.block) == (window, block)
         s = np.asarray(slab_pair_scores(scene["img"], plan))
         np.testing.assert_allclose(s, s0, atol=2e-6)
+
+
+def test_q8_plan_matches_f32_plan_within_quantization(scene):
+    """8 B/sample q8 plan: half the compact bytes; scores match the exact
+    plan to the 1/255 fraction-quantization bound and preserve the
+    stage-1 ranking on separated candidates."""
+    H, W, _ = scene["img"].shape
+    rgb_u8 = jnp.asarray(
+        np.round(np.clip(np.asarray(scene["rgb"]), 0, 1) * 255) / 255.0,
+        jnp.float32,
+    )
+    comp = build_grid_plan(
+        scene["xyz"], rgb_u8, scene["mask"],
+        scene["trans"], scene["rot"], H, W, compact=True,
+    )
+    q8 = build_grid_plan(
+        scene["xyz"], rgb_u8, scene["mask"],
+        scene["trans"], scene["rot"], H, W, compact=True, quant=True,
+    )
+    assert q8.quant and q8.compact
+    assert q8.nbytes * 2 <= comp.nbytes + 2048
+    s0 = np.asarray(slab_pair_scores(scene["img"], comp))
+    s1 = np.asarray(slab_pair_scores(scene["img"], q8))
+    # fraction quantization to 1/255: per-sample bilinear-weight error
+    # <= ~2/255; the masked mean averages it far down
+    np.testing.assert_allclose(s1, s0, rtol=0.02, atol=5e-3)
+    # the stage-1 selection the pipeline consumes (top-k) is unchanged
+    k = 6
+    assert list(np.argsort(s1)[:k]) == list(np.argsort(s0)[:k])
+
+
+def test_q8_plan_rgb_refresh(scene):
+    """Refresh-capable q8 plan: the 4 B target stream re-bakes per query
+    exactly like the compact plan's."""
+    H, W, _ = scene["img"].shape
+    plan = build_grid_plan(
+        scene["xyz"], scene["rgb"], scene["mask"],
+        scene["trans"], scene["rot"], H, W, compact=True, tp_is_pid=True,
+        quant=True,
+    )
+    rng = np.random.default_rng(11)
+    rgb2 = jnp.asarray(
+        np.round(rng.random(scene["rgb"].shape) * 255) / 255.0, jnp.float32
+    )
+    got = np.asarray(slab_pair_scores(scene["img"], plan, rgb=rgb2))
+    want = np.asarray(score_pose_grid(
+        scene["img"], scene["xyz"], rgb2,
+        scene["trans"], scene["rot"], scene["mask"],
+    ))
+    P = want.shape[0]
+    np.testing.assert_allclose(got[:P], want, rtol=0.02, atol=5e-3)
+
+
+def test_q8_plan_guards(scene):
+    """q8 needs compact=True and window <= 256 (9-bit lidx sentinel)."""
+    H, W, _ = scene["img"].shape
+    with pytest.raises(ValueError, match="compact"):
+        build_grid_plan(
+            scene["xyz"], scene["rgb"], scene["mask"],
+            scene["trans"], scene["rot"], H, W, quant=True,
+        )
+    with pytest.raises(ValueError, match="window"):
+        build_grid_plan(
+            scene["xyz"], scene["rgb"], scene["mask"],
+            scene["trans"], scene["rot"], H, W, compact=True, quant=True,
+            window=512, block=1024,
+        )
