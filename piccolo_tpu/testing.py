@@ -27,6 +27,10 @@ __all__ = [
     "scene_cloud",
     "scene_pose",
     "raycast_pano",
+    "IMAGE_REALISM_ARMS",
+    "CLOUD_REALISM_ARMS",
+    "apply_image_realism",
+    "apply_cloud_realism",
 ]
 
 
@@ -471,3 +475,100 @@ def raycast_pano(
                 continue
             img[m] = _occluder_color(p[m], axis, scene.occluder_hues[k])
     return img
+
+
+# -- capture-realism degradations (round 5) ---------------------------------
+#
+# The raycast oracle renders IDEAL captures; real Stanford2D-3D-S /
+# OmniScenes data carries sensor noise, JPEG blocking, motion blur,
+# vignetting, and Matterport-style cloud defects (depth noise, scan
+# holes) — the reference consumes such captures directly
+# (/root/reference/localize.py:167-171, 380-410).  These helpers degrade a
+# rendered query image / sampled cloud so eval_synth and
+# make_synth_dataset can run adversarial-realism arms, with the SAME
+# degradation feedable to the unmodified reference for matched pairs.
+
+IMAGE_REALISM_ARMS = ("noise", "jpeg", "blur", "vignette")
+CLOUD_REALISM_ARMS = ("depth-noise", "holes")
+
+
+def apply_image_realism(u8: np.ndarray, arm: str, val: float,
+                        rng: np.random.Generator) -> np.ndarray:
+    """Degrade a uint8 capture like a real camera/codec would.
+
+    Arms (val = strength):
+      noise:    per-pixel Gaussian sensor noise, sigma = val in [0, 1]
+                units (default 0.02 ~ a mid-ISO handheld capture).
+      jpeg:     encode/decode at quality = int(val) (default 60).
+      blur:     horizontal motion blur, kernel length = int(val) px
+                (default 9) — panning blur in panorama azimuth.
+      vignette: elevation falloff, gain 1 - val * (2*row/H - 1)^2
+                (default 0.4) — the equirect analog of lens vignetting.
+    """
+    img = np.asarray(u8)
+    if img.dtype != np.uint8:
+        raise ValueError("apply_image_realism expects a uint8 capture")
+    if arm == "noise":
+        f = img.astype(np.float32) / 255.0
+        f = f + rng.normal(0.0, float(val), f.shape).astype(np.float32)
+        return np.clip(np.round(f * 255.0), 0, 255).astype(np.uint8)
+    if arm == "jpeg":
+        import cv2
+
+        ok, enc = cv2.imencode(
+            ".jpg", cv2.cvtColor(img, cv2.COLOR_RGB2BGR),
+            [int(cv2.IMWRITE_JPEG_QUALITY), int(val)],
+        )
+        assert ok
+        return cv2.cvtColor(cv2.imdecode(enc, cv2.IMREAD_COLOR),
+                            cv2.COLOR_BGR2RGB)
+    if arm == "blur":
+        # horizontal box blur with PERIODIC wrap (panorama azimuth is
+        # periodic; cv2.filter2D cannot wrap columns)
+        k = max(3, int(val) | 1)
+        f = img.astype(np.float32)
+        acc = np.zeros_like(f)
+        for off in range(-(k // 2), k // 2 + 1):
+            acc += np.roll(f, off, axis=1)
+        return np.clip(np.round(acc / k), 0, 255).astype(np.uint8)
+    if arm == "vignette":
+        H = img.shape[0]
+        y = (2.0 * np.arange(H, dtype=np.float32) / max(H - 1, 1)) - 1.0
+        gain = 1.0 - float(val) * y * y
+        f = img.astype(np.float32) * gain[:, None, None]
+        return np.clip(np.round(f), 0, 255).astype(np.uint8)
+    raise ValueError(f"unknown image realism arm {arm!r} "
+                     f"(have {IMAGE_REALISM_ARMS})")
+
+
+def apply_cloud_realism(xyz: np.ndarray, rgb: np.ndarray, arm: str,
+                        val: float, rng: np.random.Generator):
+    """Degrade a sampled cloud like a real scanner would.
+
+    Arms (val = strength):
+      depth-noise: Gaussian positional noise, sigma = val metres
+                   (default 0.01) — depth-sensor jitter.
+      holes:       remove val (default 0.10) of the points as 8 random
+                   spherical caps — Matterport-style scan holes (glass,
+                   occlusion shadows, registration gaps).
+    """
+    xyz = np.asarray(xyz, np.float32)
+    rgb = np.asarray(rgb, np.float32)
+    if arm == "depth-noise":
+        return (
+            xyz + rng.normal(0.0, float(val), xyz.shape).astype(np.float32),
+            rgb,
+        )
+    if arm == "holes":
+        n = xyz.shape[0]
+        target = int(n * float(val))
+        keep = np.ones(n, bool)
+        per = max(1, target // 8)
+        for _ in range(8):
+            c = xyz[rng.integers(0, n)]
+            d = np.linalg.norm(xyz - c, axis=1)
+            d[~keep] = np.inf  # already removed: never recount
+            keep[np.argsort(d)[:per]] = False
+        return xyz[keep], rgb[keep]
+    raise ValueError(f"unknown cloud realism arm {arm!r} "
+                     f"(have {CLOUD_REALISM_ARMS})")

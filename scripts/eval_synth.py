@@ -141,6 +141,18 @@ def main(argv=None) -> dict:
                     help="apply the harness's match_color prep (CDF "
                          "matching of the image to the cloud colors, "
                          "reference color_utils.py:146) per query")
+    ap.add_argument("--realism", default=None,
+                    choices=["noise", "jpeg", "blur", "vignette",
+                             "depth-noise", "holes"],
+                    help="capture-realism degradation arm (raycast oracle "
+                         "only): sensor noise / JPEG / motion blur / "
+                         "vignetting on the query image, or depth noise / "
+                         "scan holes on the cloud "
+                         "(piccolo_tpu.testing.apply_*_realism)")
+    ap.add_argument("--realism-val", type=float, default=None,
+                    help="arm strength (defaults: noise 0.02, jpeg 60, "
+                         "blur 9 px, vignette 0.4, depth-noise 0.01 m, "
+                         "holes 0.10)")
     ap.add_argument("--seam-gt", action="store_true",
                     help="adversarial seam poses (raycast + yaw-only GT "
                          "only): after drawing each GT pose, set its yaw so "
@@ -158,6 +170,16 @@ def main(argv=None) -> dict:
                          "z_prior = 1.5 candidate prior — the realistic "
                          "capture-dataset frame (raycast oracle only)")
     args = ap.parse_args(argv)
+    _REALISM_DEFAULTS = {
+        "noise": 0.02, "jpeg": 60, "blur": 9, "vignette": 0.4,
+        "depth-noise": 0.01, "holes": 0.10,
+    }
+    if args.realism:
+        if args.oracle != "raycast":
+            raise SystemExit("--realism needs --oracle raycast (the arms "
+                             "model real-capture defects)")
+        if args.realism_val is None:
+            args.realism_val = _REALISM_DEFAULTS[args.realism]
     if args.floor_ref and args.oracle != "raycast":
         raise SystemExit("--floor-ref needs --oracle raycast")
     if args.seam_gt and (args.oracle != "raycast" or args.full_rot):
@@ -192,6 +214,15 @@ def main(argv=None) -> dict:
             )
             xyz, rgb = scene_cloud(scene, rng, args.points)
             occ = scene.occluders
+            if args.realism in ("depth-noise", "holes"):
+                # Matterport-style cloud defects: the capture (raycast)
+                # stays ideal, the MAP degrades — the mismatch real
+                # deployments live with
+                from piccolo_tpu.testing import apply_cloud_realism
+
+                xyz, rgb = apply_cloud_realism(
+                    xyz, rgb, args.realism, args.realism_val, rng
+                )
         elif kind == "cluttered":
             xyz, rgb, occ = make_cluttered_room(
                 rng, n_per_wall=args.points // 8, size=size,
@@ -354,6 +385,12 @@ def main(argv=None) -> dict:
                            else None),
                     wb=(0.7, 1.0, 1.3) if args.perturb == "wb" else None,
                 )
+                if args.realism in ("noise", "jpeg", "blur", "vignette"):
+                    from piccolo_tpu.testing import apply_image_realism
+
+                    u8 = apply_image_realism(
+                        u8, args.realism, args.realism_val, rng
+                    )
                 img_f = u8.astype(np.float32) / 255.0
                 if args.match_color:
                     from piccolo_tpu.color import color_match
@@ -441,6 +478,8 @@ def main(argv=None) -> dict:
     summary = dict(
         profile=args.profile,
         oracle=args.oracle,
+        realism=args.realism,
+        realism_val=args.realism_val,
         perturb=args.perturb,
         match_color=bool(args.match_color),
         floor_ref=bool(args.floor_ref),

@@ -68,7 +68,8 @@ def _write_cloud(path: str, xyz: np.ndarray, rgb: np.ndarray) -> None:
     np.savetxt(path, cols, fmt="%.6f %.6f %.6f %d %d %d")
 
 
-def _make_room_data(rng, size, points, oracle, floor_at_zero=False):
+def _make_room_data(rng, size, points, oracle, floor_at_zero=False,
+                    realism=None, realism_val=None):
     """Cloud + a renderer closure, for either oracle.
 
     splat: z-buffer the cloud itself (render_at).  raycast: dense
@@ -81,9 +82,21 @@ def _make_room_data(rng, size, points, oracle, floor_at_zero=False):
         scene = make_scene(rng, size=size, n_occluders=2, texture="checker",
                            floor_at_zero=floor_at_zero)
         xyz, rgb = scene_cloud(scene, rng, points)
+        if realism in ("depth-noise", "holes"):
+            from piccolo_tpu.testing import apply_cloud_realism
+
+            xyz, rgb = apply_cloud_realism(xyz, rgb, realism, realism_val,
+                                           rng)
 
         def render(t, ypr, resolution):
-            return raycast_pano(scene, t, ypr, resolution)
+            img = raycast_pano(scene, t, ypr, resolution)
+            if realism in ("noise", "jpeg", "blur", "vignette"):
+                from piccolo_tpu.testing import apply_image_realism
+
+                u8 = (img * 255).astype(np.uint8)
+                img = apply_image_realism(u8, realism, realism_val,
+                                          rng).astype(np.float32) / 255.0
+            return img
 
         def pose(yaw_only=True, z_range=None):
             return scene_pose(scene, rng, yaw_only=yaw_only, z_range=z_range)
@@ -110,12 +123,14 @@ def _inside_any(t, occluders, clearance=0.15):
     )))
 
 
-def make_stanford(root, rooms, queries, points, height, rng, oracle="splat"):
+def make_stanford(root, rooms, queries, points, height, rng, oracle="splat",
+                  realism=None, realism_val=None):
     area = 1
     for ri in range(rooms):
         size = _ROOM_SIZES[ri % len(_ROOM_SIZES)]
         xyz, rgb, render, sample_pose, _occ = _make_room_data(
-            rng, size, points, oracle
+            rng, size, points, oracle, realism=realism,
+            realism_val=realism_val,
         )
         room_type, room_no = "office", str(ri + 1)
         _write_cloud(
@@ -151,13 +166,15 @@ def make_stanford(root, rooms, queries, points, height, rng, oracle="splat"):
 
 
 def make_omniscenes(root, rooms, queries, points, height, rng,
-                    split="extreme", oracle="splat"):
+                    split="extreme", oracle="splat",
+                    realism=None, realism_val=None):
     for ri in range(rooms):
         size = _ROOM_SIZES[ri % len(_ROOM_SIZES)]
         # raycast omniscenes rooms are floor-referenced (floor at z=0) so
         # the shipped z_prior = 1.5 camera-height prior applies unmodified
         xyz, rgb, render, sample_pose, occluders = _make_room_data(
-            rng, size, points, oracle, floor_at_zero=True
+            rng, size, points, oracle, floor_at_zero=True,
+            realism=realism, realism_val=realism_val,
         )
         room_type, room_no = "pyebang", str(ri + 1)
         _write_cloud(
@@ -212,15 +229,36 @@ def main(argv=None):
                          "(cluttered rooms, geometric occlusion) instead "
                          "of cloud splats — color preprocessing paths "
                          "behave as on real captures")
+    ap.add_argument("--realism", default=None,
+                    choices=["noise", "jpeg", "blur", "vignette",
+                             "depth-noise", "holes"],
+                    help="capture-realism degradation (raycast only; "
+                         "piccolo_tpu.testing.apply_*_realism) — the SAME "
+                         "degraded data feeds the unmodified reference for "
+                         "matched-pair runs")
+    ap.add_argument("--realism-val", type=float, default=None,
+                    help="arm strength (defaults: noise 0.02, jpeg 60, "
+                         "blur 9 px, vignette 0.4, depth-noise 0.01 m, "
+                         "holes 0.10)")
     args = ap.parse_args(argv)
+    if args.realism:
+        if args.oracle != "raycast":
+            raise SystemExit("--realism needs --oracle raycast")
+        if args.realism_val is None:
+            args.realism_val = {
+                "noise": 0.02, "jpeg": 60, "blur": 9, "vignette": 0.4,
+                "depth-noise": 0.01, "holes": 0.10,
+            }[args.realism]
 
     rng = np.random.default_rng(args.seed)
     if "stanford" in args.datasets:
         make_stanford(args.root, args.rooms, args.queries, args.points,
-                      args.height, rng, oracle=args.oracle)
+                      args.height, rng, oracle=args.oracle,
+                      realism=args.realism, realism_val=args.realism_val)
     if "omniscenes" in args.datasets:
         make_omniscenes(args.root, args.rooms, args.queries, args.points,
-                        args.height, rng, oracle=args.oracle)
+                        args.height, rng, oracle=args.oracle,
+                        realism=args.realism, realism_val=args.realism_val)
     print(f"synthetic dataset written to {args.root}")
 
 

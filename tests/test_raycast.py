@@ -152,3 +152,46 @@ def test_pipeline_recovers_pose_from_raycast_pano(rng):
         num_intermediate=10, num_input=4, num_iter=80,
     )
     assert float(jnp.linalg.norm(res.t - jnp.asarray(gt_t))) < 0.2
+
+
+def test_realism_degradations():
+    """Capture-realism arms: image arms keep shape/dtype and actually
+    change the capture; cloud arms perturb/remove points as specified."""
+    from piccolo_tpu.testing import (
+        apply_cloud_realism,
+        apply_image_realism,
+        make_scene,
+        raycast_pano,
+        scene_cloud,
+    )
+
+    rng = np.random.default_rng(9)
+    scene = make_scene(rng, size=(4.0, 3.0, 2.5), n_occluders=1)
+    u8 = (raycast_pano(scene, np.zeros(3, np.float32),
+                       np.zeros(3, np.float32), (64, 128)) * 255
+          ).astype(np.uint8)
+    for arm, val in (("noise", 0.02), ("jpeg", 60), ("blur", 9),
+                     ("vignette", 0.4)):
+        out = apply_image_realism(u8, arm, val, rng)
+        assert out.shape == u8.shape and out.dtype == np.uint8
+        assert not np.array_equal(out, u8), arm
+    # vignette darkens top/bottom rows, keeps the equator untouched
+    vig = apply_image_realism(u8, "vignette", 0.4, rng)
+    assert vig[0].sum() <= u8[0].sum()
+    assert np.array_equal(vig[32], u8[32])
+
+    xyz, rgb = scene_cloud(scene, rng, 5000)
+    x2, r2 = apply_cloud_realism(xyz, rgb, "depth-noise", 0.01, rng)
+    assert x2.shape == xyz.shape and r2.shape == rgb.shape
+    d = np.linalg.norm(x2 - xyz, axis=1)
+    assert 0.005 < float(d.mean()) < 0.05
+    x3, r3 = apply_cloud_realism(xyz, rgb, "holes", 0.10, rng)
+    kept = x3.shape[0] / xyz.shape[0]
+    assert 0.85 < kept < 0.95 and r3.shape[0] == x3.shape[0]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown"):
+        apply_image_realism(u8, "fog", 1.0, rng)
+    with pytest.raises(ValueError, match="uint8"):
+        apply_image_realism(u8.astype(np.float32), "noise", 0.02, rng)
