@@ -31,6 +31,7 @@ BASELINE.md for the measurements and for the reference's GPU-era context.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -60,8 +61,6 @@ def main() -> None:
     try:
         jax.devices()
     except RuntimeError:
-        import os
-
         if os.environ.get("PICCOLO_BENCH_RETRIED"):
             raise
         time.sleep(20)
@@ -71,13 +70,44 @@ def main() -> None:
     from piccolo_tpu.init import default_init_dict
     from piccolo_tpu.init.candidates import generate_rot_points, generate_trans_points
     from piccolo_tpu.init.refine import trim_by_hist, trim_by_loss
-    from piccolo_tpu.pipeline import localize_query
-    from piccolo_tpu.solver import descend
+    from piccolo_tpu.pipeline import LOCALIZE_QUERY_STATICS, localize_query
+    from piccolo_tpu.solver import DESCEND_STATICS, descend
     from piccolo_tpu.testing import make_room, random_pose_inside, render_at
     from piccolo_tpu.utils import enable_compilation_cache
+    from piccolo_tpu.utils.exec_cache import aot_call
     from piccolo_tpu.harness.localize import _order_bounds, _pad_cloud
 
     enable_compilation_cache()
+
+    # Executable cache for the bench's big programs (opt-out
+    # --no-exec-cache; dir override PICCOLO_BENCH_EXEC_CACHE).  On the
+    # axon frontend compilation is SERVER-SIDE and, on degraded days, the
+    # remote_compile endpoint can drop a large (slab-kernel) program
+    # outright — "Broken pipe" after a server-side timeout — the same
+    # outage class serving survives via `exec_cache_dir`
+    # (docs/ROUND4.md §3).  One successful compile serializes the
+    # executable; later bench processes load it in seconds instead of
+    # re-paying (or failing) the remote compile.  Steady-state timing is
+    # unchanged: after warm-up the cache is one dict lookup (the disk
+    # layer self-disables on CPU backends, utils/exec_cache.py).
+    exec_cache_dir = None
+    if "--no-exec-cache" not in sys.argv:
+        exec_cache_dir = os.environ.get(
+            "PICCOLO_BENCH_EXEC_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "piccolo_tpu",
+                         "bench_exec"),
+        )
+
+    if exec_cache_dir:
+        def call_query(*a, **kw):
+            return aot_call(localize_query, LOCALIZE_QUERY_STATICS,
+                            exec_cache_dir, *a, **kw)
+
+        def call_descend(*a, **kw):
+            return aot_call(descend, DESCEND_STATICS,
+                            exec_cache_dir, *a, **kw)
+    else:
+        call_query, call_descend = localize_query, descend
 
     mode = "omniscenes" if "--omniscenes" in sys.argv else "stanford"
     if mode == "omniscenes":
@@ -247,7 +277,7 @@ def main() -> None:
             np.asarray(t2c[0])
             s2 = time.time() - t0
             t0 = time.time()
-            res = descend(
+            res = call_descend(
                 img_main, xyz_d, rgb_d, t2c, r2c, lo_d, hi_d, mask_d,
                 num_iter=100, lr=0.1, patience=5, factor=0.8, masked=True,
                 table_dtype=descent_table, prune=prune, multires=multires,
@@ -281,7 +311,7 @@ def main() -> None:
             img_init = img_main[::init_step, ::init_step]
             np.asarray(img_init[0, 0])
             t0 = time.time()
-            res = localize_query(
+            res = call_query(
                 img_init, img_main, xyz_d, rgb_d, trans_grid, rot_grid,
                 trans_valid, lo_d, hi_d, mask_d,
                 num_intermediate=num_intermediate, num_input=6,
@@ -360,7 +390,7 @@ def main() -> None:
             np.asarray(t2c[0])
             s2 = time.time() - t0
             t0 = time.time()
-            res = descend(
+            res = call_descend(
                 img_main, xyz_d, rgb_d, t2c, r2c, lo_d, hi_d, mask_d,
                 num_iter=100, lr=0.1, patience=5, factor=0.8, masked=True,
                 table_dtype=descent_table,
@@ -395,7 +425,7 @@ def main() -> None:
         np.asarray(img_init[0, 0])  # force the GT render to finish pre-timer
         t0 = time.time()
         if use_fused:
-            res = localize_query(
+            res = call_query(
                 img_init, img_main, xyz_d, rgb_d, trans_grid, rot_grid,
                 trans_valid, lo_d, hi_d, mask_d,
                 num_intermediate=num_intermediate, num_input=6, num_iter=100,
@@ -414,7 +444,7 @@ def main() -> None:
             t2, r2 = trim_by_hist(
                 img_init, xyz_d, rgb_d, t1, r1, 6, 4, 4, mask_d
             )
-            res = descend(
+            res = call_descend(
                 img_main, xyz_d, rgb_d, t2, r2, lo_d, hi_d, mask_d,
                 num_iter=100, lr=0.1, patience=5, factor=0.8, masked=True,
                 table_dtype=descent_table, prune=prune, multires=multires,
@@ -426,7 +456,20 @@ def main() -> None:
         return elapsed, t_err
 
     # warm-up query compiles everything
-    one_query(100)
+    degraded = None
+    try:
+        one_query(100)
+    except Exception as e:  # platform-outage resilience, not error hiding
+        if plan is None or "UNAVAILABLE" not in str(e):
+            raise
+        # The axon remote_compile endpoint dropped the slab-kernel
+        # program (server-side compile timeout on a degraded frontend —
+        # observed as "UNAVAILABLE: .../remote_compile: Broken pipe").
+        # The benchmark must survive a compiler outage: fall back to the
+        # XLA gather stage 1 and say so in the JSON rather than die.
+        plan = None
+        degraded = "slab-remote-compile-unavailable; xla stage-1 fallback"
+        one_query(100)
 
     times, errs = [], []
     for i in range(5):
@@ -451,6 +494,8 @@ def main() -> None:
         "median_t_err_m": round(float(np.median(errs)), 4),
         "device": str(jax.devices()[0]),
     }
+    if degraded:
+        out["degraded"] = degraded
     print(json.dumps(out))
 
 

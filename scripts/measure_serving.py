@@ -39,6 +39,16 @@ _CFG = dict(
     xy_only=True, num_trans=50, yaw_only=True, num_yaw=8, z_prior=None,
     num_split_h=4, num_split_w=4, num_intermediate=20, num_input=6,
     num_iter=100, lr=0.1, patience=5, factor=0.8,
+    # Production guidance (docs/DEPLOY.md) is exec_cache_dir ON; it also
+    # makes these measurements survivable on degraded axon days where the
+    # server-side remote compile can drop a large program ("Broken
+    # pipe") — once any process compiles a variant, later runs disk-load
+    # it.  PICCOLO_EXEC_CACHE='' disables.
+    exec_cache_dir=os.environ.get(
+        "PICCOLO_EXEC_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "piccolo_tpu",
+                     "bench_exec"),
+    ) or None,
 )
 
 
@@ -86,7 +96,7 @@ def mode_sustained(n_queries: int):
 
 
 def mode_room_auto(probe=True, points: int = 60000,
-                   height: int = 512):
+                   height: int = 512, margin=None, pairs=None):
     """The DEPLOY '12/12 correct' eval, timed: 4 resident rooms (incl. the
     hard same-generator checker pair), 3 auto queries each, plus an
     explicit-room baseline so the auto overhead is a measured ratio.
@@ -98,7 +108,13 @@ def mode_room_auto(probe=True, points: int = 60000,
     from piccolo_tpu.testing import make_cluttered_room
 
     npw, hw = points // 6, (height, 2 * height)
-    svc = LocalizeService(max_rooms=4, room_auto_probe=probe, **_CFG)
+    extra = {}
+    if margin is not None:
+        extra["room_auto_margin"] = float(margin)
+    if pairs is not None:
+        extra["room_auto_probe_pairs"] = int(pairs)
+    svc = LocalizeService(max_rooms=4, room_auto_probe=probe, **extra,
+                          **_CFG)
     rooms = {}
     for name, (seed, texture, cluttered) in {
         "plain": (1, "plain", False),
@@ -138,6 +154,7 @@ def mode_room_auto(probe=True, points: int = 60000,
     med_base = float(np.median(base))
     print(json.dumps({
         "mode": "room-auto", "probe": str(probe),
+        "margin": margin, "probe_pairs": pairs,
         "points": points, "pano": [height, 2 * height],
         "correct": correct, "total": total,
         "median_t_err_m": round(float(np.median(errs)), 4) if errs else None,
@@ -399,6 +416,12 @@ def main(argv=None):
                     help="room-auto probe phase: off = round-3 full-query-"
                          "per-room, on = round-4 per-room probe, batched = "
                          "round-5 one-program probe over all rooms")
+    ap.add_argument("--margin", type=float, default=None,
+                    help="--mode room-auto: override room_auto_margin "
+                         "(probe-loss finalist cut, default 3.0)")
+    ap.add_argument("--probe-pairs", type=int, default=None,
+                    help="--mode room-auto: override room_auto_probe_pairs "
+                         "(per-room stage-1 pair budget, default 512)")
     ap.add_argument("--exec-cache", default="",
                     help="--mode coldstart: executable cache dir ('' = off)")
     ap.add_argument("--points", type=int, default=None,
@@ -422,7 +445,8 @@ def main(argv=None):
             probe={"on": True, "off": False,
                    "batched": "batched"}[args.probe],
             points=args.points or 60000,
-            height=args.height or 512)
+            height=args.height or 512,
+            margin=args.margin, pairs=args.probe_pairs)
     elif args.mode == "coldstart":
         mode_coldstart(args.exec_cache, args.points or 240000,
                        args.height or 1024)
