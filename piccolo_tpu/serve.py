@@ -521,17 +521,27 @@ class LocalizeService:
 
         Opportunistic micro-batching: a batch forms ONLY from requests
         already queued — serial traffic runs the single-stream path with
-        zero added latency, while K concurrent camera streams cost ~one
-        frame's device time + one fetch instead of K of each.  Batches
-        are padded up to a size bucket ({2, 4, 8, ...} up to
-        ``track_max_batch``) so concurrent load compiles a handful of
-        program shapes, not one per K.  ``track_batch = False`` restores
-        strict per-request stepping; sharpen_color configs fall back
+        zero added latency.  Batches are padded up to a size bucket
+        ({2, 4, 8, ...} up to ``track_max_batch``) so concurrent load
+        compiles a handful of program shapes, not one per K.
+        ``track_batch = True`` opts in; sharpen_color configs fall back
         per-request automatically (each frame rebinds the CLOUD colors,
         so streams no longer share the room state the vmap closes over).
+
+        OFF BY DEFAULT after real-chip measurement (round 5,
+        ``measure_serving --mode track-streams``, 6 streams x 12 frames,
+        Stanford scale): batching measured a uniform PESSIMIZATION —
+        wall 9.6 -> 17.0 s, p50 latency 0.80 -> 1.17 s, and even the
+        K=1 vmapped call runs 0.25 vs 0.17 s single-stream.  Tracked
+        gathers are row-count-bound (docs/PERFORMANCE.md), so a K-batch
+        costs ~K x one stream's device time — the only amortized cost is
+        the ~25 ms fetch, and the vmapped gather itself runs at a WORSE
+        rate (the round-2 "vmap query batching is slower" negative, now
+        confirmed on the tracked step).  Kept opt-in for fetch-dominated
+        deployments (tiny rooms / very high round-trip frontends).
         """
         _, img_main, rgb_used, prep_timed = prep
-        if (not cfg_get(self.cfg, "track_batch", True)
+        if (not cfg_get(self.cfg, "track_batch", False)
                 or rgb_used is not cache["rgb"]):
             return self._track_room(prep, cache, device_index, prev_pose)
         t_prev, ypr_prev = self._parse_prev_pose(prev_pose)

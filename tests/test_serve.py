@@ -806,7 +806,9 @@ def test_tracked_requests_batch_across_streams(scene):
     from piccolo_tpu.tracking import ypr_from_rot
 
     xyz, rgb, img, gt_t = scene
-    svc = LocalizeService(**_CFG)
+    # track_batch is OPT-IN (off by default — measured pessimization at
+    # Stanford scale, docs/ROUND5.md; kept for fetch-dominated frontends)
+    svc = LocalizeService(track_batch=True, **_CFG)
     svc.load_room(xyz, rgb, name="box")
     out0 = svc.localize(img)
     prev = {"t": out0["t"].tolist(),
