@@ -224,8 +224,14 @@ def main() -> None:
         pair_valid_full = jnp.repeat(trans_valid, R)
         pair_t_full, pair_r_full = make_pairs(trans_grid, rot_grid)
 
+        # NOTE: the plan / hist planes are ARGUMENTS, not closures — a
+        # jit-captured closure array is embedded in the HLO as a
+        # constant, and the multi-MB slab/plane buffers made the remote
+        # compile orders bigger than the fused program's (which passes
+        # them as parameters) — big enough to hit the axon server-side
+        # compile timeout on degraded days.
         @jax.jit
-        def phase1(img_init):
+        def phase1(img_init, plan):
             # mirrors pipeline.localize_query stage 1 (plan_tail="pad")
             s_all = slab_pair_scores(img_init, plan)[:TR]
             if plan.n_pairs < TR:
@@ -238,7 +244,7 @@ def main() -> None:
             return neg, idx1
 
         @jax.jit
-        def phase2(img_init, neg, idx1):
+        def phase2(img_init, neg, idx1, hist_plan):
             # mirrors stage 2 (hist-plane gather + block histograms)
             sel_valid = jnp.isfinite(neg)
             t1 = jnp.take(pair_t_full, idx1, axis=0)
@@ -269,11 +275,11 @@ def main() -> None:
             img_init = jnp.asarray(img_main[::init_step, ::init_step])
             np.asarray(img_init[0, 0])
             t0 = time.time()
-            neg, idx1 = phase1(img_init)
+            neg, idx1 = phase1(img_init, plan)
             np.asarray(idx1[0])
             s1 = time.time() - t0
             t0 = time.time()
-            t2c, r2c, fv = phase2(img_init, neg, idx1)
+            t2c, r2c, fv = phase2(img_init, neg, idx1, hist_plan)
             np.asarray(t2c[0])
             s2 = time.time() - t0
             t0 = time.time()
